@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ohlcv.{Encode, Forecast, TimeSeriesOps, Windows}
+
+/** The flagship end-to-end pipeline (reference SURVEY.md §3.2) re-pointed
+  * at the harness `events` table: per-user hourly series → gap-fill +
+  * ffill → sliding z-scored windows → latent encoding → k-NN similarity
+  * search → follow-on fetch → scale transfer → top-2 ensemble → MAE.
+  *
+  * One lazy plan end-to-end: the reference's sequential per-query Python
+  * loop becomes a single broadcast-join pass over all queries at once.
+  */
+object Flagship {
+
+  val SeqLen = 48
+  val PredWindow = 24
+  val Stride = 12
+  val TopK = 3
+  val EmbedDim = 12
+
+  /** Dense per-user hourly close series (gap-filled, forward-filled),
+    * indexed by hourly time_idx.
+    */
+  def filledSeries(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("open", col("value")).withColumn("high", col("value"))
+      .withColumn("low", col("value")).withColumn("close", col("value"))
+      .withColumn("volume", col("value"))
+    val hourly = TimeSeriesOps.resampleOhlcv(ev, "user_id", "ts", 3600, emitEmpty = true)
+      .withColumn("idx", (unix_timestamp(col("ts")) / 3600).cast("long"))
+    TimeSeriesOps.ffill(hourly, "user_id", "idx", Seq("close"))
+      .select("user_id", "idx", "close")
+  }
+
+  /** Sliding z-scored windows with latent embeddings (mean-pool encoder).
+    * Degenerate (near-constant) windows are dropped: they only arise from
+    * long forward-filled gaps, and their ~0 scale makes the 1e-8 z-score
+    * epsilon explode both search distances and MAE.
+    */
+  def embeddedWindows(series: DataFrame): DataFrame =
+    Windows.slidingZscored(series, "user_id", "idx", "close", SeqLen)
+      .filter(col("scale") > 1e-6)
+      .withColumn("embedding", Encode.meanPool(col("zvalues"), SeqLen, EmbedDim))
+
+  /** Per-query forecast MAE (one row per evaluation query). */
+  def scoredQueries(s: SparkSession, dir: String, metric: String = "l1"): DataFrame = {
+    val wins = embeddedWindows(filledSeries(s, dir))
+    val top = Forecast.evaluate(wins, "user_id", SeqLen, PredWindow, Stride, TopK, metric)
+    Forecast.forecastAndScore(top, wins, "user_id", SeqLen, PredWindow)
+  }
+
+  /** A6 error summary — the driver's smoke entry (rows > 0). */
+  def forecastMae(s: SparkSession, dir: String): DataFrame =
+    Forecast.errorSummary(scoredQueries(s, dir))
+}

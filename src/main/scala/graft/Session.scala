@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory with the engine's scale-oriented defaults.
+  *
+  * Tuned for correctness parity with the DuckDB oracle (UTC session time
+  * zone) and for the local[32] harness (32 shuffle partitions, AQE on).
+  * On a real cluster the same settings hold: AQE re-plans shuffle
+  * partition counts at runtime, so a static 32 here is only the floor.
+  */
+object Session {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores INT64 TIMESTAMP(NANOS) which Spark rejects
+      // by default; read the raw nanos as LongType and convert in
+      // Tables.events (sub-microsecond parts are zero in this corpus).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Read parquet isAdjustedToUTC=false timestamps as plain TIMESTAMP
+      // (session TZ is pinned UTC, so semantics match the DuckDB oracle's
+      // naive timestamps) — keeps unix_timestamp & friends uniform.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,303 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.ohlcv.Search
+import graft.text.{Dedup, TextOps}
+import graft.Queries.Q
+import graft.Rounding.{pround, sqlRound}
+
+/** Similarity-search, dedup, text-analysis and multimodal queries
+  * (the LLM-data-pipeline operator set) with DuckDB oracles.
+  *
+  * Oracle-parity backbone: the portable 60-bit hash
+  * `('0x' || substr(md5(x), 1, 15))::BIGINT` ≡ Spark
+  * `conv(substr(md5(x), 1, 15), 16, 10)::long`, and explicit
+  * dot-product formulas written with identical operation order on both
+  * sides so doubles match bit-for-bit before rounding.
+  */
+object VectorTextQueries {
+
+  /** DuckDB rendering of TextOps.md5Hash60. */
+  private def sqlHash60(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+
+  /** DuckDB rendering of TextOps.tokens (whitespace split, empties out). */
+  private val sqlToks = """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
+
+  /** DuckDB word-n-gram shingles over `toks` (1-based inclusive slices). */
+  private def sqlShingles(n: Int): String =
+    s"[array_to_string(toks[i:i+${n - 1}], ' ') FOR i IN range(1, len(toks) - ${n - 2})]"
+
+  /** DuckDB mirror of Search.cosine (incl. the 1e-8 norm guards and the
+    * sequential-sum dot products).
+    */
+  private def sqlCosine(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (greatest(sqrt(list_dot_product($a, $a)), 1e-8) * greatest(sqrt(list_dot_product($b, $b)), 1e-8)))"
+
+  // ------------------------------------------------------------------
+  // Similarity search over `embeddings`
+  // ------------------------------------------------------------------
+
+  private def knnQuery(metricName: String, oracleDist: String): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val corpus = emb.filter(col("vec_id") >= 5)
+      Search.knnJoin(corpus, queries, "vec_id", "embedding", "query_id", "query_vec",
+        k = 5, metricName = metricName)
+        .select(col("query_id"), col("rank"), col("vec_id"), pround(col("dist"), 6).as("dist"))
+        .orderBy("query_id", "rank")
+    }
+
+  private val vector: Seq[Q] = Seq(
+    Q("q30_knn_cosine",
+      knnQuery("cosine_dist", ""),
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              |  FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+              |scored AS (SELECT query_id, vec_id,
+              |    1.0 - ${sqlCosine("v", "qv")} AS dist FROM c, q),
+              |ranked AS (SELECT query_id, vec_id, dist,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, vec_id, ${sqlRound("dist", 6)} AS dist
+              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("q31_knn_l2",
+      knnQuery("l2", ""),
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id < 5),
+             |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 5),
+             |scored AS (SELECT query_id, vec_id, list_distance(v, qv) AS dist FROM c, q),
+             |ranked AS (SELECT query_id, vec_id, dist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, vec_id, ${sqlRound("dist", 6)} AS dist
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    Q("q32_cos_neardup",
+      (s, d) =>
+        Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.25)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  ${sqlRound(sqlCosine("a.v", "b.v"), 6)} AS cos_sim
+              |FROM e a, e b
+              |WHERE a.vec_id < b.vec_id AND ${sqlCosine("a.v", "b.v")} >= 0.25
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q33_label_centroid",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+          .withColumn("pos", col("pos") + 1)
+          .groupBy("label", "pos")
+          .agg(pround(avg("col"), 6).as("centroid_val"))
+          .orderBy("label", "pos"),
+      Some(s"""SELECT label, pos, ${sqlRound("avg(embedding[pos]::DOUBLE)", 6)} AS centroid_val
+             |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos)
+             |GROUP BY label, pos ORDER BY label, pos""".stripMargin)))
+
+  // ------------------------------------------------------------------
+  // Text analysis + deduplication over `documents`
+  // ------------------------------------------------------------------
+
+  private val MinhashSeeds = 4
+
+  /** Generated SQL for the 32 unrolled simhash bit terms. */
+  private def simhashSql(bits: Int): String = {
+    val bitTerms = (0 until bits).map { b =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(${sqlShingles(3)}) AS s FROM toks WHERE len(toks) >= 3),
+       |hashed AS (SELECT doc_id, ${sqlHash60("s")} AS h FROM sh)
+       |SELECT doc_id, $bitTerms AS simhash
+       |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private val text: Seq[Q] = Seq(
+    Q("q40_exact_dedup",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+          .orderBy("fp"),
+      Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             |  min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM documents GROUP BY fp ORDER BY fp""".stripMargin)),
+
+    Q("q41_minhash_sig",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+        val sigCols = (0 until MinhashSeeds).map { seed =>
+          array_min(transform(col("shingles"), sg =>
+            TextOps.md5Hash60(concat(lit(s"$seed:"), sg)))).as(s"h$seed")
+        }
+        sh.select(col("doc_id") +: sigCols: _*).orderBy("doc_id")
+      },
+      Some {
+        val hs = (0 until MinhashSeeds).map { seed =>
+          s"list_min([${sqlHash60(s"'$seed:' || s")} FOR s IN shingles]) AS h$seed"
+        }.mkString(",\n  ")
+        s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           |sh AS (SELECT doc_id, ${sqlShingles(3)} AS shingles FROM toks WHERE len(toks) >= 3)
+           |SELECT doc_id,
+           |  $hs
+           |FROM sh ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q42_ngram_jaccard",
+      (s, d) =>
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              |sh AS (SELECT doc_id, unnest(list_distinct(${sqlShingles(3)})) AS s
+              |  FROM toks WHERE len(toks) >= 3),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY a.doc_id, b.doc_id)
+              |SELECT id_a, id_b,
+              |  ${sqlRound("n_inter::DOUBLE / (x.n + y.n - n_inter)", 6)} AS jaccard
+              |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+              |WHERE n_inter::DOUBLE / (x.n + y.n - n_inter) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q43_simhash",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("shingles")) > 0)
+        sh.select(col("doc_id"), Dedup.simhash(col("shingles"), 32).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some(simhashSql(32))),
+
+    Q("q44_quality",
+      (s, d) =>
+        TextOps.qualityScore(Tables.documents(s, d), "text")
+          .select(col("doc_id"), col("n_tokens"),
+            pround(col("mean_word_len"), 6).as("mean_word_len"),
+            pround(col("stopword_ratio"), 6).as("stopword_ratio"),
+            pround(col("punct_ratio"), 6).as("punct_ratio"),
+            col("quality_score"))
+          .orderBy("doc_id"),
+      Some {
+        val stopList = TextOps.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+           |f AS (SELECT doc_id,
+           |    len(toks)::BIGINT AS n_tokens,
+           |    CASE WHEN len(toks) > 0
+           |      THEN list_sum(list_transform(toks, x -> len(x)::DOUBLE)) / len(toks) END AS mean_word_len,
+           |    CASE WHEN len(toks) > 0
+           |      THEN len(list_filter(toks, x -> list_contains($stopList, lower(x))))::DOUBLE / len(toks) END AS stopword_ratio,
+           |    CASE WHEN len(text) > 0
+           |      THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / len(text) END AS punct_ratio
+           |  FROM t)
+           |SELECT doc_id, n_tokens, ${sqlRound("mean_word_len", 6)} AS mean_word_len,
+           |  ${sqlRound("stopword_ratio", 6)} AS stopword_ratio,
+           |  ${sqlRound("punct_ratio", 6)} AS punct_ratio,
+           |  ${sqlRound("""CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+           |    1.0 * least(1.0, n_tokens::DOUBLE / 16.0)
+           |        * least(1.0, stopword_ratio * 8.0)
+           |        * greatest(0.0, 1.0 - punct_ratio * 4.0)
+           |        * (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+           |  END""", 6)} AS quality_score
+           |FROM f ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q45_langid",
+      (s, d) =>
+        TextOps.withLangId(Tables.documents(s, d), "text")
+          .select(col("doc_id"), col("lang").as("lang_actual"), col("lang_pred"), col("lang_score"))
+          .orderBy("doc_id"),
+      Some {
+        val langs = TextOps.LangMarkers.toSeq.sortBy(_._1)
+        val scoreExprs = langs.map { case (lang, markers) =>
+          val arr = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(toks, x -> list_contains($arr, x)))::DOUBLE / greatest(len(toks), 1) AS s_$lang"
+        }.mkString(",\n    ")
+        val best = langs.map(l => s"s_${l._1}").mkString("greatest(", ", ", ")")
+        // Tie-break must match Spark's array_max over (score, lang)
+        // structs: max score, then max lang string — so CASE tests langs
+        // in DESCENDING name order.
+        val caseChain = langs.map(_._1).sorted.reverse
+          .map(l => s"WHEN s_$l = best THEN '$l'").mkString("CASE ", " ", " END")
+        s"""WITH t AS (SELECT doc_id, lang,
+           |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS toks
+           |  FROM documents),
+           |scored AS (SELECT doc_id, lang,
+           |    $scoreExprs
+           |  FROM t),
+           |b AS (SELECT *, $best AS best FROM scored)
+           |SELECT doc_id, lang AS lang_actual, $caseChain AS lang_pred,
+           |  ${sqlRound("best", 6)} AS lang_score
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("q46_token_counts",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+            TextOps.subwordCount(col("text")).as("n_subwords"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len($sqlToks) AS n_ws_tokens,
+              |  len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]')) AS n_subwords
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q47_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
+            TextOps.md5Hash60(col("text")).as("hash60"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+              |  ${sqlHash60("text")} AS hash60
+              |FROM documents ORDER BY doc_id""".stripMargin)))
+
+  // ------------------------------------------------------------------
+  // Multimodal plumbing: binary payloads + stubbed decode
+  // ------------------------------------------------------------------
+
+  private val multimodal: Seq[Q] = Seq(
+    Q("q50_mm_histogram",
+      (s, d) => {
+        // Payload = UTF-8 bytes of the text (documents are ASCII, so the
+        // byte histogram is oracle-expressible over codepoints).
+        val docs = Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .withColumn("payload", col("text").cast("binary"))
+        val decoded = Multimodal.withDecodedFeatures(
+          docs, "payload", "features", new Multimodal.StubImageDecoder)
+        decoded
+          .select(col("doc_id"), posexplode(col("features")))
+          .select(col("doc_id"), col("pos").as("bin"),
+            pround(col("col").cast("double"), 6).as("freq"))
+          .orderBy("doc_id", "bin")
+      },
+      Some(s"""WITH ch AS (SELECT doc_id, unicode(c) // 16 AS bin
+             |  FROM documents, unnest(string_split(text, '')) t(c)
+             |  WHERE len(text) > 0),
+             |n AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY doc_id),
+             |cnt AS (SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY doc_id, bin),
+             |bins AS (SELECT unnest(generate_series(0, 15)) AS bin)
+             |SELECT n.doc_id, bins.bin,
+             |  ${sqlRound("(coalesce(cnt.c, 0)::FLOAT / n.n::FLOAT)::DOUBLE", 6)} AS freq
+             |FROM n CROSS JOIN bins
+             |LEFT JOIN cnt ON cnt.doc_id = n.doc_id AND cnt.bin = bins.bin
+             |ORDER BY n.doc_id, bins.bin""".stripMargin)))
+
+  def all: Seq[Q] = vector ++ text ++ multimodal
+}

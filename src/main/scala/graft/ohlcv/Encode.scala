@@ -1,0 +1,78 @@
+package graft.ohlcv
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Window → latent-vector encoders (reference `core/nn/vae.py` M1 +
+  * `notebooks/test.ipynb` cell 14 M6, re-expressed as pluggable
+  * deterministic transforms — SURVEY.md §2.10/§7: the VAE's *role* is
+  * "deterministic batch map rows→vectors"; its weights are out of scope).
+  *
+  * Both encoders are pure column expressions (whole-stage codegen, no UDF,
+  * no driver round-trip), so encoding N windows is embarrassingly parallel
+  * exactly like the reference's DDP batch-inference loop.
+  */
+object Encode {
+
+  /** Shape-true stand-in for the VAE encoder: mean-pool the `inLen`-long
+    * window into `outDim` equal buckets (256 → 64 with bucket 4). Public
+    * knowledge: average-pooling downsample.
+    */
+  def meanPool(arr: Column, inLen: Int, outDim: Int): Column = {
+    require(inLen % outDim == 0, s"inLen $inLen not divisible by outDim $outDim")
+    val bucket = inLen / outDim
+    transform(sequence(lit(0), lit(outDim - 1)), i =>
+      aggregate(slice(arr, i * bucket + 1, lit(bucket)), lit(0.0), (a, x) => a + x) / bucket)
+  }
+
+  /** Fixed linear projection `arr · M` (inLen → outDim) with a literal
+    * projection matrix — the PCA/ random-projection family. The matrix is
+    * broadcast as literals inside the plan; rows never leave executors.
+    */
+  def linearProject(arr: Column, matrix: Array[Array[Double]]): Column = {
+    val rows = matrix.map(r => array(r.map(lit): _*))
+    val cols = array(rows.toIndexedSeq: _*)
+    transform(cols, row =>
+      aggregate(zip_with(arr, row, (x, w) => x * w), lit(0.0), (a, x) => a + x))
+  }
+
+  /** Deterministic pseudo-random projection matrix (outDim × inLen) seeded
+    * by `seed` — a public Johnson–Lindenstrauss-style stand-in when no
+    * trained projection exists. Uses a splitmix64-derived uniform in
+    * [−1, 1] scaled by 1/√inLen.
+    */
+  def randomProjectionMatrix(inLen: Int, outDim: Int, seed: Long): Array[Array[Double]] = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    val norm = 1.0 / math.sqrt(inLen.toDouble)
+    Array.tabulate(outDim, inLen) { (i, j) =>
+      val h = splitmix(seed * 1000003L + i * 65537L + j)
+      ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0) * norm
+    }
+  }
+
+  /** PCA projection learned with MLlib from a sample of windows: returns
+    * the outDim × inLen principal-component matrix. The sample (not the
+    * full corpus) is bounded by `maxRows`, so the driver-side SVD stays
+    * constant-size while the projection itself is applied distributively
+    * via [[linearProject]].
+    */
+  def pcaMatrix(windows: DataFrame, arrCol: String, inLen: Int, outDim: Int,
+      maxRows: Int = 4096): Array[Array[Double]] = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val frac = math.min(1.0, maxRows.toDouble / math.max(1L, windows.count()).toDouble)
+    val sample = windows.select(col(arrCol)).sample(withReplacement = false, frac, seed = 42L)
+    val rows = sample.rdd.map { r =>
+      val seq = r.getSeq[Double](0)
+      OldVectors.dense(seq.toArray)
+    }
+    val mat = new RowMatrix(rows)
+    val pc = mat.computePrincipalComponents(outDim) // inLen × outDim
+    Array.tabulate(outDim, inLen)((i, j) => pc(j, i))
+  }
+}

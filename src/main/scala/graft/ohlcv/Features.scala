@@ -1,0 +1,277 @@
+package graft.ohlcv
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Technical-analysis feature operators (SURVEY.md §2.5 W3–W5, §2.8 F14).
+  *
+  * Rolling means are plain window frames (codegen'd); the EMA recurrence is
+  * the one genuinely sequential operator — implemented as an ordered
+  * per-partition scan (`mapPartitions`) because an `adjust=False` EMA has
+  * infinite lookback and cannot be a bounded SQL window frame. The scan is
+  * sequential *per series* but all series run in parallel, which is the
+  * maximum parallelism the semantics admit.
+  */
+object Features {
+
+  /** Simple moving average over the trailing `w` rows with pandas
+    * `min_periods=w` semantics (null until `w` rows seen) — reference
+    * `preprocess.py:46-51` (W3).
+    */
+  def sma(valCol: Column, keyCol: Column, ordCol: Column, w: Int): Column = {
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+    when(count(valCol).over(frame) === w, avg(valCol).over(frame))
+  }
+
+  /** Rolling population standard deviation (ddof=0, as the `ta` library
+    * passes to pandas) over the trailing `w` rows, null until `w` rows.
+    */
+  def rollingStdPop(valCol: Column, keyCol: Column, ordCol: Column, w: Int): Column = {
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+    when(count(valCol).over(frame) === w, stddev_pop(valCol).over(frame))
+  }
+
+  /** Append EMA columns computed by the recurrence
+    * `ema_t = α·x_t + (1−α)·ema_{t−1}` seeded at the first value
+    * (pandas `ewm(adjust=False)`, reference `preprocess.py:52-54`, W4).
+    *
+    * `specs` maps output column name → (alpha, minPeriods); rows whose
+    * 1-based position in the series is < minPeriods get null (pandas
+    * `min_periods`), though the recurrence still consumes them.
+    *
+    * Physical shape: one shuffle (`repartition(keyCol)`) + in-partition
+    * sort, then a single streaming pass appending all EMA columns at once.
+    * State is O(#specs) doubles per series — safe at any series length.
+    */
+  def withEma(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      specs: Seq[(String, Double, Int)]): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++
+      specs.map { case (name, _, _) => StructField(name, DoubleType, nullable = true) })
+    val keyIdx = inSchema.fieldIndex(keyCol)
+    val valIdx = inSchema.fieldIndex(valCol)
+    val alphas = specs.map(_._2).toArray
+    val minPeriods = specs.map(_._3).toArray
+    val nSpecs = specs.length
+    val sorted = df.repartition(col(keyCol)).sortWithinPartitions(col(keyCol), col(ordCol))
+    sorted.mapPartitions { rows =>
+      var curKey: Any = null
+      var started = false
+      var n = 0L
+      val ema = new Array[Double](nSpecs)
+      val hasEma = new Array[Boolean](nSpecs)
+      rows.map { row =>
+        val k = row.get(keyIdx)
+        if (!started || k != curKey) {
+          started = true; curKey = k; n = 0L
+          java.util.Arrays.fill(hasEma, false)
+        }
+        n += 1
+        val out = new Array[Any](outSchema.length)
+        var i = 0
+        while (i < inSchema.length) { out(i) = row.get(i); i += 1 }
+        val x = if (row.isNullAt(valIdx)) Double.NaN else row.getDouble(valIdx)
+        var j = 0
+        while (j < nSpecs) {
+          if (!x.isNaN) {
+            if (!hasEma(j)) { ema(j) = x; hasEma(j) = true }
+            else ema(j) = alphas(j) * x + (1 - alphas(j)) * ema(j)
+          }
+          out(inSchema.length + j) =
+            if (hasEma(j) && n >= minPeriods(j)) java.lang.Double.valueOf(ema(j)) else null
+          j += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericRow(out): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Span-parameterized EMA (pandas `ewm(span=w)`): α = 2/(w+1). */
+  def emaSpanSpec(name: String, span: Int): (String, Double, Int) =
+    (name, 2.0 / (span + 1), span)
+
+  /** Wilder-style EMA (pandas `ewm(alpha=1/w)`), used by RSI. */
+  def emaAlphaSpec(name: String, w: Int): (String, Double, Int) =
+    (name, 1.0 / w, w)
+
+  /** RSI(w) per the `ta` library: up/down moves smoothed with
+    * `ewm(alpha=1/w, min_periods=w, adjust=False)`, rsi = 100 − 100/(1+rs).
+    */
+  def withRsi(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      w: Int = 14, outCol: String = "rsi"): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val diffed = df
+      .withColumn("__diff", col(valCol) - lag(valCol, 1).over(win))
+      .withColumn("__up", greatest(col("__diff"), lit(0.0)))
+      .withColumn("__dn", greatest(-col("__diff"), lit(0.0)))
+    val smoothed = withEma(diffed, keyCol, ordCol, "__up",
+      Seq(emaAlphaSpec("__up_ema", w)))
+    val smoothed2 = withEma(smoothed, keyCol, ordCol, "__dn",
+      Seq(emaAlphaSpec("__dn_ema", w)))
+    smoothed2
+      .withColumn(outCol,
+        when(col("__dn_ema") === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("__up_ema") / col("__dn_ema"))))
+      .drop("__diff", "__up", "__dn", "__up_ema", "__dn_ema")
+  }
+
+  /** MACD(fast=12, slow=26, signal=9): EMA_fast − EMA_slow, signal EMA of
+    * the MACD line, histogram = macd − signal.
+    */
+  def withMacd(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame = {
+    val withEmas = withEma(df, keyCol, ordCol, valCol,
+      Seq(emaSpanSpec("__ema_fast", fast), emaSpanSpec("__ema_slow", slow)))
+    val withLine = withEmas.withColumn("macd", col("__ema_fast") - col("__ema_slow"))
+    val withSig = withEma(withLine, keyCol, ordCol, "macd",
+      Seq(emaSpanSpec("macd_signal", signal)))
+    withSig
+      .withColumn("macd_hist", col("macd") - col("macd_signal"))
+      .drop("__ema_fast", "__ema_slow")
+  }
+
+  /** Bollinger bands(w=20, k=2) with the `ta` library's ddof=0 std. */
+  def withBollinger(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      w: Int = 20, k: Double = 2.0): DataFrame = {
+    val mid = sma(col(valCol), col(keyCol), col(ordCol), w)
+    val sd = rollingStdPop(col(valCol), col(keyCol), col(ordCol), w)
+    df.withColumn("bb_mid", mid)
+      .withColumn("bb_up", mid + lit(k) * sd)
+      .withColumn("bb_dn", mid - lit(k) * sd)
+  }
+
+  // --------------------------------------------------------------------
+  // Savitzky–Golay smoothing (reference `preprocess.py:77-96`, W5)
+  // --------------------------------------------------------------------
+
+  /** Least-squares smoothing coefficients, computed driver-side with a tiny
+    * (polyorder+1)² normal-equation solve — the classical design-matrix
+    * derivation of Savitzky–Golay (public: Savitzky & Golay 1964; scipy
+    * `savgol_coeffs`). `weightsAt(i)` gives the 1×window row that maps the
+    * raw window to the fitted polynomial's value at in-window position `i`;
+    * the interior convolution uses `weightsAt(window/2)`.
+    */
+  final case class SavgolDesign(window: Int, polyorder: Int) {
+    require(window % 2 == 1, "window must be odd")
+    require(polyorder < window)
+    private val m = polyorder + 1
+    // A[t][p] = t^p for t = 0..window-1
+    private val a = Array.tabulate(window, m)((t, p) => math.pow(t.toDouble, p))
+    // (AᵀA)⁻¹ via Gauss-Jordan on the m×m normal matrix.
+    private val ata = Array.tabulate(m, m) { (i, j) =>
+      var s = 0.0; var t = 0; while (t < window) { s += a(t)(i) * a(t)(j); t += 1 }; s
+    }
+    private val inv = invert(ata)
+    // H = A (AᵀA)⁻¹ Aᵀ : window×window smoother matrix; row i = weightsAt(i).
+    private val hat = Array.tabulate(window, window) { (i, j) =>
+      var s = 0.0
+      var p = 0
+      while (p < m) {
+        var q = 0
+        var acc = 0.0
+        while (q < m) { acc += inv(p)(q) * a(j)(q); q += 1 }
+        s += a(i)(p) * acc
+        p += 1
+      }
+      s
+    }
+    def weightsAt(i: Int): Array[Double] = hat(i)
+    def centerWeights: Array[Double] = hat(window / 2)
+
+    private def invert(src: Array[Array[Double]]): Array[Array[Double]] = {
+      val n = src.length
+      val aug = Array.tabulate(n, 2 * n)((i, j) =>
+        if (j < n) src(i)(j) else if (j - n == i) 1.0 else 0.0)
+      var r = 0
+      while (r < n) {
+        var piv = r
+        var rr = r + 1
+        while (rr < n) { if (math.abs(aug(rr)(r)) > math.abs(aug(piv)(r))) piv = rr; rr += 1 }
+        val tmp = aug(r); aug(r) = aug(piv); aug(piv) = tmp
+        val d = aug(r)(r)
+        var c = 0
+        while (c < 2 * n) { aug(r)(c) /= d; c += 1 }
+        var r2 = 0
+        while (r2 < n) {
+          if (r2 != r) {
+            val f = aug(r2)(r)
+            var c2 = 0
+            while (c2 < 2 * n) { aug(r2)(c2) -= f * aug(r)(c2); c2 += 1 }
+          }
+          r2 += 1
+        }
+        r += 1
+      }
+      Array.tabulate(n, n)((i, j) => aug(i)(j + n))
+    }
+  }
+
+  /** Dot product of a collected window array with literal coefficients —
+    * stays inside whole-stage codegen (no UDF).
+    */
+  private def dotLiteral(arr: Column, coeffs: Array[Double]): Column = {
+    val lits = array(coeffs.map(lit): _*)
+    aggregate(zip_with(arr, lits, (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Savitzky–Golay filter with scipy's default `mode="interp"` edge
+    * handling: interior rows are the centered FIR convolution; the first
+    * and last `window/2` rows evaluate the polynomial fitted to the
+    * first/last `window` values (exactly scipy `_fit_edges`).
+    *
+    * Scale shape: interior is a bounded row-frame window; the edge fix-up
+    * touches `window` rows per key via a tiny per-key aggregate that is
+    * broadcast-joined back — no full-series collection anywhere.
+    */
+  def withSavgol(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      outCol: String, window: Int = 21, polyorder: Int = 4): DataFrame = {
+    val design = SavgolDesign(window, polyorder)
+    val half = window / 2
+    val wAsc = Window.partitionBy(keyCol).orderBy(col(ordCol).asc)
+    val wDesc = Window.partitionBy(keyCol).orderBy(col(ordCol).desc)
+    val frame = wAsc.rowsBetween(-half, half)
+
+    val base = df
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .withColumn("__win", collect_list(col(valCol)).over(frame))
+      .withColumn("__interior", dotLiteral(col("__win"), design.centerWeights))
+
+    // First/last `window` values per key (tiny: `window` rows/key).
+    val headVals = base.filter(col("__ra") <= window)
+      .groupBy(keyCol)
+      .agg(transform(array_sort(collect_list(struct(col("__ra"), col(valCol)))),
+        s => s.getField(valCol)).as("__head"))
+    val tailVals = base.filter(col("__rd") <= window)
+      .groupBy(keyCol)
+      .agg(transform(array_sort(collect_list(struct(col("__ra"), col(valCol)))),
+        s => s.getField(valCol)).as("__tail"))
+
+    val edgeExprHead: Column = {
+      // position in head window = __ra - 1  (0-based); weights row = that position
+      val weightRows = array((0 until half).map(i => array(design.weightsAt(i).map(lit): _*)): _*)
+      aggregate(
+        zip_with(element_at(weightRows, col("__ra").cast("int")), col("__head"), (c, x) => c * x),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val edgeExprTail: Column = {
+      // position from the end: __rd = 1 → last row → weights row window-1
+      val weightRows = array((0 until half).map(i =>
+        array(design.weightsAt(window - 1 - i).map(lit): _*)): _*)
+      aggregate(
+        zip_with(element_at(weightRows, col("__rd").cast("int")), col("__tail"), (c, x) => c * x),
+        lit(0.0), (acc, x) => acc + x)
+    }
+
+    base
+      .join(broadcast(headVals), Seq(keyCol), "left")
+      .join(broadcast(tailVals), Seq(keyCol), "left")
+      .withColumn(outCol,
+        when(col("__ra") <= half, edgeExprHead)
+          .when(col("__rd") <= half, edgeExprTail)
+          .otherwise(col("__interior")))
+      .drop("__ra", "__rd", "__win", "__interior", "__head", "__tail")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ohlcv
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The flagship forecast query (reference `notebooks/test.ipynb` cells
+  * 16–23, SURVEY.md §3.2): for each query window, find top-k similar
+  * historical windows, fetch each match's follow-on window, transfer the
+  * scale, ensemble the top 2, and score MAE against the true follow-on.
+  *
+  * Everything is one lazy plan over (windows ⨝ embeddings) — the reference
+  * loops queries sequentially in Python; here all queries evaluate in one
+  * broadcast-join pass.
+  */
+object Forecast {
+
+  /** Follow-on fetch (J2) as a compositional step over the *windows* table
+    * itself: the follow-on of a match starting at `start_idx` with query
+    * window length `seqLen` and horizon `predWindow` is the RAW values of
+    * the window starting at `start_idx + seqLen`, truncated to
+    * `predWindow`. Requires `predWindow <= seqLen` (true for the
+    * reference's 192 ≤ 256); the join is an equi-join on
+    * (key, start_idx+seqLen) — hash-joinable, no range scan needed.
+    */
+  def withFollowOn(matches: DataFrame, windows: DataFrame, keyCol: String,
+      seqLen: Int, predWindow: Int): DataFrame = {
+    require(predWindow <= seqLen, "predWindow must be <= seqLen (follow-on is a window prefix)")
+    val follow = windows.select(
+      col(keyCol),
+      (col("start_idx") - seqLen).as("__match_start"),
+      slice(col("values"), 1, predWindow).as("follow_values"))
+    matches.join(follow,
+      matches(keyCol) === follow(keyCol) && matches("start_idx") === follow("__match_start"),
+      "inner")
+      .drop(follow(keyCol)).drop("__match_start")
+  }
+
+  /** Scale transfer (F7, `test.ipynb:813,820`): re-standardize the
+    * follow-on by the MATCH window's (center, scale), yielding the
+    * forecast in the query's z-space.
+    */
+  def rescale(followValues: Column, matchCenter: Column, matchScale: Column,
+      eps: Double = 1e-8): Column =
+    transform(followValues, v => (v - matchCenter) / (matchScale + lit(eps)))
+
+  /** Top-2 ensemble (F8, `test.ipynb:822-823`): element-wise mean of the
+    * two best forecasts, truncated to the shorter length.
+    */
+  def ensemble2(a: Column, b: Column): Column = {
+    val l = least(size(a), size(b))
+    zip_with(slice(a, lit(1), l), slice(b, lit(1), l), (x, y) => (x + y) / 2.0)
+  }
+
+  /** Mean absolute error between two arrays (A7, `test.ipynb:892`). */
+  def mae(pred: Column, target: Column): Column = {
+    val l = least(size(pred), size(target))
+    aggregate(zip_with(slice(pred, lit(1), l), slice(target, lit(1), l), (p, t) => abs(p - t)),
+      lit(0.0), (acc, x) => acc + x) / l
+  }
+
+  /** End-to-end evaluation (reference `evaluate`, `test.ipynb:799-836`):
+    *
+    *  1. embed all corpus windows (O3-truncated so follow-ons exist),
+    *  2. queries = every `stride`-th validation window,
+    *  3. k-NN top-`k` per query (self-match excluded),
+    *  4. follow-on + rescale + top-2 ensemble,
+    *  5. per-query MAE vs the query's own follow-on in its z-space.
+    *
+    * Input `embedded`: (key, start_idx, values, center, scale, embedding).
+    * Returns one row per query: (key, start_idx, mae_err).
+    */
+  def evaluate(embedded: DataFrame, keyCol: String, seqLen: Int,
+      predWindow: Int, stride: Int, k: Int, metricName: String): DataFrame = {
+    val maxIdx = embedded.groupBy(keyCol).agg(max("start_idx").as("__max_idx"))
+    // O3: corpus windows must have a full follow-on window after them.
+    val corpus = embedded.join(broadcast(maxIdx), Seq(keyCol))
+      .filter(col("start_idx") <= col("__max_idx") - seqLen)
+      .select(col(keyCol), col("start_idx"), col("center"), col("scale"), col("embedding"))
+    val minIdx = embedded.groupBy(keyCol).agg(min("start_idx").as("__min_idx"))
+    val queries = embedded.join(broadcast(minIdx), Seq(keyCol))
+      .join(broadcast(maxIdx), Seq(keyCol))
+      .filter(((col("start_idx") - col("__min_idx")) % stride === 0) &&
+        col("start_idx") <= col("__max_idx") - seqLen)
+      .select(col(keyCol).as("q_key"), col("start_idx").as("q_start"),
+        col("center").as("q_center"), col("scale").as("q_scale"),
+        col("embedding").as("q_embedding"))
+
+    val crossed = corpus.join(broadcast(queries), col(keyCol) === col("q_key"))
+      .filter(col("start_idx") =!= col("q_start")) // exclude self-match
+      .withColumn("dist", Search.metric(metricName)(col("embedding"), col("q_embedding")))
+    val w = Window.partitionBy("q_key", "q_start")
+      .orderBy(col("dist").asc, col("start_idx").asc)
+    val top = crossed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    top.select(col("q_key"), col("q_start"), col("q_center"), col("q_scale"),
+      col(keyCol), col("start_idx"), col("center"), col("scale"), col("rank"))
+  }
+
+  /** Steps 4–5 of [[evaluate]] applied to its top-k output: fetch
+    * follow-ons for the top-2 matches and the query itself, rescale,
+    * ensemble, and score — returns (q_key, q_start, mae_err).
+    */
+  def forecastAndScore(topMatches: DataFrame, windows: DataFrame, keyCol: String,
+      seqLen: Int, predWindow: Int): DataFrame = {
+    val follow = windows.select(
+      col(keyCol).as("f_key"),
+      col("start_idx").as("f_start"),
+      slice(col("values"), 1, predWindow).as("follow_values"))
+
+    // Match-side follow-ons, rescaled into each match's own z-space.
+    val matches = topMatches.filter(col("rank") <= 2)
+      .join(follow, col(keyCol) === col("f_key") &&
+        (col("start_idx") + seqLen) === col("f_start"), "inner")
+      .withColumn("forecast", rescale(col("follow_values"), col("center"), col("scale")))
+    val perQuery = matches.groupBy("q_key", "q_start", "q_center", "q_scale")
+      .agg(
+        // ≤1 non-null per group, so first(ignoreNulls) is deterministic.
+        first(when(col("rank") === 1, col("forecast")), ignoreNulls = true).as("f1"),
+        first(when(col("rank") === 2, col("forecast")), ignoreNulls = true).as("f2"))
+      .withColumn("forecast",
+        when(col("f2").isNull, col("f1")).otherwise(ensemble2(col("f1"), col("f2"))))
+
+    // Query-side target follow-on, rescaled into the QUERY's z-space.
+    val withTarget = perQuery
+      .join(follow, col("q_key") === col("f_key") &&
+        (col("q_start") + seqLen) === col("f_start"), "inner")
+      .withColumn("target", rescale(col("follow_values"), col("q_center"), col("q_scale")))
+    withTarget.select(col("q_key"), col("q_start"),
+      mae(col("forecast"), col("target")).as("mae_err"))
+  }
+
+  /** A6: mean / population-std of the per-query errors. */
+  def errorSummary(scored: DataFrame): DataFrame =
+    scored.agg(avg("mae_err").as("err_mean"), stddev_pop("mae_err").as("err_std"))
+}

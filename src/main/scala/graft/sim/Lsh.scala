@@ -1,0 +1,74 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor scaffolding: random-hyperplane LSH and an
+  * IVF-style coarse quantizer (public knowledge: Charikar 2002 SRP-LSH;
+  * IVF from the FAISS literature).
+  *
+  * Both produce a bucket key column; the ANN query path then equi-joins on
+  * the bucket key instead of cross-joining the corpus — the 100 TB path.
+  * Brute-force remains in [[graft.ohlcv.Search.knnJoin]] as the exact
+  * baseline / re-rank stage.
+  */
+object Lsh {
+
+  /** Sign pattern of `planes` random hyperplane projections packed into a
+    * long (bit i = sign of dot(v, plane_i)). `mat` is planes × dim.
+    */
+  def hyperplaneSignature(vec: Column, mat: Array[Array[Double]]): Column = {
+    val bits = mat.zipWithIndex.map { case (plane, i) =>
+      val planeLit = array(plane.map(lit): _*)
+      when(aggregate(zip_with(vec, planeLit, (x, w) => x * w),
+        lit(0.0), (a, x) => a + x) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Attach an LSH bucket column to a vector table. */
+  def withBucket(df: DataFrame, vecCol: String, planes: Int, dim: Int,
+      seed: Long = 42L, outCol: String = "lsh_bucket"): DataFrame = {
+    val mat = graft.ohlcv.Encode.randomProjectionMatrix(dim, planes, seed)
+    df.withColumn(outCol,
+      hyperplaneSignature(col(vecCol).cast("array<double>"), mat))
+  }
+
+  /** Bucketed approximate k-NN: queries join the corpus on the shared LSH
+    * bucket, then per-query top-k within the collisions. Recall depends on
+    * `planes` (fewer planes → bigger buckets → higher recall & cost);
+    * multi-probe = union over several signatures with different seeds.
+    */
+  def approxKnn(corpus: DataFrame, queries: DataFrame, corpusId: String,
+      corpusVec: String, queryId: String, queryVec: String, k: Int,
+      metricName: String, planes: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    import graft.ohlcv.Search
+    import org.apache.spark.sql.expressions.Window
+    val c = withBucket(corpus, corpusVec, planes, dim, seed)
+    val q = withBucket(queries, queryVec, planes, dim, seed)
+      .select(col("lsh_bucket"), col(queryId), col(queryVec))
+    val crossed = c.join(broadcast(q), Seq("lsh_bucket"))
+      .withColumn("dist", Search.metric(metricName)(
+        col(corpusVec).cast("array<double>"), col(queryVec).cast("array<double>")))
+    val w = Window.partitionBy(queryId).orderBy(col("dist").asc, col(corpusId).asc)
+    crossed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop(queryVec, "lsh_bucket")
+  }
+
+  /** IVF coarse assignment: nearest of `centroids` (nlist × dim literals)
+    * by L2 — the partition key for an IVF index layout. Centroids come
+    * from any clustering (e.g. MLlib KMeans on a sample); stored as plan
+    * literals so assignment is a pure codegen'd expression.
+    */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(vec, cl, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d2"),
+        lit(i).as("list"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("list")
+  }
+}
