@@ -83,14 +83,19 @@ object VectorTextQueries {
 
     Q("q32_cos_neardup",
       (s, d) =>
-        Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        graft.sim.Knn.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.25)
+          .select(col("id_a"), col("id_b"), pround(col("cos_sim"), 6).as("cos_sim"))
           .orderBy("id_a", "id_b"),
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      // Norms precomputed once per vector (mirrors the blocked kernel).
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |n AS (SELECT vec_id, v,
+              |    greatest(sqrt(list_dot_product(v, v)), 1e-8) AS nrm FROM e)
               |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |  ${sqlRound(sqlCosine("a.v", "b.v"), 6)} AS cos_sim
-              |FROM e a, e b
-              |WHERE a.vec_id < b.vec_id AND ${sqlCosine("a.v", "b.v")} >= 0.25
+              |  ${sqlRound("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos_sim
+              |FROM n a, n b
+              |WHERE a.vec_id < b.vec_id
+              |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.25
               |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("q33_label_centroid",
@@ -136,14 +141,15 @@ object VectorTextQueries {
 
     Q("q41_minhash_sig",
       (s, d) => {
-        val sh = Tables.documents(s, d)
-          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
-          .filter(size(col("shingles")) > 0)
-        val sigCols = (0 until MinhashSeeds).map { seed =>
-          array_min(transform(col("shingles"), sg =>
-            TextOps.md5Hash60(concat(lit(s"$seed:"), sg)))).as(s"h$seed")
+        // Aggregation shape: explode shingles once, hash per seed with
+        // codegen'd md5, then min aggregates — no interpreted HOF pass.
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TextOps.wordShingles(col("text"), 3)).as("__s"))
+        val aggs = (0 until MinhashSeeds).map { seed =>
+          min(TextOps.md5Hash60(concat(lit(s"$seed:"), col("__s")))).as(s"h$seed")
         }
-        sh.select(col("doc_id") +: sigCols: _*).orderBy("doc_id")
+        hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
       },
       Some {
         val hs = (0 until MinhashSeeds).map { seed =>
@@ -162,8 +168,9 @@ object VectorTextQueries {
           shingleN = 3, threshold = 0.5)
           .orderBy("id_a", "id_b"),
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-              |sh AS (SELECT doc_id, unnest(list_distinct(${sqlShingles(3)})) AS s
-              |  FROM toks WHERE len(toks) >= 3),
+              |sh AS (SELECT DISTINCT doc_id, ${sqlHash60("s0")} AS s FROM (
+              |  SELECT doc_id, unnest(list_distinct(${sqlShingles(3)})) AS s0
+              |  FROM toks WHERE len(toks) >= 3)),
               |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
               |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
               |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -175,13 +182,10 @@ object VectorTextQueries {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("q43_simhash",
-      (s, d) => {
-        val sh = Tables.documents(s, d)
-          .withColumn("shingles", TextOps.wordShingles(col("text"), 3))
-          .filter(size(col("shingles")) > 0)
-        sh.select(col("doc_id"), Dedup.simhash(col("shingles"), 32).as("simhash"))
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        Dedup.simhashAgg(Tables.documents(s, d), "doc_id",
+          TextOps.wordShingles(col("text"), 3), 32)
+          .orderBy("doc_id"),
       Some(simhashSql(32))),
 
     Q("q44_quality",

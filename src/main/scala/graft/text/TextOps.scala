@@ -43,11 +43,17 @@ object TextOps {
     * space. Output: array of strings, length max(0, #tokens − n + 1).
     */
   def wordShingles(text: Column, n: Int): Column = {
+    // Linear formulation: zip the token array with its k-shifted copies
+    // (k = 1..n−1) concatenating as we go, then trim the ragged tail.
+    // The naive per-position slice+join is O(len²) per document — at 100 TB
+    // of text that quadratic constant is the difference between a shingle
+    // pass and a stuck stage.
     val toks = tokens(text)
-    filter(
-      transform(toks, (_, i) => when(i <= size(toks) - n,
-        array_join(slice(toks, i + 1, lit(n)), " "))),
-      s => s.isNotNull)
+    val combined = (1 until n).foldLeft(toks) { (acc, k) =>
+      val shifted = slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0)))
+      zip_with(acc, shifted, (a, b) => concat_ws(" ", a, b))
+    }
+    slice(combined, lit(1), greatest(size(toks) - (n - 1), lit(0)))
   }
 
   /** Exact-dup fingerprint: md5 of whitespace-normalized, lower-cased
