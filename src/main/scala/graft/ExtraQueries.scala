@@ -1,0 +1,341 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ohlcv.{Encode, Features, TimeSeriesOps, Windows}
+import graft.multimodal.Multimodal
+import graft.sim.Lsh
+import graft.Queries.Q
+import graft.Rounding.{pround, sqlRound}
+
+/** Second query batch: positional filters, union+dedup, train/val split,
+  * Savitzky–Golay, LSH approx-kNN, weighted split-vector distance, IVF
+  * assignment, audio-stub frames, and the full flagship forecast with a
+  * complete DuckDB oracle.
+  *
+  * Oracles that need model constants (savgol coefficients, LSH planes,
+  * IVF centroids) embed them as SQL literals generated from the very same
+  * Scala arrays the engine uses — `Double.toString` round-trips exactly,
+  * so both engines evaluate identical IEEE constants.
+  */
+object ExtraQueries {
+
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains("E") || s.contains("e")) {
+      // SQL scientific literal, e.g. 1.2E-7 -> 1.2e-7 (double-typed in DuckDB)
+      s.toLowerCase
+    } else s
+  }
+
+  private def arrLit(a: Array[Double]): String =
+    a.map(dlit).mkString("[", ", ", "]")
+
+  /** DuckDB L1 over two list expressions (numeric struct indices —
+    * list_zip yields unnamed structs).
+    */
+  private def sqlL1(a: String, b: String): String =
+    s"list_sum([abs(z[1] - z[2]) FOR z IN list_zip($a, $b)])"
+
+  // ------------------------------------------------------------------
+  // Positional / set-op / split operators (P2, P3, P7 via q-series, U1, M7)
+  // ------------------------------------------------------------------
+
+  private val positional: Seq[Q] = Seq(
+    Q("q16_warmup_filter",
+      (s, d) =>
+        TimeSeriesOps.dropWarmup(Tables.events(s, d), "user_id", "ts", days = 7)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            min(unix_timestamp(col("ts"))).as("first_s"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s
+             |FROM (SELECT *, min(ts) OVER (PARTITION BY user_id) AS mn FROM events)
+             |WHERE ts >= mn + INTERVAL 7 DAY
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("q17_head_fraction",
+      (s, d) =>
+        TimeSeriesOps.dropHeadFraction(Tables.events(s, d), "user_id", "event_id", 0.1)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), min("event_id").as("first_event"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n, min(event_id) AS first_event
+             |FROM (SELECT user_id, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS cnt
+             |  FROM events)
+             |WHERE rn > floor(cnt * 0.1)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("q18_union_dedup",
+      (s, d) => {
+        // U1 incremental-merge semantics: two overlapping fetches, newest
+        // fetch wins on conflict (dedup keep-last by arrival leg).
+        val ev = Tables.events(s, d)
+        val old = ev.filter(col("event_id") % 10 < 7).withColumn("src", lit(0))
+        val neu = ev.filter(col("event_id") % 10 >= 5).withColumn("src", lit(1))
+        TimeSeriesOps.dedupKeepLast(old.unionByName(neu), Seq("event_id"), col("src"))
+          .groupBy("src")
+          .agg(count(lit(1)).as("n"), min("event_id").as("min_id"), max("event_id").as("max_id"))
+          .orderBy("src")
+      },
+      Some("""SELECT src, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+             |FROM (
+             |  SELECT event_id, src FROM (
+             |    SELECT event_id, 0 AS src FROM events WHERE event_id % 10 < 7
+             |    UNION ALL
+             |    SELECT event_id, 1 AS src FROM events WHERE event_id % 10 >= 5)
+             |  QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY src DESC) = 1)
+             |GROUP BY src ORDER BY src""".stripMargin)),
+
+    Q("q19_tail_split",
+      (s, d) =>
+        Windows.withTailSplit(Tables.events(s, d), "user_id", "event_id", 0.15)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("is_val").cast("long")).as("n_val"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n,
+             |  sum(CASE WHEN rd <= ceil(cnt * 0.15) THEN 1 ELSE 0 END) AS n_val
+             |FROM (SELECT user_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rd,
+             |    count(*) OVER (PARTITION BY user_id) AS cnt
+             |  FROM events)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+
+  // ------------------------------------------------------------------
+  // Savitzky–Golay (W5) with generated-coefficient oracle
+  // ------------------------------------------------------------------
+
+  private val savgol: Seq[Q] = {
+    val design = Features.SavgolDesign(21, 4)
+    val coeffs = design.centerWeights
+    val convTerms = coeffs.zipWithIndex.map { case (c, j) =>
+      val off = j - 10
+      val term =
+        if (off < 0) s"lag(close, ${-off}) OVER w"
+        else if (off == 0) "close"
+        else s"lead(close, $off) OVER w"
+      s"($term) * ${dlit(c)}"
+    }.mkString(" + ")
+    Seq(Q("q28_savgol",
+      (s, d) => {
+        val filled = TimeSeriesOps.ffill(
+          Queries.hourlyResampled(s, d, emitEmpty = true), "user_id", "bucket_s", Seq("close"))
+          .select("user_id", "bucket_s", "close")
+        val sg = Features.withSavgol(filled, "user_id", "bucket_s", "close", "sg", 21, 4)
+        val wAsc = Window.partitionBy("user_id").orderBy(col("bucket_s").asc)
+        val wDesc = Window.partitionBy("user_id").orderBy(col("bucket_s").desc)
+        sg.withColumn("__ra2", row_number().over(wAsc))
+          .withColumn("__rd2", row_number().over(wDesc))
+          .filter(col("__ra2") > 10 && col("__rd2") > 10) // interior rows only
+          .select(col("user_id"), col("bucket_s"), pround(col("sg"), 6).as("sg"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH ${Queries.FilledCloseCte}
+              |SELECT user_id, bucket_s, ${sqlRound("sgv", 6)} AS sg FROM (
+              |  SELECT user_id, bucket_s, $convTerms AS sgv,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s ASC) AS ra,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s DESC) AS rd
+              |  FROM filled
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s))
+              |WHERE ra > 10 AND rd > 10
+              |ORDER BY user_id, bucket_s""".stripMargin)))
+  }
+
+  // ------------------------------------------------------------------
+  // ANN / weighted distance / IVF (scale path of the search surface)
+  // ------------------------------------------------------------------
+
+  private val ann: Seq[Q] = {
+    val LshPlanes = 4
+    val LshSeed = 42L
+    val planes = Encode.randomProjectionMatrix(64, LshPlanes, LshSeed)
+    def sigSql(v: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product($v, ${arrLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+
+    val IvfSeed = 123L
+    val centroids = Encode.randomProjectionMatrix(64, 8, IvfSeed)
+    val dExprs = centroids.zipWithIndex.map { case (c, i) =>
+      s"list_sum([(z[1] - z[2]) * (z[1] - z[2]) FOR z IN list_zip(v, ${arrLit(c)})]) AS d$i"
+    }.mkString(",\n    ")
+    val best = (0 until 8).map(i => s"d$i").mkString("least(", ", ", ")")
+    val ivfCase = (0 until 8).map(i => s"WHEN d$i = best THEN $i").mkString("CASE ", " ", " END")
+
+    Seq(
+      Q("q34_lsh_knn",
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+          val corpus = emb.filter(col("vec_id") >= 5)
+          val queries = emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          Lsh.approxKnn(corpus, queries, "vec_id", "embedding", "query_id", "query_vec",
+            k = 3, metricName = "l2", planes = LshPlanes, dim = 64, seed = LshSeed)
+            .select(col("query_id"), col("rank"), col("vec_id"), pround(col("dist"), 6).as("dist"))
+            .orderBy("query_id", "rank")
+        },
+        Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                |c AS (SELECT vec_id, v, ${sigSql("v")} AS sig FROM e WHERE vec_id >= 5),
+                |q AS (SELECT vec_id AS query_id, v AS qv, ${sigSql("v")} AS sig
+                |  FROM e WHERE vec_id < 5),
+                |j AS (SELECT query_id, c.vec_id, list_distance(c.v, q.qv) AS dist
+                |  FROM c JOIN q ON c.sig = q.sig),
+                |ranked AS (SELECT query_id, vec_id, dist,
+                |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+                |  FROM j)
+                |SELECT query_id, rank, vec_id, ${sqlRound("dist", 6)} AS dist
+                |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+      Q("q35_weighted_split_l1",
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+          val queries = emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          val corpus = emb.filter(col("vec_id") >= 5)
+          val crossed = corpus.crossJoin(broadcast(queries))
+            .withColumn("dist", graft.ohlcv.Search.weightedSplitL1(
+              col("embedding"), col("query_vec"), 32, 0.5))
+          val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("vec_id").asc)
+          crossed.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 3)
+            .select(col("query_id"), col("rank"), col("vec_id"), pround(col("dist"), 6).as("dist"))
+            .orderBy("query_id", "rank")
+        },
+        Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+                |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+                |scored AS (SELECT query_id, vec_id,
+                |    ${sqlL1("v[1:32]", "qv[1:32]")}
+                |      + 0.5 * ${sqlL1("v[33:64]", "qv[33:64]")} AS dist
+                |  FROM c, q),
+                |ranked AS (SELECT query_id, vec_id, dist,
+                |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+                |  FROM scored)
+                |SELECT query_id, rank, vec_id, ${sqlRound("dist", 6)} AS dist
+                |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+      Q("q36_ivf_assign",
+        (s, d) =>
+          Tables.embeddings(s, d)
+            .select(col("vec_id"),
+              Lsh.ivfAssign(col("embedding").cast("array<double>"), centroids).as("ivf_list"))
+            .orderBy("vec_id"),
+        Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                |scored AS (SELECT vec_id,
+                |    $dExprs
+                |  FROM e),
+                |b AS (SELECT *, $best AS best FROM scored)
+                |SELECT vec_id, $ivfCase AS ivf_list
+                |FROM b ORDER BY vec_id""".stripMargin)))
+  }
+
+  // ------------------------------------------------------------------
+  // Multimodal: audio frame sampling stub (plumbing real, codec stubbed)
+  // ------------------------------------------------------------------
+
+  private val audio: Seq[Q] = Seq(
+    Q("q51_audio_frames",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(length(col("text")) >= 4)
+          .withColumn("payload", col("text").cast("binary"))
+        Multimodal.withDecodedFeatures(docs, "payload", "frames",
+          new Multimodal.StubAudioFrameSampler(4))
+          .select(col("doc_id"), posexplode(col("frames")))
+          .select(col("doc_id"), col("pos").as("frame"),
+            pround(col("col").cast("double"), 3).as("level"))
+          .orderBy("doc_id", "frame")
+      },
+      // Float arithmetic on the stub side -> compare at 3 decimals.
+      Some("""WITH codes AS (SELECT doc_id,
+             |    [unicode(c) FOR c IN string_split(text, '')] AS cs,
+             |    len(text) // 4 AS step
+             |  FROM documents WHERE len(text) >= 4),
+             |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame, cs, step FROM codes)
+             |SELECT doc_id, frame,
+             |  floor(((CAST(list_sum(cs[(frame * step + 1):(frame * step + step)]) AS FLOAT) / step)::DOUBLE) * 1e3 + 0.5) / 1e3 AS level
+             |FROM f ORDER BY doc_id, frame""".stripMargin)))
+
+  // ------------------------------------------------------------------
+  // Flagship forecast with a complete SQL oracle (J2+F7+F8+A7 end-to-end)
+  // ------------------------------------------------------------------
+
+  private val flagship: Seq[Q] = {
+    val SeqLen = 24
+    val Pred = 12
+    val Stride = 24
+    val Dim = 6
+    val Bucket = SeqLen / Dim
+    val meanPool = (0 until Dim).map { i =>
+      s"list_sum(z[(${i * Bucket} + 1):(${i * Bucket} + $Bucket)]) / $Bucket"
+    }.mkString("[", ", ", "]")
+    Seq(Q("q60_flagship_mae",
+      (s, d) =>
+        Flagship.scoredQueries(s, d, metric = "l1", seqLen = SeqLen,
+          predWindow = Pred, stride = Stride, k = 2, embedDim = Dim)
+          .select(col("q_key"), col("q_start"), pround(col("mae_err"), 6).as("mae_err"))
+          .orderBy("q_key", "q_start"),
+      Some(s"""WITH ${Queries.FilledCloseCte},
+              |series AS (SELECT user_id, CAST(bucket_s / 3600 AS BIGINT) AS idx, close FROM filled),
+              |win0 AS (SELECT user_id, idx AS start_idx,
+              |    list(close) OVER (PARTITION BY user_id ORDER BY idx
+              |      ROWS BETWEEN CURRENT ROW AND ${SeqLen - 1} FOLLOWING) AS vs
+              |  FROM series),
+              |win1 AS (SELECT user_id, start_idx, vs, list_sum(vs) / $SeqLen AS c
+              |  FROM win0 WHERE len(vs) = $SeqLen),
+              |win2 AS (SELECT user_id, start_idx, vs, c,
+              |    sqrt(list_sum([(x - c) * (x - c) FOR x IN vs]) / $SeqLen) AS sc
+              |  FROM win1),
+              |wins AS (SELECT user_id, start_idx, vs, c, sc,
+              |    [(x - c) / (sc + 1e-8) FOR x IN vs] AS z
+              |  FROM win2 WHERE sc > 1e-6),
+              |emb AS (SELECT user_id, start_idx, vs, c, sc, $meanPool AS e FROM wins),
+              |bounds AS (SELECT user_id, min(start_idx) AS mn, max(start_idx) AS mx
+              |  FROM emb GROUP BY user_id),
+              |corpus AS (SELECT e.* FROM emb e JOIN bounds b USING (user_id)
+              |  WHERE start_idx <= mx - $SeqLen),
+              |queries AS (SELECT e.user_id, e.start_idx AS q_start, e.c AS qc, e.sc AS qsc, e.e AS qe
+              |  FROM emb e JOIN bounds b USING (user_id)
+              |  WHERE (start_idx - mn) % $Stride = 0 AND start_idx <= mx - $SeqLen),
+              |scored AS (SELECT c.user_id, q.q_start, q.qc, q.qsc, c.start_idx, c.c AS mc, c.sc AS msc,
+              |    ${sqlL1("c.e", "q.qe")} AS dist
+              |  FROM corpus c JOIN queries q ON c.user_id = q.user_id
+              |  WHERE c.start_idx <> q.q_start),
+              |top AS (SELECT *, row_number() OVER (PARTITION BY user_id, q_start
+              |    ORDER BY dist ASC, start_idx ASC) AS rank
+              |  FROM scored),
+              |follow AS (SELECT user_id, start_idx - $SeqLen AS match_start, vs[1:$Pred] AS fv
+              |  FROM emb),
+              |matches AS (SELECT t.user_id, t.q_start, t.qc, t.qsc, t.rank,
+              |    [(v - t.mc) / (t.msc + 1e-8) FOR v IN f.fv] AS forecast
+              |  FROM top t JOIN follow f
+              |    ON t.user_id = f.user_id AND t.start_idx = f.match_start
+              |  WHERE t.rank <= 2),
+              |perq AS (SELECT user_id, q_start, qc, qsc,
+              |    max(CASE WHEN rank = 1 THEN forecast END) AS f1,
+              |    max(CASE WHEN rank = 2 THEN forecast END) AS f2
+              |  FROM matches GROUP BY user_id, q_start, qc, qsc),
+              |ens AS (SELECT user_id, q_start, qc, qsc,
+              |    CASE WHEN f2 IS NULL THEN f1
+              |         ELSE [(z[1] + z[2]) / 2.0 FOR z IN list_zip(f1[1:$Pred], f2[1:$Pred])]
+              |    END AS forecast
+              |  FROM perq),
+              |tgt AS (SELECT e.user_id, e.q_start,
+              |    [(v - e.qc) / (e.qsc + 1e-8) FOR v IN f.fv] AS target, e.forecast
+              |  FROM ens e JOIN follow f
+              |    ON e.user_id = f.user_id AND e.q_start = f.match_start)
+              |SELECT user_id AS q_key, q_start,
+              |  ${sqlRound(s"list_sum([abs(z[1] - z[2]) FOR z IN list_zip(forecast[1:$Pred], target[1:$Pred])]) / $Pred", 6)} AS mae_err
+              |FROM tgt ORDER BY q_key, q_start""".stripMargin)))
+  }
+
+  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship
+}

@@ -41,16 +41,19 @@ object Flagship {
     * long forward-filled gaps, and their ~0 scale makes the 1e-8 z-score
     * epsilon explode both search distances and MAE.
     */
-  def embeddedWindows(series: DataFrame): DataFrame =
-    Windows.slidingZscored(series, "user_id", "idx", "close", SeqLen)
+  def embeddedWindows(series: DataFrame, seqLen: Int = SeqLen,
+      embedDim: Int = EmbedDim): DataFrame =
+    Windows.slidingZscored(series, "user_id", "idx", "close", seqLen)
       .filter(col("scale") > 1e-6)
-      .withColumn("embedding", Encode.meanPool(col("zvalues"), SeqLen, EmbedDim))
+      .withColumn("embedding", Encode.meanPool(col("zvalues"), seqLen, embedDim))
 
   /** Per-query forecast MAE (one row per evaluation query). */
-  def scoredQueries(s: SparkSession, dir: String, metric: String = "l1"): DataFrame = {
-    val wins = embeddedWindows(filledSeries(s, dir))
-    val top = Forecast.evaluate(wins, "user_id", SeqLen, PredWindow, Stride, TopK, metric)
-    Forecast.forecastAndScore(top, wins, "user_id", SeqLen, PredWindow)
+  def scoredQueries(s: SparkSession, dir: String, metric: String = "l1",
+      seqLen: Int = SeqLen, predWindow: Int = PredWindow, stride: Int = Stride,
+      k: Int = TopK, embedDim: Int = EmbedDim): DataFrame = {
+    val wins = embeddedWindows(filledSeries(s, dir), seqLen, embedDim)
+    val top = Forecast.evaluate(wins, "user_id", seqLen, predWindow, stride, k, metric)
+    Forecast.forecastAndScore(top, wins, "user_id", seqLen, predWindow)
   }
 
   /** A6 error summary — the driver's smoke entry (rows > 0). */

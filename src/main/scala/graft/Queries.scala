@@ -273,7 +273,7 @@ object Queries {
   /** Hourly right-closed OHLCV-ified events, via the real resample
     * operator (value plays all five OHLCV roles).
     */
-  private def hourlyResampled(s: SparkSession, d: String, emitEmpty: Boolean): DataFrame = {
+  private[graft] def hourlyResampled(s: SparkSession, d: String, emitEmpty: Boolean): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("value"))
       .withColumn("open", col("value"))
@@ -286,14 +286,14 @@ object Queries {
   }
 
   /** Shared oracle CTE: hourly right-closed close per user. */
-  private val HourlyCloseCte =
+  private[graft] val HourlyCloseCte =
     """agg AS (
       |  SELECT user_id, CAST(ceil(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
       |    arg_max(value, ts) AS close
       |  FROM events GROUP BY user_id, bucket_s)""".stripMargin
 
   /** Shared oracle CTE: gap-filled + forward-filled hourly close. */
-  private val FilledCloseCte =
+  private[graft] val FilledCloseCte =
     s"""$HourlyCloseCte,
        |spans AS (SELECT user_id, min(bucket_s) AS lo, max(bucket_s) AS hi FROM agg GROUP BY user_id),
        |scaffold AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket_s FROM spans),
@@ -451,7 +451,7 @@ object Queries {
              |WHERE delta_s IS NOT NULL GROUP BY delta_s
              |ORDER BY cnt DESC, delta_s ASC LIMIT 5""".stripMargin)))
 
-  def all: Seq[Q] = relational ++ timeSeries ++ VectorTextQueries.all
+  def all: Seq[Q] = relational ++ timeSeries ++ VectorTextQueries.all ++ ExtraQueries.all
 
   def byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
