@@ -337,5 +337,106 @@ object ExtraQueries {
               |FROM tgt ORDER BY q_key, q_start""".stripMargin)))
   }
 
-  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship
+  // ------------------------------------------------------------------
+  // TA indicator pack (F14): Bollinger, MACD, RSI over the hourly series
+  // ------------------------------------------------------------------
+
+  private def ordCte: String =
+    s"""${Queries.HourlyCloseCte},
+       |ord AS (SELECT user_id, bucket_s, close,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+       |  FROM agg)""".stripMargin
+
+  /** Recursive-CTE EMA over `src(user_id, bucket_s, <valCol>, <rnCol>)`
+    * with the same per-step operation order as the mapPartitions scan.
+    */
+  private def emaRec(name: String, src: String, valCol: String, rnCol: String,
+      alphaSql: String): String =
+    s"""$name AS (
+       |  SELECT user_id, bucket_s, $valCol, $rnCol, $valCol AS e FROM $src WHERE $rnCol = 1
+       |  UNION ALL
+       |  SELECT o.user_id, o.bucket_s, o.$valCol, o.$rnCol,
+       |    ($alphaSql) * o.$valCol + (1.0 - ($alphaSql)) * r.e
+       |  FROM $src o JOIN $name r ON o.user_id = r.user_id AND o.$rnCol = r.$rnCol + 1)""".stripMargin
+
+  private val ta: Seq[Q] = Seq(
+    Q("q37_bollinger",
+      (s, d) => {
+        val hourly = Queries.hourlyResampled(s, d, emitEmpty = false)
+        Features.withBollinger(hourly, "user_id", "bucket_s", "close", w = 20, k = 2.0)
+          .filter(col("bb_mid").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("bb_mid"), 4).as("bb_mid"),
+            pround(col("bb_up"), 4).as("bb_up"),
+            pround(col("bb_dn"), 4).as("bb_dn"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH ${Queries.HourlyCloseCte}
+              |SELECT user_id, bucket_s, ${sqlRound("m", 4)} AS bb_mid,
+              |  ${sqlRound("m + 2.0 * sd", 4)} AS bb_up,
+              |  ${sqlRound("m - 2.0 * sd", 4)} AS bb_dn
+              |FROM (SELECT user_id, bucket_s,
+              |    CASE WHEN count(close) OVER w = 20 THEN avg(close) OVER w END AS m,
+              |    CASE WHEN count(close) OVER w = 20 THEN stddev_pop(close) OVER w END AS sd
+              |  FROM agg
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+              |WHERE m IS NOT NULL ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q38_macd",
+      (s, d) => {
+        val hourly = Queries.hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+        Features.withMacd(hourly, "user_id", "bucket_s", "close")
+          .filter(col("macd_hist").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("macd"), 6).as("macd"),
+            pround(col("macd_signal"), 6).as("macd_signal"),
+            pround(col("macd_hist"), 6).as("macd_hist"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH RECURSIVE $ordCte,
+              |${emaRec("e12", "ord", "close", "rn", "2.0 / 13.0")},
+              |${emaRec("e26", "ord", "close", "rn", "2.0 / 27.0")},
+              |m AS (SELECT a.user_id, a.bucket_s, a.rn, a.e - b.e AS macd
+              |  FROM e12 a JOIN e26 b ON a.user_id = b.user_id AND a.rn = b.rn
+              |  WHERE a.rn >= 26),
+              |mo AS (SELECT user_id, bucket_s, macd,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2
+              |  FROM m),
+              |${emaRec("sig", "mo", "macd", "rn2", "2.0 / 10.0")}
+              |SELECT user_id, bucket_s, ${sqlRound("macd", 6)} AS macd,
+              |  ${sqlRound("e", 6)} AS macd_signal,
+              |  ${sqlRound("macd - e", 6)} AS macd_hist
+              |FROM sig WHERE rn2 >= 9 ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q39_rsi",
+      (s, d) => {
+        val hourly = Queries.hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+        Features.withRsi(hourly, "user_id", "bucket_s", "close", w = 14)
+          .filter(col("rsi").isNotNull)
+          .select(col("user_id"), col("bucket_s"), pround(col("rsi"), 6).as("rsi"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH RECURSIVE $ordCte,
+              |d AS (SELECT user_id, bucket_s, rn,
+              |    close - lag(close) OVER (PARTITION BY user_id ORDER BY rn) AS df
+              |  FROM ord),
+              |uo AS (SELECT user_id, bucket_s, rn - 1 AS rn2,
+              |    greatest(df, 0.0) AS up, greatest(-df, 0.0) AS dn
+              |  FROM d WHERE df IS NOT NULL),
+              |urec AS (
+              |  SELECT user_id, bucket_s, rn2, up, dn, up AS ue, dn AS de
+              |  FROM uo WHERE rn2 = 1
+              |  UNION ALL
+              |  SELECT o.user_id, o.bucket_s, o.rn2, o.up, o.dn,
+              |    (1.0 / 14.0) * o.up + (1.0 - 1.0 / 14.0) * r.ue,
+              |    (1.0 / 14.0) * o.dn + (1.0 - 1.0 / 14.0) * r.de
+              |  FROM uo o JOIN urec r ON o.user_id = r.user_id AND o.rn2 = r.rn2 + 1)
+              |SELECT user_id, bucket_s,
+              |  ${sqlRound("CASE WHEN de = 0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + ue / de) END", 6)} AS rsi
+              |FROM urec WHERE rn2 >= 14 ORDER BY user_id, bucket_s""".stripMargin)))
+
+  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship ++ ta
 }

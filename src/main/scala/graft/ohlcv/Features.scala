@@ -37,9 +37,10 @@ object Features {
     * `ema_t = α·x_t + (1−α)·ema_{t−1}` seeded at the first value
     * (pandas `ewm(adjust=False)`, reference `preprocess.py:52-54`, W4).
     *
-    * `specs` maps output column name → (alpha, minPeriods); rows whose
-    * 1-based position in the series is < minPeriods get null (pandas
-    * `min_periods`), though the recurrence still consumes them.
+    * `specs` maps output column name → (alpha, minPeriods); rows before
+    * `minPeriods` non-null observations have been consumed get null
+    * (pandas `min_periods` counts observations, not rows — relevant when
+    * smoothing a derived series with a null head, e.g. the MACD signal).
     *
     * Physical shape: one shuffle (`repartition(keyCol)`) + in-partition
     * sort, then a single streaming pass appending all EMA columns at once.
@@ -68,11 +69,11 @@ object Features {
           started = true; curKey = k; n = 0L
           java.util.Arrays.fill(hasEma, false)
         }
-        n += 1
         val out = new Array[Any](outSchema.length)
         var i = 0
         while (i < inSchema.length) { out(i) = row.get(i); i += 1 }
         val x = if (row.isNullAt(valIdx)) Double.NaN else row.getDouble(valIdx)
+        if (!x.isNaN) n += 1 // pandas min_periods counts observations
         var j = 0
         while (j < nSpecs) {
           if (!x.isNaN) {
@@ -104,8 +105,10 @@ object Features {
     val win = Window.partitionBy(keyCol).orderBy(ordCol)
     val diffed = df
       .withColumn("__diff", col(valCol) - lag(valCol, 1).over(win))
-      .withColumn("__up", greatest(col("__diff"), lit(0.0)))
-      .withColumn("__dn", greatest(-col("__diff"), lit(0.0)))
+      // greatest() ignores nulls, which would turn the first row's null
+      // diff into 0.0 and shift the whole recurrence — keep it null.
+      .withColumn("__up", when(col("__diff").isNotNull, greatest(col("__diff"), lit(0.0))))
+      .withColumn("__dn", when(col("__diff").isNotNull, greatest(-col("__diff"), lit(0.0))))
     val smoothed = withEma(diffed, keyCol, ordCol, "__up",
       Seq(emaAlphaSpec("__up_ema", w)))
     val smoothed2 = withEma(smoothed, keyCol, ordCol, "__dn",
