@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming mappings of the reference's incremental-ingest
+  * semantics (SURVEY.md §2.9; reference `core/data/cdd.py:100-110` — the
+  * cursor refetch + concat + dedup-keep-last merge loop, which in the
+  * reference is dead code but defines the upsert contract).
+  *
+  * Batch and stream share the same operator definitions: the tumbling
+  * aggregation below is the streaming twin of
+  * [[graft.ohlcv.TimeSeriesOps.resampleOhlcv]] (left-closed `window()`
+  * semantics are Spark's streaming-native bucketing; the right-closed
+  * pandas-exact variant stays a batch concern in `foreachBatch`).
+  */
+object StreamingIngest {
+
+  /** File-source stream of OHLCV-shaped events. */
+  def readEvents(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Watermarked late-data dedup (A2's streaming form): drop duplicate
+    * `keys` arriving within the watermark horizon. Spark's
+    * `dropDuplicatesWithinWatermark` keeps the FIRST arrival — the
+    * keep-last refinement happens in the sink merge ([[foreachBatchUpsert]])
+    * exactly like the reference's concat-then-keep-last.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming tumbling-window OHLCV aggregation with watermark:
+    * open/close via min_by/max_by on event time, high/low/volume as plain
+    * aggregates. Append-mode capable (emits a bucket once the watermark
+    * passes its end).
+    */
+  def tumblingOhlcv(events: DataFrame, tsCol: String, valCol: String,
+      keyCol: String, width: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), window(col(tsCol), width))
+      .agg(
+        min_by(col(valCol), col(tsCol)).as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max_by(col(valCol), col(tsCol)).as("close"),
+        sum(col(valCol)).as("volume"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("window.start").as("bucket_start"),
+        col("window.end").as("bucket_end"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("n_events"))
+
+  /** Sliding-window mean (W1's streaming shape): 256-width / 1-slide in
+    * the reference; width/slide parameterized here.
+    */
+  def slidingMean(events: DataFrame, tsCol: String, valCol: String,
+      keyCol: String, width: String, slide: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), window(col(tsCol), width, slide))
+      .agg(avg(col(valCol)).as("mean_value"), count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("window.start").as("bucket_start"),
+        col("mean_value"), col("n_events"))
+
+  /** The reference's cache-merge upsert (`cdd.py:108-110`): each
+    * micro-batch unions with the sink table and keeps the newest row per
+    * key — batch A2 applied inside `foreachBatch`, giving exactly-once
+    * upsert semantics onto a parquet table.
+    */
+  def foreachBatchUpsert(stream: DataFrame, sinkDir: String, keys: Seq[String],
+      arrivalCol: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(sinkDir)
+          catch { case _: Exception => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val merged = graft.ohlcv.TimeSeriesOps.dedupKeepLast(
+          existing.unionByName(batch), keys, col(arrivalCol))
+        // Write to a temp dir then swap — parquet sinks can't be read and
+        // overwritten in the same job.
+        val tmp = sinkDir + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(sinkDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def writeBatch(dir: String, rows: Seq[(Long, Timestamp, Long, Double)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  test("tumblingOhlcv streams windowed OHLCV aggregates") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    writeBatch(dir, Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, 10.0),
+      (2L, ts("2024-01-01 00:50:00"), 1L, 20.0),
+      (3L, ts("2024-01-01 01:20:00"), 1L, 30.0)))
+    val schema = spark.read.parquet(dir).schema
+    val stream = StreamingIngest.readEvents(spark, dir, schema)
+    val agg = StreamingIngest.tumblingOhlcv(stream, "ts", "value", "user_id",
+      "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("ohlcv_out")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("ohlcv_out").orderBy("bucket_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("open") == 10.0)
+    assert(out(0).getAs[Double]("close") == 20.0)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(1).getAs[Double]("close") == 30.0)
+  }
+
+  test("dedupWithinWatermark drops duplicate keys inside the horizon") {
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    writeBatch(dir, Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 00:01:00"), 1L, 2.0), // dup event_id, late copy
+      (2L, ts("2024-01-01 00:02:00"), 1L, 3.0)))
+    val schema = spark.read.parquet(dir).schema
+    val stream = StreamingIngest.readEvents(spark, dir, schema)
+    val deduped = StreamingIngest.dedupWithinWatermark(stream, "ts",
+      "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("dedup_out")
+    assert(out.count() == 2)
+    assert(out.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("foreachBatchUpsert merges micro-batches with keep-last semantics") {
+    val src = Files.createTempDirectory("graft_stream3").toString
+    val sink = Files.createTempDirectory("graft_sink").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    writeBatch(src, Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, 2.0)))
+    val schema = spark.read.parquet(src).schema
+    val q1 = StreamingIngest.foreachBatchUpsert(
+      StreamingIngest.readEvents(spark, src, schema),
+      sink, Seq("event_id"), "ts", ckpt).start()
+    q1.awaitTermination(60000)
+    // Second delivery: refetch overlaps event 2 with a newer value.
+    writeBatch(src, Seq(
+      (2L, ts("2024-01-01 00:05:00"), 1L, 20.0),
+      (3L, ts("2024-01-01 00:06:00"), 1L, 3.0)))
+    val q2 = StreamingIngest.foreachBatchUpsert(
+      StreamingIngest.readEvents(spark, src, schema),
+      sink, Seq("event_id"), "ts", ckpt).start()
+    q2.awaitTermination(60000)
+    val out = spark.read.parquet(sink).orderBy("event_id")
+      .select("event_id", "value").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+  }
+}
