@@ -92,6 +92,23 @@ object ExtraQueries {
              |  QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY src DESC) = 1)
              |GROUP BY src ORDER BY src""".stripMargin)),
 
+    Q("q63_dropna",
+      (s, d) => {
+        // P4 dropna: fabricate nulls deterministically (events has none),
+        // then na.drop over the affected columns.
+        val ev = Tables.events(s, d)
+          .withColumn("value", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+          .withColumn("event_type", when(col("event_id") % 11 === 0, lit(null)).otherwise(col("event_type")))
+        ev.na.drop(Seq("value", "event_type"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), pround(sum("value"), 4).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, count(*) AS n, ${sqlRound("sum(value)", 4)} AS sum_value
+              |FROM events
+              |WHERE event_id % 7 <> 0 AND event_id % 11 <> 0
+              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("q19_tail_split",
       (s, d) =>
         Windows.withTailSplit(Tables.events(s, d), "user_id", "event_id", 0.15)
