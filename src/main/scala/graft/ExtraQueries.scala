@@ -294,13 +294,22 @@ object ExtraQueries {
     val meanPool = (0 until Dim).map { i =>
       s"list_sum(z[(${i * Bucket} + 1):(${i * Bucket} + $Bucket)]) / $Bucket"
     }.mkString("[", ", ", "]")
-    Seq(Q("q60_flagship_mae",
+    def sqlDist(metric: String): String = metric match {
+      case "l1" => sqlL1("c.e", "q.qe")
+      case "cosine_dist" =>
+        "1.0 - (list_dot_product(c.e, q.qe) / " +
+          "(greatest(sqrt(list_dot_product(c.e, c.e)), 1e-8) * " +
+          "greatest(sqrt(list_dot_product(q.qe, q.qe)), 1e-8)))"
+    }
+    def flagshipQ(name: String, metric: String): Q = Q(name,
       (s, d) =>
-        Flagship.scoredQueries(s, d, metric = "l1", seqLen = SeqLen,
+        Flagship.scoredQueries(s, d, metric = metric, seqLen = SeqLen,
           predWindow = Pred, stride = Stride, k = 2, embedDim = Dim)
           .select(col("q_key"), col("q_start"), pround(col("mae_err"), 6).as("mae_err"))
           .orderBy("q_key", "q_start"),
-      Some(s"""WITH ${Queries.FilledCloseCte},
+      Some(flagshipSql(metric)))
+    def flagshipSql(metric: String): String =
+      s"""WITH ${Queries.FilledCloseCte},
               |series AS (SELECT user_id, CAST(bucket_s / 3600 AS BIGINT) AS idx, close FROM filled),
               |win0 AS (SELECT user_id, idx AS start_idx,
               |    list(close) OVER (PARTITION BY user_id ORDER BY idx
@@ -323,7 +332,7 @@ object ExtraQueries {
               |  FROM emb e JOIN bounds b USING (user_id)
               |  WHERE (start_idx - mn) % $Stride = 0 AND start_idx <= mx - $SeqLen),
               |scored AS (SELECT c.user_id, q.q_start, q.qc, q.qsc, c.start_idx, c.c AS mc, c.sc AS msc,
-              |    ${sqlL1("c.e", "q.qe")} AS dist
+              |    ${sqlDist(metric)} AS dist
               |  FROM corpus c JOIN queries q ON c.user_id = q.user_id
               |  WHERE c.start_idx <> q.q_start),
               |top AS (SELECT *, row_number() OVER (PARTITION BY user_id, q_start
@@ -351,8 +360,67 @@ object ExtraQueries {
               |    ON e.user_id = f.user_id AND e.q_start = f.match_start)
               |SELECT user_id AS q_key, q_start,
               |  ${sqlRound(s"list_sum([abs(z[1] - z[2]) FOR z IN list_zip(forecast[1:$Pred], target[1:$Pred])]) / $Pred", 6)} AS mae_err
-              |FROM tgt ORDER BY q_key, q_start""".stripMargin)))
+              |FROM tgt ORDER BY q_key, q_start""".stripMargin
+    Seq(flagshipQ("q60_flagship_mae", "l1"),
+      flagshipQ("q61_flagship_cosine", "cosine_dist"))
   }
+
+  // ------------------------------------------------------------------
+  // Percentiles / sketches / dynamic column prune
+  // ------------------------------------------------------------------
+
+  private val statsExtra: Seq[Q] = Seq(
+    Q("q64_percentiles",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+            percentile(col("l_quantity"), lit(0.5)).as("p50"),
+            percentile(col("l_quantity"), lit(0.75)).as("p75"))
+          .select(col("l_returnflag"), pround(col("p25"), 6).as("p25"),
+            pround(col("p50"), 6).as("p50"), pround(col("p75"), 6).as("p75"))
+          .orderBy("l_returnflag"),
+      // Spark's exact `percentile` and DuckDB's quantile_cont share the
+      // linear-interpolation definition.
+      Some(s"""SELECT l_returnflag,
+              |  ${sqlRound("quantile_cont(l_quantity, 0.25)", 6)} AS p25,
+              |  ${sqlRound("quantile_cont(l_quantity, 0.50)", 6)} AS p50,
+              |  ${sqlRound("quantile_cont(l_quantity, 0.75)", 6)} AS p75
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // HLL sketches are implementation-specific — rows-only check (the
+    // driver records a weaker gate for oracle-less entries by contract).
+    Q("q65_approx_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy("l_returnflag"),
+      None),
+
+    Q("q66_null_prune",
+      (s, d) => {
+        import s.implicits._
+        // P6 data-dependent column prune: value null 1/7 (kept: non-null
+        // 6/7 > 0.85), props null 1/3 (dropped).
+        val ev = Tables.events(s, d)
+          .withColumn("value", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+          .withColumn("props", when(col("event_id") % 3 === 0, lit(null)).otherwise(col("props")))
+        val pruned = TimeSeriesOps.pruneNullColumns(ev, threshold = 0.85,
+          protect = Seq("event_id", "ts", "user_id", "event_type"))
+        pruned.columns.sorted.toSeq.toDF("col_name").orderBy("col_name")
+      },
+      Some("""WITH fr AS (SELECT
+             |    avg(CASE WHEN event_id % 7 <> 0 THEN 1.0 ELSE 0.0 END) AS f_value,
+             |    avg(CASE WHEN event_id % 3 <> 0 THEN 1.0 ELSE 0.0 END) AS f_props
+             |  FROM events)
+             |SELECT col_name FROM (
+             |  SELECT 'event_id' AS col_name UNION ALL SELECT 'ts'
+             |  UNION ALL SELECT 'user_id' UNION ALL SELECT 'event_type'
+             |  UNION ALL SELECT 'value' FROM fr WHERE f_value > 0.85
+             |  UNION ALL SELECT 'props' FROM fr WHERE f_props > 0.85)
+             |ORDER BY col_name""".stripMargin)))
 
   // ------------------------------------------------------------------
   // TA indicator pack (F14): Bollinger, MACD, RSI over the hourly series
@@ -455,5 +523,5 @@ object ExtraQueries {
               |  ${sqlRound("CASE WHEN de = 0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + ue / de) END", 6)} AS rsi
               |FROM urec WHERE rn2 >= 14 ORDER BY user_id, bucket_s""".stripMargin)))
 
-  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship ++ ta
+  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship ++ ta ++ statsExtra
 }
