@@ -23,14 +23,18 @@ object Search {
   def l2(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
 
-  /** Dot product Σ a·b. */
+  /** Dot product Σ a·b — the native codegen'd [[ArrayDot]] expression
+    * (same sequential summation order as the HOF formulation and the
+    * oracle's `list_dot_product`, but a primitive loop inside
+    * whole-stage codegen).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.GraftExpressions.arrayDot(a, b)
 
   /** Cosine similarity (F10, `nn.CosineSimilarity`, eps guard 1e-8). */
   def cosine(a: Column, b: Column): Column = {
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
     dot(a, b) / (greatest(na, lit(1e-8)) * greatest(nb, lit(1e-8)))
   }
 
