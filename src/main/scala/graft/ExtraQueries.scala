@@ -307,8 +307,8 @@ object ExtraQueries {
           predWindow = Pred, stride = Stride, k = 2, embedDim = Dim)
           .select(col("q_key"), col("q_start"), pround(col("mae_err"), 6).as("mae_err"))
           .orderBy("q_key", "q_start"),
-      Some(flagshipSql(metric)))
-    def flagshipSql(metric: String): String =
+      Some(flagshipSql(metric, rounded = true)))
+    def flagshipSql(metric: String, rounded: Boolean): String =
       s"""WITH ${Queries.FilledCloseCte},
               |series AS (SELECT user_id, CAST(bucket_s / 3600 AS BIGINT) AS idx, close FROM filled),
               |win0 AS (SELECT user_id, idx AS start_idx,
@@ -359,10 +359,23 @@ object ExtraQueries {
               |  FROM ens e JOIN follow f
               |    ON e.user_id = f.user_id AND e.q_start = f.match_start)
               |SELECT user_id AS q_key, q_start,
-              |  ${sqlRound(s"list_sum([abs(z[1] - z[2]) FOR z IN list_zip(forecast[1:$Pred], target[1:$Pred])]) / $Pred", 6)} AS mae_err
+              |  ${if (rounded) sqlRound(s"list_sum([abs(z[1] - z[2]) FOR z IN list_zip(forecast[1:$Pred], target[1:$Pred])]) / $Pred", 6)
+                 else s"list_sum([abs(z[1] - z[2]) FOR z IN list_zip(forecast[1:$Pred], target[1:$Pred])]) / $Pred"} AS mae_err
               |FROM tgt ORDER BY q_key, q_start""".stripMargin
     Seq(flagshipQ("q60_flagship_mae", "l1"),
-      flagshipQ("q61_flagship_cosine", "cosine_dist"))
+      flagshipQ("q61_flagship_cosine", "cosine_dist"),
+      // A6 error summary over the same pipeline (mean / population std).
+      Q("q62_mae_summary",
+        (s, d) => {
+          val scored = Flagship.scoredQueries(s, d, metric = "l1", seqLen = SeqLen,
+            predWindow = Pred, stride = Stride, k = 2, embedDim = Dim)
+          graft.ohlcv.Forecast.errorSummary(scored)
+            .select(pround(col("err_mean"), 6).as("err_mean"),
+              pround(col("err_std"), 6).as("err_std"))
+        },
+        Some(s"""SELECT ${sqlRound("avg(mae_err)", 6)} AS err_mean,
+                |  ${sqlRound("stddev_pop(mae_err)", 6)} AS err_std
+                |FROM (${flagshipSql("l1", rounded = false)})""".stripMargin)))
   }
 
   // ------------------------------------------------------------------

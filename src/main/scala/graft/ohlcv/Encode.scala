@@ -55,6 +55,34 @@ object Encode {
     }
   }
 
+  /** S5 model-artifact persistence (reference checkpoint load,
+    * `notebooks/test.ipynb:573` / `train.py:85-91`): the projection
+    * matrix round-trips through a tiny parquet table `(row, col, value)` —
+    * a format any engine can read, loaded once and broadcast into plan
+    * literals via [[linearProject]].
+    */
+  def saveMatrix(spark: org.apache.spark.sql.SparkSession,
+      matrix: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (r, i) <- matrix.zipWithIndex.toSeq
+      (v, j) <- r.zipWithIndex
+    } yield (i, j, v)
+    rows.toDF("row", "col", "value").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadMatrix(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
+    val entries = spark.read.parquet(path)
+      .select("row", "col", "value").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val nRows = entries.map(_._1).max + 1
+    val nCols = entries.map(_._2).max + 1
+    val m = Array.ofDim[Double](nRows, nCols)
+    entries.foreach { case (i, j, v) => m(i)(j) = v }
+    m
+  }
+
   /** PCA projection learned with MLlib from a sample of windows: returns
     * the outDim × inLen principal-component matrix. The sample (not the
     * full corpus) is bounded by `maxRows`, so the driver-side SVD stays

@@ -203,6 +203,17 @@ object TimeSeriesOps {
       .drop("__ra", "__rd")
   }
 
+  /** Numeric-column projection (reference `dataset.py:9`
+    * `select_dtypes("number")`, P5): keep `protect` plus every numeric
+    * column — schema-driven, no data pass.
+    */
+  def selectNumeric(df: DataFrame, protect: Seq[String] = Nil): DataFrame = {
+    val keep = df.schema.fields.filter(f =>
+      protect.contains(f.name) ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    df.select(keep.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
   /** Data-dependent column prune (reference `preprocess.py:71`, P6/A5):
     * keep columns whose non-null fraction exceeds `threshold`. Two passes:
     * one distributed aggregate for the fractions (a single tiny row to the
