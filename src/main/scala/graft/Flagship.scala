@@ -42,16 +42,37 @@ object Flagship {
     * epsilon explode both search distances and MAE.
     */
   def embeddedWindows(series: DataFrame, seqLen: Int = SeqLen,
-      embedDim: Int = EmbedDim): DataFrame =
+      embedDim: Int = EmbedDim): DataFrame = {
+    require(seqLen % embedDim == 0)
+    val bucket = seqLen / embedDim
+    // Fused mean-pool: each embedding bucket sums (x−c)/(s+1e-8) straight
+    // off the raw window in one codegen'd loop — the z array is never
+    // materialized. Bit-identical to meanPool(zvalues) (same per-element
+    // formula and summation order).
+    val embedding = array((0 until embedDim).map { i =>
+      org.apache.spark.sql.graft.ArrayStatsExpressions.arrayZSliceSum(
+        col("values"), col("center"), col("scale"), i * bucket, bucket) / bucket
+    }: _*)
     Windows.slidingZscored(series, "user_id", "idx", "close", seqLen)
+      .drop("zvalues")
       .filter(col("scale") > 1e-6)
-      .withColumn("embedding", Encode.meanPool(col("zvalues"), seqLen, embedDim))
+      .withColumn("embedding", embedding)
+  }
 
-  /** Per-query forecast MAE (one row per evaluation query). */
+  /** Per-query forecast MAE (one row per evaluation query).
+    *
+    * The embedded-windows frame feeds seven consumers across
+    * evaluate/forecastAndScore (corpus, queries, bounds, follow-ons,
+    * targets) — persist + materialize it once; Spark's cache manager
+    * dedups by canonicalized plan, so the l1/cosine/summary variants in
+    * one session share the same cached copy.
+    */
   def scoredQueries(s: SparkSession, dir: String, metric: String = "l1",
       seqLen: Int = SeqLen, predWindow: Int = PredWindow, stride: Int = Stride,
       k: Int = TopK, embedDim: Int = EmbedDim): DataFrame = {
     val wins = embeddedWindows(filledSeries(s, dir), seqLen, embedDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wins.count()
     val top = Forecast.evaluate(wins, "user_id", seqLen, predWindow, stride, k, metric)
     Forecast.forecastAndScore(top, wins, "user_id", seqLen, predWindow)
   }

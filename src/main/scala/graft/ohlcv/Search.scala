@@ -15,13 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** Manhattan distance Σ|a−b| (F9, `torch.cdist(p=1)`). */
+  /** Manhattan distance Σ|a−b| (F9, `torch.cdist(p=1)`) — native
+    * codegen'd expression (same sequential order as the HOF form).
+    */
   def l1(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.GraftExpressions.arrayL1(a, b)
 
   /** Euclidean distance √Σ(a−b)² (F9, `torch.cdist(p=2)`). */
   def l2(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+    sqrt(org.apache.spark.sql.graft.GraftExpressions.arraySqDiff(a, b))
 
   /** Dot product Σ a·b — the native codegen'd [[ArrayDot]] expression
     * (same sequential summation order as the HOF formulation and the

@@ -69,6 +69,103 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Manhattan distance Σ|a−b| with the same codegen shape as [[ArrayDot]];
+  * summation over the common prefix, sequential order (oracle-parity).
+  */
+case class ArrayL1(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l1"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        s += math.abs(x.getDouble(i) - y.getDouble(i))
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += java.lang.Math.abs($a.getDouble($i) - $b.getDouble($i));
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayL1 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared Euclidean distance Σ(a−b)² (callers take the sqrt — keeping the
+  * same `sqrt(sum)` op order as the HOF form and DuckDB `list_distance`).
+  */
+case class ArraySqDiff(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdiff"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        s += d * d
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArraySqDiff =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points + SQL registration for graft's native
   * expressions.
   */
@@ -77,8 +174,21 @@ object GraftExpressions {
     ExpressionUtils.column(ArrayDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** Register `graft_dot` for SQL use in the given session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def arrayL1(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayL1(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def arraySqDiff(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArraySqDiff(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register graft_dot / graft_l1 / graft_sqdiff for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDot(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l1", exprs => ArrayL1(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sqdiff", exprs => ArraySqDiff(exprs.head, exprs(1)), "scala_udf")
+  }
 }
