@@ -77,7 +77,29 @@ object Flagship {
     Forecast.forecastAndScore(top, wins, "user_id", seqLen, predWindow)
   }
 
-  /** A6 error summary — the driver's smoke entry (rows > 0). */
+  /** The reference's actual evaluation protocol (test.ipynb cell 20):
+    * per-key tail split of the SERIES; windows built within each segment
+    * (never spanning the boundary); queries from the validation windows
+    * against the disjoint train corpus — no overlap leakage.
+    */
+  def scoredQueriesSplit(series: DataFrame, metric: String = "l1",
+      seqLen: Int = SeqLen, predWindow: Int = PredWindow, stride: Int = Stride,
+      k: Int = TopK, embedDim: Int = EmbedDim, valRatio: Double = 0.15): DataFrame = {
+    val split = Windows.withTailSplit(series, "user_id", "idx", valRatio)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val trainWins = embeddedWindows(split.filter(!col("is_val")).drop("is_val"),
+      seqLen, embedDim).persist(lvl)
+    val valWins = embeddedWindows(split.filter(col("is_val")).drop("is_val"),
+      seqLen, embedDim).persist(lvl)
+    trainWins.count(); valWins.count()
+    val top = Forecast.evaluateSplit(trainWins, valWins, "user_id",
+      seqLen, predWindow, stride, k, metric)
+    Forecast.forecastAndScoreSplit(top, trainWins, valWins, "user_id", seqLen, predWindow)
+  }
+
+  /** A6 error summary — the driver's smoke entry (rows > 0), using the
+    * leakage-free split protocol.
+    */
   def forecastMae(s: SparkSession, dir: String): DataFrame =
-    Forecast.errorSummary(scoredQueries(s, dir))
+    Forecast.errorSummary(scoredQueriesSplit(filledSeries(s, dir)))
 }

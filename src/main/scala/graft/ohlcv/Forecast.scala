@@ -71,23 +71,36 @@ object Forecast {
     * Returns one row per query: (key, start_idx, mae_err).
     */
   def evaluate(embedded: DataFrame, keyCol: String, seqLen: Int,
-      predWindow: Int, stride: Int, k: Int, metricName: String): DataFrame = {
-    val maxIdx = embedded.groupBy(keyCol).agg(max("start_idx").as("__max_idx"))
+      predWindow: Int, stride: Int, k: Int, metricName: String): DataFrame =
+    evaluateSplit(embedded, embedded, keyCol, seqLen, predWindow, stride, k,
+      metricName, excludeSelf = true)
+
+  /** Split-corpus form (the reference's actual protocol,
+    * `test.ipynb` cell 20: queries come from the VALIDATION windows,
+    * matches from the disjoint TRAIN windows — no overlap leakage).
+    * `excludeSelf` only matters when both sides are the same frame.
+    */
+  def evaluateSplit(corpusWins: DataFrame, queryWins: DataFrame, keyCol: String,
+      seqLen: Int, predWindow: Int, stride: Int, k: Int, metricName: String,
+      excludeSelf: Boolean = false): DataFrame = {
+    val maxIdx = corpusWins.groupBy(keyCol).agg(max("start_idx").as("__max_idx"))
     // O3: corpus windows must have a full follow-on window after them.
-    val corpus = embedded.join(broadcast(maxIdx), Seq(keyCol))
+    val corpus = corpusWins.join(broadcast(maxIdx), Seq(keyCol))
       .filter(col("start_idx") <= col("__max_idx") - seqLen)
       .select(col(keyCol), col("start_idx"), col("center"), col("scale"), col("embedding"))
-    val minIdx = embedded.groupBy(keyCol).agg(min("start_idx").as("__min_idx"))
-    val queries = embedded.join(broadcast(minIdx), Seq(keyCol))
-      .join(broadcast(maxIdx), Seq(keyCol))
+    val minIdx = queryWins.groupBy(keyCol).agg(min("start_idx").as("__min_idx"))
+    val qMaxIdx = queryWins.groupBy(keyCol).agg(max("start_idx").as("__qmax_idx"))
+    val queries = queryWins.join(broadcast(minIdx), Seq(keyCol))
+      .join(broadcast(qMaxIdx), Seq(keyCol))
       .filter(((col("start_idx") - col("__min_idx")) % stride === 0) &&
-        col("start_idx") <= col("__max_idx") - seqLen)
+        col("start_idx") <= col("__qmax_idx") - seqLen)
       .select(col(keyCol).as("q_key"), col("start_idx").as("q_start"),
         col("center").as("q_center"), col("scale").as("q_scale"),
         col("embedding").as("q_embedding"))
 
-    val crossed = corpus.join(broadcast(queries), col(keyCol) === col("q_key"))
-      .filter(col("start_idx") =!= col("q_start")) // exclude self-match
+    val crossed0 = corpus.join(broadcast(queries), col(keyCol) === col("q_key"))
+    val crossed = (if (excludeSelf) crossed0.filter(col("start_idx") =!= col("q_start"))
+      else crossed0)
       .withColumn("dist", Search.metric(metricName)(col("embedding"), col("q_embedding")))
     val w = Window.partitionBy("q_key", "q_start")
       .orderBy(col("dist").asc, col("start_idx").asc)
@@ -101,11 +114,21 @@ object Forecast {
     * ensemble, and score — returns (q_key, q_start, mae_err).
     */
   def forecastAndScore(topMatches: DataFrame, windows: DataFrame, keyCol: String,
-      seqLen: Int, predWindow: Int): DataFrame = {
-    val follow = windows.select(
+      seqLen: Int, predWindow: Int): DataFrame =
+    forecastAndScoreSplit(topMatches, windows, windows, keyCol, seqLen, predWindow)
+
+  /** Split form: match follow-ons come from the corpus windows, target
+    * follow-ons from the query windows (identical when both frames are
+    * the same — the single-corpus wrapper above).
+    */
+  def forecastAndScoreSplit(topMatches: DataFrame, corpusWins: DataFrame,
+      queryWins: DataFrame, keyCol: String, seqLen: Int, predWindow: Int): DataFrame = {
+    def followOf(wins: DataFrame) = wins.select(
       col(keyCol).as("f_key"),
       col("start_idx").as("f_start"),
       slice(col("values"), 1, predWindow).as("follow_values"))
+    val follow = followOf(corpusWins)
+    val followQ = followOf(queryWins)
 
     // Match-side follow-ons, rescaled into each match's own z-space.
     val matches = topMatches.filter(col("rank") <= 2)
@@ -122,7 +145,7 @@ object Forecast {
 
     // Query-side target follow-on, rescaled into the QUERY's z-space.
     val withTarget = perQuery
-      .join(follow, col("q_key") === col("f_key") &&
+      .join(followQ, col("q_key") === col("f_key") &&
         (col("q_start") + seqLen) === col("f_start"), "inner")
       .withColumn("target", rescale(col("follow_values"), col("q_center"), col("q_scale")))
     withTarget.select(col("q_key"), col("q_start"),
