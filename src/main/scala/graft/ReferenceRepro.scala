@@ -5,18 +5,20 @@ import org.apache.spark.sql.functions._
 import graft.ohlcv.{Forecast, Ingest, TimeSeriesOps, Windows}
 
 /** Reproduce the reference's evaluation harness (notebooks/test.ipynb
-  * `evaluate(256, 192, …)`, BASELINE.md) on the reference's own BTC-USD
-  * corpus with the engine's deterministic mean-pool encoder standing in
-  * for the VAE (SURVEY.md §7.4 #8: weights are out of scope, so the
-  * published MAE is a ballpark anchor, not an assertion target).
+  * `evaluate(256, 192, …)`, BASELINE.md) on the reference's own corpus
+  * with the engine's deterministic mean-pool encoder standing in for the
+  * VAE (SURVEY.md §7.4 #8: weights are out of scope, so the published
+  * MAE is a ballpark anchor, not an assertion target).
   *
-  * Usage: runMain graft.ReferenceRepro [metric] [csvPath]
+  * Usage: runMain graft.ReferenceRepro [metric] [all]
+  *   - default: BTC-USD only (the notebook's configuration)
+  *   - `all`: union of all 7 symbol CSVs, searched as ONE index space
+  *     across symbols (the reference's ConcatDataset semantics, U2).
   */
 object ReferenceRepro {
   def main(args: Array[String]): Unit = {
-    val metric = if (args.nonEmpty) args(0) else "l1"
-    val path = if (args.length > 1) args(1)
-      else "/root/reference/data/bitstamp/BTC-USD_1h.csv"
+    val metric = args.headOption.getOrElse("l1")
+    val allSymbols = args.contains("all")
     val spark = Session.get()
 
     val SeqLen = 256
@@ -24,16 +26,36 @@ object ReferenceRepro {
     val Stride = 64 // seq_len // 4, reference test.ipynb:803
     val K = 5
     val Dim = 64
+    val dataDir = "/root/reference/data/bitstamp"
 
-    val bars = Ingest.readCsv(spark, path, "BTC/USD")
-    val deduped = TimeSeriesOps.dedupKeepLast(bars, Seq("datetime"), col("ingest_order"))
+    val symbols =
+      if (allSymbols)
+        new java.io.File(dataDir).list().filter(_.endsWith("_1h.csv")).sorted
+          .map(f => f.stripSuffix("_1h.csv") -> s"$dataDir/$f").toSeq
+      else Seq("BTC-USD" -> s"$dataDir/BTC-USD_1h.csv")
+
+    val bars = symbols.map { case (sym, p) => Ingest.readCsv(spark, p, sym) }
+      .reduce(_ unionByName _) // U2 multi-symbol corpus union
+    val deduped = TimeSeriesOps.dedupKeepLast(bars, Seq("symbol", "datetime"),
+      col("ingest_order"))
       .withColumn("idx", TimeSeriesOps.timeIdx(col("datetime"), 3600))
     val series = TimeSeriesOps.gapFillFfill(
       deduped.select(col("symbol").as("user_id"), col("idx"), col("close")),
       "user_id", "idx", Seq("close"))
 
-    val scored = Flagship.scoredQueriesSplit(series, metric, SeqLen, Pred,
-      Stride, K, Dim, valRatio = 0.15)
+    // Reference protocol: tail split per symbol; with `all`, matches may
+    // come from any symbol (one concatenated index space).
+    val split = Windows.withTailSplit(series, "user_id", "idx", 0.15)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val trainWins = Flagship.embeddedWindows(
+      split.filter(!col("is_val")).drop("is_val"), SeqLen, Dim).persist(lvl)
+    val valWins = Flagship.embeddedWindows(
+      split.filter(col("is_val")).drop("is_val"), SeqLen, Dim).persist(lvl)
+    println(s"== train windows: ${trainWins.count()}, val windows: ${valWins.count()}")
+    val top = Forecast.evaluateSplit(trainWins, valWins, "user_id",
+      SeqLen, Pred, Stride, K, metric, crossKey = allSymbols)
+    val scored = Forecast.forecastAndScoreSplit(top, trainWins, valWins,
+      "user_id", SeqLen, Pred)
     println(s"== scored queries: ${scored.count()}")
     val summary = Forecast.errorSummary(scored).head()
     println(f"== metric=$metric MAE mean=${summary.getDouble(0)}%.4f " +

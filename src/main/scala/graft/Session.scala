@@ -32,6 +32,8 @@ object Session {
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // graft_dot / graft_l1 / graft_sqdiff available to SQL users.
+    org.apache.spark.sql.graft.GraftExpressions.register(s)
     s
   }
 }

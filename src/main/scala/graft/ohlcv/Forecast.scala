@@ -80,9 +80,13 @@ object Forecast {
     * matches from the disjoint TRAIN windows — no overlap leakage).
     * `excludeSelf` only matters when both sides are the same frame.
     */
+  /** With `crossKey`, matches may come from ANY series key — the
+    * reference's multi-symbol union corpus searched as one index space
+    * (U2, `train.py:42-43` ConcatDataset consumed at `test.ipynb:812`).
+    */
   def evaluateSplit(corpusWins: DataFrame, queryWins: DataFrame, keyCol: String,
       seqLen: Int, predWindow: Int, stride: Int, k: Int, metricName: String,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, crossKey: Boolean = false): DataFrame = {
     val maxIdx = corpusWins.groupBy(keyCol).agg(max("start_idx").as("__max_idx"))
     // O3: corpus windows must have a full follow-on window after them.
     val corpus = corpusWins.join(broadcast(maxIdx), Seq(keyCol))
@@ -98,7 +102,9 @@ object Forecast {
         col("center").as("q_center"), col("scale").as("q_scale"),
         col("embedding").as("q_embedding"))
 
-    val crossed0 = corpus.join(broadcast(queries), col(keyCol) === col("q_key"))
+    val crossed0 =
+      if (crossKey) corpus.crossJoin(broadcast(queries))
+      else corpus.join(broadcast(queries), col(keyCol) === col("q_key"))
     val crossed = (if (excludeSelf) crossed0.filter(col("start_idx") =!= col("q_start"))
       else crossed0)
       .withColumn("dist", Search.metric(metricName)(col("embedding"), col("q_embedding")))
