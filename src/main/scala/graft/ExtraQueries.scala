@@ -412,6 +412,22 @@ object ExtraQueries {
           .orderBy("l_returnflag"),
       None),
 
+    Q("q67_cube",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), pround(avg("l_quantity"), 4).as("avg_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n"), col("avg_qty"))
+          .orderBy("returnflag", "linestatus"),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+              |  coalesce(l_linestatus, 'ALL') AS linestatus,
+              |  count(*) AS n, ${sqlRound("avg(l_quantity)", 4)} AS avg_qty
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY returnflag, linestatus""".stripMargin)),
+
     Q("q66_null_prune",
       (s, d) => {
         import s.implicits._
