@@ -239,6 +239,39 @@ object ExtraQueries {
                 |SELECT query_id, rank, vec_id, ${sqlRound("dist", 6)} AS dist
                 |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+      Q("q68_weighted_split_cosine",
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+          val queries = emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          val corpus = emb.filter(col("vec_id") >= 5)
+          val crossed = corpus.crossJoin(broadcast(queries))
+            .withColumn("dist", graft.ohlcv.Search.weightedSplitCosineDist(
+              col("embedding"), col("query_vec"), 32, 0.5))
+          val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("vec_id").asc)
+          crossed.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 3)
+            .select(col("query_id"), col("rank"), col("vec_id"), pround(col("dist"), 6).as("dist"))
+            .orderBy("query_id", "rank")
+        },
+        Some {
+          def cosSql(a: String, b: String): String =
+            s"(list_dot_product($a, $b) / (greatest(sqrt(list_dot_product($a, $a)), 1e-8) * greatest(sqrt(list_dot_product($b, $b)), 1e-8)))"
+          s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+             |scored AS (SELECT query_id, vec_id,
+             |    1.0 - (${cosSql("v[1:32]", "qv[1:32]")}
+             |      + 0.5 * ${cosSql("v[33:64]", "qv[33:64]")}) / 1.5 AS dist
+             |  FROM c, q),
+             |ranked AS (SELECT query_id, vec_id, dist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, vec_id, ${sqlRound("dist", 6)} AS dist
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+        }),
+
       Q("q36_ivf_assign",
         (s, d) =>
           Tables.embeddings(s, d)

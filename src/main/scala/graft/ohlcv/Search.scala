@@ -48,6 +48,17 @@ object Search {
     l1(slice(a, 1, splitAt), slice(b, 1, splitAt)) +
       lit(tailWeight) * l1(slice(a, splitAt + 1, 1 << 28), slice(b, splitAt + 1, 1 << 28))
 
+  /** Split-vector weighted cosine distance (F11 cosine form,
+    * `test.ipynb:874-878`): 1 − (cos(μ halves) + tailWeight·cos(logvar
+    * halves)) / (1 + tailWeight).
+    */
+  def weightedSplitCosineDist(a: Column, b: Column, splitAt: Int,
+      tailWeight: Double): Column = {
+    val headCos = cosine(slice(a, 1, splitAt), slice(b, 1, splitAt))
+    val tailCos = cosine(slice(a, splitAt + 1, 1 << 28), slice(b, splitAt + 1, 1 << 28))
+    lit(1.0) - (headCos + lit(tailWeight) * tailCos) / (1.0 + tailWeight)
+  }
+
   /** Distance column by metric name ("l1" | "l2" | "cosine_dist" | "dot"). */
   def metric(name: String)(a: Column, b: Column): Column = name match {
     case "l1" => l1(a, b)
