@@ -74,7 +74,10 @@ object Flagship {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wins.count()
     val top = Forecast.evaluate(wins, "user_id", seqLen, predWindow, stride, k, metric)
+    // Small (one row per evaluation query); persisting lets the summary
+    // query (q62) reuse the identical-plan result via the cache manager.
     Forecast.forecastAndScore(top, wins, "user_id", seqLen, predWindow)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The reference's actual evaluation protocol (test.ipynb cell 20):
