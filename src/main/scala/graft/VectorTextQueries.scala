@@ -188,6 +188,23 @@ object VectorTextQueries {
           .orderBy("doc_id"),
       Some(simhashSql(32))),
 
+    Q("q49_simhash_neardup",
+      (s, d) => {
+        val fps = Dedup.simhashAgg(Tables.documents(s, d), "doc_id",
+          TextOps.wordShingles(col("text"), 3), 32)
+        Dedup.simhashNearDupPairs(fps, "doc_id", "simhash", maxHamming = 6)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val sub = simhashSql(32)
+        s"""WITH fps AS ($sub)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+           |FROM fps a, fps b
+           |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     Q("q44_quality",
       (s, d) =>
         TextOps.qualityScore(Tables.documents(s, d), "text")

@@ -55,7 +55,7 @@ class TextDedupSpec extends SparkSpec {
 
   test("hamming distance of simhashes") {
     val df = Seq((0L, 0L), (0L, 7L)).toDF("a", "b")
-    val out = df.select(Dedup.hamming(col("a"), col("b"), 16)).as[Long].collect()
+    val out = df.select(Dedup.hamming(col("a"), col("b"))).as[Long].collect()
     assert(out.toSeq == Seq(0L, 3L))
   }
 
