@@ -190,8 +190,12 @@ object VectorTextQueries {
 
     Q("q49_simhash_neardup",
       (s, d) => {
+        // Both sides of the self-join reference the fingerprint frame —
+        // persist it so the shingle+hash subtree runs once.
         val fps = Dedup.simhashAgg(Tables.documents(s, d), "doc_id",
           TextOps.wordShingles(col("text"), 3), 32)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fps.count()
         Dedup.simhashNearDupPairs(fps, "doc_id", "simhash", maxHamming = 6)
           .orderBy("id_a", "id_b")
       },
