@@ -116,8 +116,9 @@ object ExtraQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("is_val").cast("long")).as("n_val"))
           .orderBy("user_id"),
+      // CAST: DuckDB's sum over INTEGER yields HUGEINT; Spark emits BIGINT.
       Some("""SELECT user_id, count(*) AS n,
-             |  sum(CASE WHEN rd <= ceil(cnt * 0.15) THEN 1 ELSE 0 END) AS n_val
+             |  CAST(sum(CASE WHEN rd <= ceil(cnt * 0.15) THEN 1 ELSE 0 END) AS BIGINT) AS n_val
              |FROM (SELECT user_id,
              |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rd,
              |    count(*) OVER (PARTITION BY user_id) AS cnt
@@ -436,14 +437,29 @@ object ExtraQueries {
 
     // HLL sketches are implementation-specific — rows-only check (the
     // driver records a weaker gate for oracle-less entries by contract).
+    // The deterministic exact-distinct companion is q69 below, which DOES
+    // get a full hash oracle, so only the genuinely non-deterministic HLL
+    // output stays oracle-less.
     Q("q65_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            countDistinct(col("l_partkey")).as("exact_parts"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
           .orderBy("l_returnflag"),
       None),
+
+    Q("q69_exact_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_linestatus")
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+            countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus, count(DISTINCT l_orderkey) AS n_orders,
+             |  count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
     Q("q67_cube",
       (s, d) =>

@@ -38,9 +38,31 @@ object VectorTextQueries {
   private def sqlCosine(a: String, b: String): String =
     s"(list_dot_product($a, $b) / (greatest(sqrt(list_dot_product($a, $a)), 1e-8) * greatest(sqrt(list_dot_product($b, $b)), 1e-8)))"
 
+  /** `Double.toString` round-trips the exact IEEE value; lowercase the E
+    * so DuckDB parses a double literal.
+    */
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains("E") || s.contains("e")) s.toLowerCase else s
+  }
+
+  private def arrLit(a: Array[Double]): String =
+    a.map(dlit).mkString("[", ", ", "]")
+
+  /** DuckDB mirror of Lsh.hyperplaneSignature over plane literals. */
+  private def sigSql(v: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, ${arrLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   // ------------------------------------------------------------------
   // Similarity search over `embeddings`
   // ------------------------------------------------------------------
+
+  private val NearDupPlanes = 4
+  private val NearDupSeed = 42L
+  private val NearDupMat: Array[Array[Double]] =
+    graft.ohlcv.Encode.randomProjectionMatrix(64, NearDupPlanes, NearDupSeed)
 
   private def knnQuery(metricName: String, oracleDist: String): (SparkSession, String) => DataFrame =
     (s, d) => {
@@ -81,21 +103,23 @@ object VectorTextQueries {
              |SELECT query_id, rank, vec_id, ${sqlRound("dist", 6)} AS dist
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // The 100 TB near-dup path: hyperplane-LSH bucketing (4 planes → 16
+    // buckets), then exact cosine only on same-bucket pairs — a bucket
+    // equi-join with zero driver-side collection. The blocked broadcast
+    // kernel (Knn.cosinePairs) remains as the per-bucket re-rank for
+    // broadcastable sides; the planes are plan literals so the oracle
+    // evaluates the identical signature.
     Q("q32_cos_neardup",
       (s, d) =>
-        graft.sim.Knn.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
-          threshold = 0.25)
-          .select(col("id_a"), col("id_b"), pround(col("cos_sim"), 6).as("cos_sim"))
+        Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.25, planes = NearDupPlanes, dim = 64, seed = NearDupSeed)
           .orderBy("id_a", "id_b"),
-      // Norms precomputed once per vector (mirrors the blocked kernel).
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |n AS (SELECT vec_id, v,
-              |    greatest(sqrt(list_dot_product(v, v)), 1e-8) AS nrm FROM e)
+              |sg AS (SELECT vec_id, v, ${sigSql("v", NearDupMat)} AS sig FROM e)
               |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |  ${sqlRound("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos_sim
-              |FROM n a, n b
-              |WHERE a.vec_id < b.vec_id
-              |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.25
+              |  ${sqlRound(sqlCosine("a.v", "b.v"), 6)} AS cos_sim
+              |FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id < b.vec_id
+              |WHERE ${sqlCosine("a.v", "b.v")} >= 0.25
               |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("q33_label_centroid",
@@ -206,6 +230,37 @@ object VectorTextQueries {
            |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
            |FROM fps a, fps b
            |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // MinHash LSH banded candidate pairs — the registered, oracle-checked
+    // form of the banding scheme (12 hashes × 4 bands of 3). Deterministic
+    // given the seed prefixes, so DuckDB mirrors the exact banding.
+    Q("q52_minhash_pairs",
+      (s, d) =>
+        Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4)
+          .orderBy("id_a", "id_b"),
+      Some {
+        val numHashes = 12
+        val bands = 4
+        val rpb = numHashes / bands
+        val hs = (0 until numHashes).map { seed =>
+          s"min(${sqlHash60(s"'$seed:' || s")}) AS h$seed"
+        }.mkString(",\n  ")
+        val bandSelects = (0 until bands).map { b =>
+          val bs = (b * rpb until (b + 1) * rpb).map(h => s"h$h").mkString("[", ", ", "]")
+          s"SELECT doc_id, $b AS band, $bs AS bs FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           |sh AS (SELECT doc_id, unnest(${sqlShingles(3)}) AS s FROM toks WHERE len(toks) >= 3),
+           |sig AS (SELECT doc_id,
+           |  $hs
+           |  FROM sh GROUP BY doc_id),
+           |banded AS ($bandSelects)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
            |ORDER BY id_a, id_b""".stripMargin
       }),
 

@@ -95,6 +95,42 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("simhashNearDupPairs: banded equi-join matches brute force, no cartesian") {
+    val fps: Seq[(Long, Long)] = Seq(
+      (1L, 0x0F0F0F0FL), (2L, 0x0F0F0F0EL), // hamming 1
+      (3L, 0x12345678L), (4L, 0x12345778L), // hamming 1
+      (5L, 0L), (6L, 0xFFFFFFFFL),          // hamming 32
+      (7L, 0x0F0F0F0FL),                    // dup of 1 (collides in EVERY band)
+      (8L, 0x0F0F1F1FL))                    // hamming 2 from 1
+    val df = fps.toDF("doc_id", "simhash")
+    val banded = Dedup.simhashNearDupPairs(df, "doc_id", "simhash", maxHamming = 6)
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 6
+    } yield (a, b, h.toLong)).toSet
+    assert(banded.as[(Long, Long, Long)].collect().toSet == brute)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("embeddingNearDup(planes>0): subset of exact pairs, errors on bad dim") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.9, 0.1, 0.0, 0.0)),
+      (3L, Array(-1.0, 0.0, 0.0, 0.0)),
+      (4L, Array(0.0, 1.0, 0.0, 0.0)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.5,
+      planes = 2, dim = 4).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+    assert(bucketed.contains((1L, 2L))) // near-identical vectors share buckets
+    val bad = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.5,
+      planes = 2, dim = 7)
+    intercept[Exception] { bad.collect() }
+  }
+
   test("langid: spanish markers beat english on spanish-ish text") {
     val df = Seq((1L, "el gato de la casa y los perros")).toDF("doc_id", "text")
     val out = TextOps.withLangId(df, "text").select("lang_pred").as[String].head()
