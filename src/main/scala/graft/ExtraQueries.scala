@@ -599,7 +599,150 @@ object ExtraQueries {
               |  FROM uo o JOIN urec r ON o.user_id = r.user_id AND o.rn2 = r.rn2 + 1)
               |SELECT user_id, bucket_s,
               |  ${sqlRound("CASE WHEN de = 0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + ue / de) END", 6)} AS rsi
-              |FROM urec WHERE rn2 >= 14 ORDER BY user_id, bucket_s""".stripMargin)))
+              |FROM urec WHERE rn2 >= 14 ORDER BY user_id, bucket_s""".stripMargin)),
+
+    // Wilder recurrence oracle scaffolding shared by ATR/ADX: TR rows
+    // (rn2 = per-user position in the TR series), per-user ordered value
+    // lists for the SMA seed (list_sum is sequential, matching the
+    // engine's accumulate-then-divide seed exactly).
+    Q("q53_atr",
+      (s, d) => {
+        val hourly = Queries.hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "high", "low", "close")
+        Features.withAtr(hourly, "user_id", "bucket_s", w = 14)
+          .filter(col("atr").isNotNull)
+          .select(col("user_id"), col("bucket_s"), pround(col("atr"), 6).as("atr"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH RECURSIVE ${Queries.HourlyOhlcvCte},
+              |ord AS (SELECT user_id, bucket_s, high, low, close,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+              |  FROM aggv),
+              |trd AS (SELECT user_id, bucket_s, rn - 1 AS rn2,
+              |    greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+              |  FROM (SELECT *, lag(close) OVER (PARTITION BY user_id ORDER BY rn) AS pc FROM ord)
+              |  WHERE pc IS NOT NULL),
+              |sl AS (SELECT user_id, list(tr ORDER BY rn2) AS trs FROM trd GROUP BY user_id),
+              |wrec AS (
+              |  SELECT t.user_id, t.bucket_s, t.rn2, list_sum(s.trs[1:14]) / 14.0 AS atr
+              |  FROM trd t JOIN sl s ON t.user_id = s.user_id WHERE t.rn2 = 14
+              |  UNION ALL
+              |  SELECT o.user_id, o.bucket_s, o.rn2, (r.atr * 13.0 + o.tr) / 14.0
+              |  FROM trd o JOIN wrec r ON o.user_id = r.user_id AND o.rn2 = r.rn2 + 1)
+              |SELECT user_id, bucket_s, ${sqlRound("atr", 6)} AS atr
+              |FROM wrec ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q54_obv",
+      (s, d) => {
+        val hourly = Queries.hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close", "volume")
+        Features.withObv(hourly, "user_id", "bucket_s")
+          // round 2: bucket volume is an aggregation-order-dependent sum,
+          // so the cumulative OBV carries ~1e-10 absolute noise
+          .select(col("user_id"), col("bucket_s"), pround(col("obv"), 2).as("obv"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH ${Queries.HourlyOhlcvCte}
+              |SELECT user_id, bucket_s, ${sqlRound("obv", 2)} AS obv FROM (
+              |  SELECT user_id, bucket_s,
+              |    sum(CASE WHEN pc IS NOT NULL AND close < pc THEN -volume ELSE volume END)
+              |      OVER (PARTITION BY user_id ORDER BY bucket_s
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+              |  FROM (SELECT *, lag(close) OVER (PARTITION BY user_id ORDER BY bucket_s) AS pc
+              |    FROM aggv))
+              |ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q55_stochastic",
+      (s, d) => {
+        val hourly = Queries.hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "high", "low", "close")
+        Features.withStochastic(hourly, "user_id", "bucket_s", w = 14, smooth = 3)
+          .filter(col("stoch_d").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("stoch_k"), 6).as("stoch_k"),
+            pround(col("stoch_d"), 6).as("stoch_d"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH ${Queries.HourlyOhlcvCte},
+              |k AS (SELECT user_id, bucket_s,
+              |    CASE WHEN count(close) OVER w = 14 AND max(high) OVER w > min(low) OVER w
+              |      THEN (close - min(low) OVER w) / (max(high) OVER w - min(low) OVER w) * 100.0
+              |    END AS stoch_k
+              |  FROM aggv
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+              |d AS (SELECT user_id, bucket_s, stoch_k,
+              |    CASE WHEN count(stoch_k) OVER w3 = 3 THEN avg(stoch_k) OVER w3 END AS stoch_d
+              |  FROM k
+              |  WINDOW w3 AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+              |SELECT user_id, bucket_s, ${sqlRound("stoch_k", 6)} AS stoch_k,
+              |  ${sqlRound("stoch_d", 6)} AS stoch_d
+              |FROM d WHERE stoch_d IS NOT NULL ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q56_adx",
+      (s, d) => {
+        val hourly = Queries.hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "high", "low", "close")
+        Features.withAdx(hourly, "user_id", "bucket_s", w = 14)
+          .filter(col("adx").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("di_plus"), 6).as("di_plus"),
+            pround(col("di_minus"), 6).as("di_minus"),
+            pround(col("adx"), 6).as("adx"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH RECURSIVE ${Queries.HourlyOhlcvCte},
+              |ord AS (SELECT user_id, bucket_s, high, low, close,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+              |  FROM aggv),
+              |lagged AS (SELECT *, lag(close) OVER pw AS pc, lag(high) OVER pw AS ph,
+              |    lag(low) OVER pw AS pl
+              |  FROM ord WINDOW pw AS (PARTITION BY user_id ORDER BY rn)),
+              |b AS (SELECT user_id, bucket_s, rn - 1 AS rn2,
+              |    greatest(high - low, abs(high - pc), abs(low - pc)) AS tr,
+              |    CASE WHEN (high - ph) > (pl - low) AND (high - ph) > 0
+              |      THEN high - ph ELSE 0.0 END AS dmp,
+              |    CASE WHEN (pl - low) > (high - ph) AND (pl - low) > 0
+              |      THEN pl - low ELSE 0.0 END AS dmm
+              |  FROM lagged WHERE pc IS NOT NULL),
+              |sl AS (SELECT user_id, list(tr ORDER BY rn2) AS trs,
+              |    list(dmp ORDER BY rn2) AS dmps, list(dmm ORDER BY rn2) AS dmms
+              |  FROM b GROUP BY user_id),
+              |wrec AS (
+              |  SELECT t.user_id, t.bucket_s, t.rn2,
+              |    list_sum(s.trs[1:14]) / 14.0 AS satr,
+              |    list_sum(s.dmps[1:14]) / 14.0 AS sdmp,
+              |    list_sum(s.dmms[1:14]) / 14.0 AS sdmm
+              |  FROM b t JOIN sl s ON t.user_id = s.user_id WHERE t.rn2 = 14
+              |  UNION ALL
+              |  SELECT o.user_id, o.bucket_s, o.rn2,
+              |    (r.satr * 13.0 + o.tr) / 14.0,
+              |    (r.sdmp * 13.0 + o.dmp) / 14.0,
+              |    (r.sdmm * 13.0 + o.dmm) / 14.0
+              |  FROM b o JOIN wrec r ON o.user_id = r.user_id AND o.rn2 = r.rn2 + 1),
+              |di AS (SELECT user_id, bucket_s, rn2,
+              |    CASE WHEN satr > 0 THEN 100.0 * sdmp / satr END AS dip,
+              |    CASE WHEN satr > 0 THEN 100.0 * sdmm / satr END AS dim
+              |  FROM wrec),
+              |dx AS (SELECT user_id, bucket_s, rn2, dip, dim,
+              |    CASE WHEN dip + dim > 0 THEN 100.0 * abs(dip - dim) / (dip + dim) END AS dxv
+              |  FROM di),
+              |dxn AS (SELECT user_id, bucket_s, dip, dim, dxv,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY rn2) AS rn3
+              |  FROM dx WHERE dxv IS NOT NULL),
+              |dsl AS (SELECT user_id, list(dxv ORDER BY rn3) AS dxs FROM dxn GROUP BY user_id),
+              |arec AS (
+              |  SELECT t.user_id, t.bucket_s, t.rn3, t.dip, t.dim,
+              |    list_sum(s.dxs[1:14]) / 14.0 AS adx
+              |  FROM dxn t JOIN dsl s ON t.user_id = s.user_id WHERE t.rn3 = 14
+              |  UNION ALL
+              |  SELECT o.user_id, o.bucket_s, o.rn3, o.dip, o.dim,
+              |    (r.adx * 13.0 + o.dxv) / 14.0
+              |  FROM dxn o JOIN arec r ON o.user_id = r.user_id AND o.rn3 = r.rn3 + 1)
+              |SELECT user_id, bucket_s, ${sqlRound("dip", 6)} AS di_plus,
+              |  ${sqlRound("dim", 6)} AS di_minus, ${sqlRound("adx", 6)} AS adx
+              |FROM arec ORDER BY user_id, bucket_s""".stripMargin)))
 
   def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship ++ ta ++ statsExtra
 }

@@ -292,6 +292,16 @@ object Queries {
       |    arg_max(value, ts) AS close
       |  FROM events GROUP BY user_id, bucket_s)""".stripMargin
 
+  /** Shared oracle CTE: hourly right-closed OHLCV bars (high/low/close/
+    * volume) per user — mirror of [[hourlyResampled]] for the TA oracles.
+    */
+  private[graft] val HourlyOhlcvCte =
+    """aggv AS (
+      |  SELECT user_id, CAST(ceil(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+      |    max(value) AS high, min(value) AS low,
+      |    arg_max(value, ts) AS close, sum(value) AS volume
+      |  FROM events GROUP BY user_id, bucket_s)""".stripMargin
+
   /** Shared oracle CTE: gap-filled + forward-filled hourly close. */
   private[graft] val FilledCloseCte =
     s"""$HourlyCloseCte,

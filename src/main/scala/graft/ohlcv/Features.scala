@@ -135,6 +135,145 @@ object Features {
       .drop("__ema_fast", "__ema_slow")
   }
 
+  /** Append Wilder-smoothed columns (the classical SMA-seeded recurrence
+    * used by ATR/ADX: rows 1..w−1 null, row w = mean of the first w
+    * values, then `s_t = (s_{t−1}·(w−1) + x_t)/w`). Like [[withEma]] this
+    * is the one genuinely sequential shape — an ordered per-key scan with
+    * O(#specs) state — and all `specs` columns smooth in a single pass.
+    * `specs` maps input column (must be non-null double) → output column.
+    */
+  def withWilder(df: DataFrame, keyCol: String, ordCol: String,
+      specs: Seq[(String, String)], w: Int): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++
+      specs.map { case (_, out) => StructField(out, DoubleType, nullable = true) })
+    val keyIdx = inSchema.fieldIndex(keyCol)
+    val valIdxs = specs.map(s => inSchema.fieldIndex(s._1)).toArray
+    val nSpecs = specs.length
+    val sorted = df.repartition(col(keyCol)).sortWithinPartitions(col(keyCol), col(ordCol))
+    sorted.mapPartitions { rows =>
+      var curKey: Any = null
+      var started = false
+      var n = 0L
+      val acc = new Array[Double](nSpecs)
+      rows.map { row =>
+        val k = row.get(keyIdx)
+        if (!started || k != curKey) {
+          started = true; curKey = k; n = 0L
+          java.util.Arrays.fill(acc, 0.0)
+        }
+        val out = new Array[Any](outSchema.length)
+        var i = 0
+        while (i < inSchema.length) { out(i) = row.get(i); i += 1 }
+        n += 1
+        var j = 0
+        while (j < nSpecs) {
+          val x = row.getDouble(valIdxs(j))
+          if (n < w) { acc(j) += x; out(inSchema.length + j) = null }
+          else if (n == w) {
+            acc(j) = (acc(j) + x) / w
+            out(inSchema.length + j) = java.lang.Double.valueOf(acc(j))
+          } else {
+            acc(j) = (acc(j) * (w - 1) + x) / w
+            out(inSchema.length + j) = java.lang.Double.valueOf(acc(j))
+          }
+          j += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericRow(out): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** True range: max(high−low, |high−prevClose|, |low−prevClose|). Null on
+    * the first row of each key (no previous close).
+    */
+  def trueRange(keyCol: String, ordCol: String, highCol: String, lowCol: String,
+      closeCol: String): Column = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val pc = lag(closeCol, 1).over(win)
+    when(pc.isNotNull,
+      greatest(col(highCol) - col(lowCol), abs(col(highCol) - pc), abs(col(lowCol) - pc)))
+  }
+
+  /** ATR(w): Wilder-smoothed true range (reference pulls it via
+    * `add_all_ta_features`, `core/data/preprocess.py:11-16`). The first
+    * row per key (undefined TR) is dropped from the output frame.
+    */
+  def withAtr(df: DataFrame, keyCol: String, ordCol: String, w: Int = 14,
+      highCol: String = "high", lowCol: String = "low",
+      closeCol: String = "close", outCol: String = "atr"): DataFrame = {
+    val withTr = df
+      .withColumn("__tr", trueRange(keyCol, ordCol, highCol, lowCol, closeCol))
+      .filter(col("__tr").isNotNull)
+    withWilder(withTr, keyCol, ordCol, Seq("__tr" -> outCol), w).drop("__tr")
+  }
+
+  /** On-balance volume: cumulative ±volume, negative when close dropped
+    * vs the previous bar (`ta`'s convention: the first bar and flat bars
+    * count positive).
+    */
+  def withObv(df: DataFrame, keyCol: String, ordCol: String,
+      closeCol: String = "close", volCol: String = "volume",
+      outCol: String = "obv"): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val pc = lag(closeCol, 1).over(win)
+    val signed = when(pc.isNotNull && col(closeCol) < pc, -col(volCol))
+      .otherwise(col(volCol))
+    val cum = Window.partitionBy(keyCol).orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol, sum(signed).over(cum))
+  }
+
+  /** Stochastic oscillator: %K = 100·(close − min(low,w))/(max(high,w) −
+    * min(low,w)) with min_periods=w, %D = SMA(smooth) of %K. Null %K when
+    * the window is short or flat (max == min).
+    */
+  def withStochastic(df: DataFrame, keyCol: String, ordCol: String,
+      w: Int = 14, smooth: Int = 3, highCol: String = "high",
+      lowCol: String = "low", closeCol: String = "close"): DataFrame = {
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+    val cnt = count(col(closeCol)).over(frame)
+    val ll = min(col(lowCol)).over(frame)
+    val hh = max(col(highCol)).over(frame)
+    val k = when(cnt === w && hh > ll, (col(closeCol) - ll) / (hh - ll) * 100.0)
+    val withK = df.withColumn("stoch_k", k)
+    withK.withColumn("stoch_d",
+      sma(col("stoch_k"), col(keyCol), col(ordCol), smooth))
+  }
+
+  /** ADX(w) — Wilder's directional movement system: ±DM gated on the
+    * larger move, TR/±DM Wilder-smoothed in one pass, ±DI = 100·sDM/sTR,
+    * DX = 100·|+DI − −DI|/(+DI + −DI), ADX = Wilder-smoothed DX (the DX
+    * series is re-numbered so its own w-row seed starts where DX becomes
+    * defined). Output keeps `di_plus`, `di_minus`, `adx`; rows where DX
+    * is undefined (short head, zero sTR, both DMs zero) are dropped.
+    */
+  def withAdx(df: DataFrame, keyCol: String, ordCol: String, w: Int = 14,
+      highCol: String = "high", lowCol: String = "low",
+      closeCol: String = "close"): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val ph = lag(highCol, 1).over(win)
+    val pl = lag(lowCol, 1).over(win)
+    val up = col(highCol) - ph
+    val dn = pl - col(lowCol)
+    val base = df
+      .withColumn("__tr", trueRange(keyCol, ordCol, highCol, lowCol, closeCol))
+      .withColumn("__dmp", when(up > dn && up > 0, up).otherwise(lit(0.0)))
+      .withColumn("__dmm", when(dn > up && dn > 0, dn).otherwise(lit(0.0)))
+      .filter(col("__tr").isNotNull)
+    val smoothed = withWilder(base, keyCol, ordCol,
+      Seq("__tr" -> "__satr", "__dmp" -> "__sdmp", "__dmm" -> "__sdmm"), w)
+    val withDx = smoothed
+      .withColumn("di_plus", when(col("__satr") > 0, lit(100.0) * col("__sdmp") / col("__satr")))
+      .withColumn("di_minus", when(col("__satr") > 0, lit(100.0) * col("__sdmm") / col("__satr")))
+      .withColumn("__dx",
+        when(col("di_plus") + col("di_minus") > 0,
+          lit(100.0) * abs(col("di_plus") - col("di_minus")) / (col("di_plus") + col("di_minus"))))
+      .filter(col("__dx").isNotNull)
+    withWilder(withDx, keyCol, ordCol, Seq("__dx" -> "adx"), w)
+      .drop("__tr", "__dmp", "__dmm", "__dx", "__satr", "__sdmp", "__sdmm")
+  }
+
   /** Bollinger bands(w=20, k=2) with the `ta` library's ddof=0 std. */
   def withBollinger(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
       w: Int = 20, k: Double = 2.0): DataFrame = {

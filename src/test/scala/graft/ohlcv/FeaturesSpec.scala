@@ -72,6 +72,68 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("withWilder: SMA seed then (prev*(w-1)+x)/w recurrence, per key") {
+    val df = Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0), ("a", 3L, 4.0),
+      ("a", 4L, 5.0), ("b", 0L, 10.0), ("b", 1L, 20.0))
+      .toDF("symbol", "idx", "x")
+    val out = Features.withWilder(df, "symbol", "idx", Seq("x" -> "wx"), w = 2)
+      .orderBy("symbol", "idx").select("symbol", "wx").collect()
+    assert(out(0).isNullAt(1))
+    assert(approx(out(1).getDouble(1), 1.5))     // (1+2)/2
+    assert(approx(out(2).getDouble(1), 2.25))    // (1.5*1+3)/2
+    assert(approx(out(3).getDouble(1), 3.125))
+    assert(approx(out(4).getDouble(1), 4.0625))
+    assert(out(5).isNullAt(1))                   // key b restarts
+    assert(approx(out(6).getDouble(1), 15.0))
+  }
+
+  private def bars(rows: (Long, Double, Double, Double, Double)*) =
+    rows.map { case (i, h, l, c, v) => ("a", i, h, l, c, v) }
+      .toDF("symbol", "idx", "high", "low", "close", "volume")
+
+  test("withAtr: true range uses prev close, Wilder-smoothed") {
+    // bars: (idx, high, low, close, vol); TR_1 = max(12-8, |12-9|, |8-9|) = 4
+    val df = bars((0, 10, 8, 9, 1), (1, 12, 8, 11, 1), (2, 13, 11, 12, 1))
+    val out = Features.withAtr(df, "symbol", "idx", w = 2)
+      .orderBy("idx").select("idx", "atr").collect()
+    // first bar dropped (no TR); TR = [4, max(2,|13-11|,|11-11|)=2]
+    assert(out.length == 2)
+    assert(out(0).isNullAt(1))
+    assert(approx(out(1).getDouble(1), 3.0)) // seed (4+2)/2
+  }
+
+  test("withObv: ta sign convention (first/flat bars positive)") {
+    val df = bars((0, 0, 0, 10, 1), (1, 0, 0, 11, 2), (2, 0, 0, 11, 3), (3, 0, 0, 9, 4))
+    val out = Features.withObv(df, "symbol", "idx")
+      .orderBy("idx").select("obv").as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 3.0, 6.0, 2.0))
+  }
+
+  test("withStochastic: %K bounded 0..100, null head, %D is SMA of %K") {
+    val df = bars((0, 10, 5, 7, 1), (1, 12, 6, 12, 1), (2, 11, 7, 8, 1), (3, 13, 8, 13, 1))
+    val out = Features.withStochastic(df, "symbol", "idx", w = 2, smooth = 2)
+      .orderBy("idx").select("stoch_k", "stoch_d").collect()
+    assert(out(0).isNullAt(0)) // min_periods
+    // idx1: ll=5 hh=12 -> (12-5)/7*100 = 100
+    assert(approx(out(1).getDouble(0), 100.0))
+    // idx2: ll=6 hh=12 -> (8-6)/6*100 = 33.33..
+    assert(approx(out(2).getDouble(0), 200.0 / 6.0))
+    assert(out(1).isNullAt(1)) // %D needs 2 non-null %K values
+    assert(approx(out(2).getDouble(1), (100.0 + 200.0 / 6.0) / 2.0))
+  }
+
+  test("withAdx: all-up-moves series gives di_plus > 0, di_minus = 0, adx = 100") {
+    // strictly rising bars: every +DM > 0, every -DM = 0 -> DX = 100 always
+    val df = bars((0 until 8).map(i =>
+      (i.toLong, 10.0 + i, 8.0 + i, 9.0 + i, 1.0)): _*)
+    val out = Features.withAdx(df, "symbol", "idx", w = 2)
+      .orderBy("idx").select("di_plus", "di_minus", "adx").collect()
+    val last = out.last
+    assert(last.getDouble(0) > 0.0)
+    assert(approx(last.getDouble(1), 0.0))
+    assert(approx(last.getDouble(2), 100.0))
+  }
+
   test("savgol center weights match the classical 21-point quartic kernel sign pattern") {
     val d = Features.SavgolDesign(21, 4)
     val w = d.centerWeights
