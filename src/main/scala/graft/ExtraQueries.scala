@@ -477,6 +477,25 @@ object ExtraQueries {
               |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
               |ORDER BY returnflag, linestatus""".stripMargin)),
 
+    // Skew-safe join, oracle-checked: salting is output-invariant, so the
+    // oracle is the plain join — only the physical shape differs (the big
+    // side's hot keys spread over saltFactor tasks; ScaleSpec asserts the
+    // salt explode in the plan).
+    Q("q70_salted_skew_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        Scale.saltedJoin(ev, cust, "user_id", saltFactor = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"), pround(sum("value"), 4).as("sum_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_events,
+              |  ${sqlRound("sum(value)", 4)} AS sum_value
+              |FROM events JOIN customer ON user_id = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     Q("q66_null_prune",
       (s, d) => {
         import s.implicits._

@@ -77,21 +77,31 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          try spark.read.parquet(sinkDir)
+        def readOrEmpty(path: String): DataFrame =
+          try spark.read.parquet(path)
           catch { case _: Exception => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
-        val merged = graft.ohlcv.TimeSeriesOps.dedupKeepLast(
-          existing.unionByName(batch), keys, col(arrivalCol))
-        // Write to a temp dir then swap — parquet sinks can't be read and
-        // overwritten in the same job.
-        val tmp = sinkDir + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
+        // Crash recovery: if a previous batch died between the two renames
+        // below, the live table is the __old copy (sinkDir missing) — the
+        // re-run batch merges against it, so no committed row is ever lost.
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(sinkDir)
-        fs.delete(dst, true)
+        val oldP = new org.apache.hadoop.fs.Path(sinkDir + "__old")
+        val existing =
+          if (fs.exists(dst)) readOrEmpty(sinkDir) else readOrEmpty(sinkDir + "__old")
+        val merged = graft.ohlcv.TimeSeriesOps.dedupKeepLast(
+          existing.unionByName(batch), keys, col(arrivalCol))
+        // Write to a temp dir then swap — parquet sinks can't be read and
+        // overwritten in the same job. The swap renames the old table
+        // ASIDE first (never delete-then-rename): at every instant one of
+        // sinkDir / sinkDir__old holds a complete committed table.
+        val tmp = sinkDir + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(oldP, true) // stale backup from an earlier batch
+        if (fs.exists(dst)) fs.rename(dst, oldP)
         fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        fs.delete(oldP, true)
         ()
       }
 }
