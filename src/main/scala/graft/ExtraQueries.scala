@@ -763,5 +763,204 @@ object ExtraQueries {
               |  ${sqlRound("dim", 6)} AS di_minus, ${sqlRound("adx", 6)} AS adx
               |FROM arec ORDER BY user_id, bucket_s""".stripMargin)))
 
-  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship ++ ta ++ statsExtra
+  // ------------------------------------------------------------------
+  // TA indicator pack, second batch (F14): Williams %R, ROC, CCI,
+  // Donchian, Keltner, CMF, force index, TRIX — the highest-traffic
+  // indicators `add_all_ta_features` appends after the first batch.
+  // ------------------------------------------------------------------
+
+  private def hourlyBars(s: SparkSession, d: String) =
+    Queries.hourlyResampled(s, d, emitEmpty = false)
+      .select("user_id", "bucket_s", "high", "low", "close", "volume")
+
+  private val ta2: Seq[Q] = Seq(
+    Q("q48_williams_r",
+      (s, d) =>
+        Features.withWilliamsR(hourlyBars(s, d), "user_id", "bucket_s", w = 14)
+          .filter(col("williams_r").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("williams_r"), 6).as("williams_r"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH ${Queries.HourlyOhlcvCte}
+              |SELECT user_id, bucket_s, ${sqlRound("wr", 6)} AS williams_r FROM (
+              |  SELECT user_id, bucket_s,
+              |    CASE WHEN count(close) OVER w = 14 AND max(high) OVER w > min(low) OVER w
+              |      THEN -100.0 * (max(high) OVER w - close) / (max(high) OVER w - min(low) OVER w)
+              |    END AS wr
+              |  FROM aggv
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+              |WHERE wr IS NOT NULL ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q57_roc",
+      (s, d) =>
+        Features.withRoc(
+          Queries.hourlyResampled(s, d, emitEmpty = false)
+            .select("user_id", "bucket_s", "close"),
+          "user_id", "bucket_s", "close", n = 12)
+          .filter(col("roc").isNotNull)
+          .select(col("user_id"), col("bucket_s"), pround(col("roc"), 6).as("roc"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH ${Queries.HourlyCloseCte}
+              |SELECT user_id, bucket_s, ${sqlRound("roc", 6)} AS roc FROM (
+              |  SELECT user_id, bucket_s,
+              |    CASE WHEN pc IS NOT NULL AND pc <> 0 THEN 100.0 * (close - pc) / pc END AS roc
+              |  FROM (SELECT *, lag(close, 12) OVER (PARTITION BY user_id ORDER BY bucket_s) AS pc
+              |    FROM agg))
+              |WHERE roc IS NOT NULL ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q58_cci",
+      (s, d) =>
+        Features.withCci(hourlyBars(s, d), "user_id", "bucket_s", w = 20)
+          .filter(col("cci").isNotNull)
+          .select(col("user_id"), col("bucket_s"), pround(col("cci"), 6).as("cci"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH ${Queries.HourlyOhlcvCte},
+              |t AS (SELECT user_id, bucket_s, (high + low + close) / 3.0 AS tp FROM aggv),
+              |l AS (SELECT user_id, bucket_s, tp,
+              |    list(tp) OVER (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS tps
+              |  FROM t),
+              |m AS (SELECT *, list_sum(tps) / 20 AS m FROM l),
+              |d AS (SELECT *, list_sum([abs(x - m) FOR x IN tps]) / 20 AS mad FROM m)
+              |SELECT user_id, bucket_s, ${sqlRound("(tp - m) / (0.015 * mad)", 6)} AS cci
+              |FROM d WHERE len(tps) = 20 AND mad > 0
+              |ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q59_donchian",
+      (s, d) =>
+        Features.withDonchian(hourlyBars(s, d), "user_id", "bucket_s", w = 20)
+          .filter(col("dc_mid").isNotNull)
+          .select(col("user_id"), col("bucket_s"), col("dc_up"), col("dc_dn"),
+            pround(col("dc_mid"), 6).as("dc_mid"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH ${Queries.HourlyOhlcvCte}
+              |SELECT user_id, bucket_s, dc_up, dc_dn,
+              |  ${sqlRound("(dc_up + dc_dn) / 2.0", 6)} AS dc_mid FROM (
+              |  SELECT user_id, bucket_s,
+              |    CASE WHEN count(high) OVER w = 20 THEN max(high) OVER w END AS dc_up,
+              |    CASE WHEN count(high) OVER w = 20 THEN min(low) OVER w END AS dc_dn
+              |  FROM aggv
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+              |WHERE dc_up IS NOT NULL ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q71_keltner",
+      (s, d) =>
+        Features.withKeltner(hourlyBars(s, d), "user_id", "bucket_s",
+          w = 20, atrW = 10, k = 2.0)
+          .filter(col("kc_mid").isNotNull && col("kc_up").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("kc_mid"), 6).as("kc_mid"),
+            pround(col("kc_up"), 6).as("kc_up"),
+            pround(col("kc_dn"), 6).as("kc_dn"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH RECURSIVE ${Queries.HourlyOhlcvCte},
+              |ord AS (SELECT user_id, bucket_s, high, low, close,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+              |  FROM aggv),
+              |${emaRec("erec", "ord", "close", "rn", "2.0 / 21.0")},
+              |trd AS (SELECT user_id, bucket_s, rn - 1 AS rn2,
+              |    greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+              |  FROM (SELECT *, lag(close) OVER (PARTITION BY user_id ORDER BY rn) AS pc FROM ord)
+              |  WHERE pc IS NOT NULL),
+              |sl AS (SELECT user_id, list(tr ORDER BY rn2) AS trs FROM trd GROUP BY user_id),
+              |arec AS (
+              |  SELECT t.user_id, t.bucket_s, t.rn2, list_sum(s.trs[1:10]) / 10.0 AS atr
+              |  FROM trd t JOIN sl s ON t.user_id = s.user_id WHERE t.rn2 = 10
+              |  UNION ALL
+              |  SELECT o.user_id, o.bucket_s, o.rn2, (r.atr * 9.0 + o.tr) / 10.0
+              |  FROM trd o JOIN arec r ON o.user_id = r.user_id AND o.rn2 = r.rn2 + 1)
+              |SELECT e.user_id, e.bucket_s, ${sqlRound("e.e", 6)} AS kc_mid,
+              |  ${sqlRound("e.e + 2.0 * a.atr", 6)} AS kc_up,
+              |  ${sqlRound("e.e - 2.0 * a.atr", 6)} AS kc_dn
+              |FROM erec e JOIN arec a ON e.user_id = a.user_id AND e.bucket_s = a.bucket_s
+              |WHERE e.rn >= 20 ORDER BY e.user_id, e.bucket_s""".stripMargin)),
+
+    Q("q72_cmf",
+      (s, d) =>
+        Features.withCmf(hourlyBars(s, d), "user_id", "bucket_s", w = 20)
+          .filter(col("cmf").isNotNull)
+          .select(col("user_id"), col("bucket_s"), pround(col("cmf"), 6).as("cmf"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH ${Queries.HourlyOhlcvCte},
+              |b AS (SELECT user_id, bucket_s,
+              |    (CASE WHEN high > low
+              |      THEN ((close - low) - (high - close)) / (high - low)
+              |      ELSE 0.0 END) * volume AS mfv,
+              |    volume
+              |  FROM aggv),
+              |l AS (SELECT user_id, bucket_s,
+              |    list(mfv) OVER w AS mfvs, list(volume) OVER w AS vols
+              |  FROM b
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+              |SELECT user_id, bucket_s,
+              |  ${sqlRound("list_sum(mfvs) / list_sum(vols)", 6)} AS cmf
+              |FROM l WHERE len(mfvs) = 20 AND list_sum(vols) <> 0
+              |ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q73_force_index",
+      (s, d) =>
+        Features.withForceIndex(hourlyBars(s, d), "user_id", "bucket_s", span = 13)
+          .filter(col("force_index").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("force_index"), 6).as("force_index"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH RECURSIVE ${Queries.HourlyOhlcvCte},
+              |ord AS (SELECT user_id, bucket_s, close, volume,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+              |  FROM aggv),
+              |f AS (SELECT user_id, bucket_s, rn - 1 AS rn2, (close - pc) * volume AS fr
+              |  FROM (SELECT *, lag(close) OVER (PARTITION BY user_id ORDER BY rn) AS pc FROM ord)
+              |  WHERE pc IS NOT NULL),
+              |${emaRec("rec", "f", "fr", "rn2", "2.0 / 14.0")}
+              |SELECT user_id, bucket_s, ${sqlRound("e", 6)} AS force_index
+              |FROM rec WHERE rn2 >= 13 ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q74_trix",
+      (s, d) =>
+        Features.withTrix(
+          Queries.hourlyResampled(s, d, emitEmpty = false)
+            .select("user_id", "bucket_s", "close"),
+          "user_id", "bucket_s", "close", span = 15)
+          .filter(col("trix").isNotNull)
+          .select(col("user_id"), col("bucket_s"), pround(col("trix"), 6).as("trix"))
+          .orderBy("user_id", "bucket_s"),
+      // ONE recursion carries all three EMA states (chained recursive
+      // CTEs re-evaluate their upstream recursion per iteration in
+      // DuckDB — cubically slow). e2 seeds when e1 is first EMITTED
+      // (rn=15, its min_periods), e3 when e2 is (rn=29); e1_t/e2_t are
+      // inlined expressions, so each stage consumes the identical double
+      // the engine's column-chained withEma calls produce.
+      Some {
+        val a = "2.0 / 16.0"
+        val e1t = s"($a) * o.close + (1.0 - ($a)) * r.e1"
+        val e2t = s"CASE WHEN o.rn = 15 THEN $e1t ELSE ($a) * ($e1t) + (1.0 - ($a)) * r.e2 END"
+        s"""WITH RECURSIVE ${Queries.HourlyCloseCte},
+           |ord AS (SELECT user_id, bucket_s, close,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+           |  FROM agg),
+           |rec AS (
+           |  SELECT user_id, bucket_s, close, rn, close AS e1,
+           |    CAST(NULL AS DOUBLE) AS e2, CAST(NULL AS DOUBLE) AS e3
+           |  FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.user_id, o.bucket_s, o.close, o.rn,
+           |    $e1t,
+           |    CASE WHEN o.rn < 15 THEN NULL ELSE $e2t END,
+           |    CASE WHEN o.rn < 29 THEN NULL
+           |         WHEN o.rn = 29 THEN $e2t
+           |         ELSE ($a) * ($e2t) + (1.0 - ($a)) * r.e3 END
+           |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1),
+           |tl AS (SELECT user_id, bucket_s, e3,
+           |    lag(e3) OVER (PARTITION BY user_id ORDER BY rn) AS pe
+           |  FROM rec WHERE rn >= 43)
+           |SELECT user_id, bucket_s,
+           |  ${sqlRound("100.0 * (e3 - pe) / pe", 6)} AS trix
+           |FROM tl WHERE pe IS NOT NULL AND pe <> 0
+           |ORDER BY user_id, bucket_s""".stripMargin
+      }))
+
+  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship ++ ta ++ ta2 ++ statsExtra
 }

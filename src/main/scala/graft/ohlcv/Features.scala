@@ -274,6 +274,138 @@ object Features {
       .drop("__tr", "__dmp", "__dmm", "__dx", "__satr", "__sdmp", "__sdmm")
   }
 
+  /** Williams %R(w): −100·(max(high,w) − close)/(max(high,w) − min(low,w)),
+    * min_periods=w, null when the window is flat.
+    */
+  def withWilliamsR(df: DataFrame, keyCol: String, ordCol: String, w: Int = 14,
+      highCol: String = "high", lowCol: String = "low",
+      closeCol: String = "close", outCol: String = "williams_r"): DataFrame = {
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+    val cnt = count(col(closeCol)).over(frame)
+    val ll = min(col(lowCol)).over(frame)
+    val hh = max(col(highCol)).over(frame)
+    df.withColumn(outCol,
+      when(cnt === w && hh > ll, lit(-100.0) * (hh - col(closeCol)) / (hh - ll)))
+  }
+
+  /** Rate of change: 100·(x − x_{t−n})/x_{t−n}; null for the first n rows
+    * per key and when the lagged value is zero.
+    */
+  def withRoc(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      n: Int = 12, outCol: String = "roc"): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val prev = lag(valCol, n).over(win)
+    df.withColumn(outCol,
+      when(prev.isNotNull && prev =!= 0.0,
+        lit(100.0) * (col(valCol) - prev) / prev))
+  }
+
+  /** CCI(w): (tp − SMA(tp,w)) / (c·MAD(tp,w)) where tp = (high+low+close)/3
+    * and MAD is the mean absolute deviation around the WINDOW's own mean
+    * (pandas `rolling.apply(lambda x: mean(|x − x.mean()|))`). Both window
+    * statistics are computed from the collected frame array with
+    * sequential HOF sums so the oracle's list arithmetic matches exactly.
+    */
+  def withCci(df: DataFrame, keyCol: String, ordCol: String, w: Int = 20,
+      c: Double = 0.015, highCol: String = "high", lowCol: String = "low",
+      closeCol: String = "close", outCol: String = "cci"): DataFrame = {
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+    val tp = (col(highCol) + col(lowCol) + col(closeCol)) / 3.0
+    val base = df.withColumn("__tp", tp)
+      .withColumn("__tps", collect_list(col("__tp")).over(frame))
+    val m = aggregate(col("__tps"), lit(0.0), (a, x) => a + x) / w
+    val mad = aggregate(col("__tps"), lit(0.0), (a, x) => a + abs(x - col("__m"))) / w
+    base
+      .withColumn("__m", m)
+      .withColumn("__mad", mad)
+      .withColumn(outCol,
+        when(size(col("__tps")) === w && col("__mad") > 0,
+          (col("__tp") - col("__m")) / (lit(c) * col("__mad"))))
+      .drop("__tp", "__tps", "__m", "__mad")
+  }
+
+  /** Donchian channel(w): rolling max(high) / min(low) / midpoint,
+    * min_periods=w.
+    */
+  def withDonchian(df: DataFrame, keyCol: String, ordCol: String, w: Int = 20,
+      highCol: String = "high", lowCol: String = "low"): DataFrame = {
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+    val cnt = count(col(highCol)).over(frame)
+    val up = when(cnt === w, max(col(highCol)).over(frame))
+    val dn = when(cnt === w, min(col(lowCol)).over(frame))
+    df.withColumn("dc_up", up)
+      .withColumn("dc_dn", dn)
+      .withColumn("dc_mid", (col("dc_up") + col("dc_dn")) / 2.0)
+  }
+
+  /** Keltner channel: EMA(close, span=w) midline ± k·ATR(atrW). The ATR
+    * side drops each key's first bar (undefined TR), so it joins back on
+    * (key, ord) — bands are null until both stats have their min_periods.
+    */
+  def withKeltner(df: DataFrame, keyCol: String, ordCol: String, w: Int = 20,
+      atrW: Int = 10, k: Double = 2.0): DataFrame = {
+    val mid = withEma(df, keyCol, ordCol, "close", Seq(emaSpanSpec("kc_mid", w)))
+    val atr = withAtr(df, keyCol, ordCol, w = atrW)
+      .select(col(keyCol), col(ordCol), col("atr").as("__kc_atr"))
+    mid.join(atr, Seq(keyCol, ordCol), "left")
+      .withColumn("kc_up", col("kc_mid") + lit(k) * col("__kc_atr"))
+      .withColumn("kc_dn", col("kc_mid") - lit(k) * col("__kc_atr"))
+      .drop("__kc_atr")
+  }
+
+  /** Chaikin money flow(w): Σ(mfm·volume, w) / Σ(volume, w) where
+    * mfm = ((close−low) − (high−close))/(high−low) (0 on flat bars).
+    * Window sums use collected-frame sequential HOF arithmetic (not the
+    * engine's incremental window aggregation) so summation order is
+    * deterministic and oracle-identical.
+    */
+  def withCmf(df: DataFrame, keyCol: String, ordCol: String, w: Int = 20,
+      outCol: String = "cmf"): DataFrame = {
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+    val mfm = when(col("high") > col("low"),
+      ((col("close") - col("low")) - (col("high") - col("close"))) /
+        (col("high") - col("low"))).otherwise(lit(0.0))
+    val base = df.withColumn("__mfv", mfm * col("volume"))
+      .withColumn("__mfvs", collect_list(col("__mfv")).over(frame))
+      .withColumn("__vols", collect_list(col("volume")).over(frame))
+    val sumMfv = aggregate(col("__mfvs"), lit(0.0), (a, x) => a + x)
+    val sumVol = aggregate(col("__vols"), lit(0.0), (a, x) => a + x)
+    base
+      .withColumn(outCol,
+        when(size(col("__mfvs")) === w && sumVol =!= 0.0, sumMfv / sumVol))
+      .drop("__mfv", "__mfvs", "__vols")
+  }
+
+  /** Force index: EMA(span) of (close − prevClose)·volume; the first bar
+    * per key (no previous close) contributes a null that the EMA skips.
+    */
+  def withForceIndex(df: DataFrame, keyCol: String, ordCol: String,
+      span: Int = 13, outCol: String = "force_index"): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val pc = lag("close", 1).over(win)
+    val raw = df.withColumn("__fi_raw",
+      when(pc.isNotNull, (col("close") - pc) * col("volume")))
+    withEma(raw, keyCol, ordCol, "__fi_raw", Seq(emaSpanSpec(outCol, span)))
+      .drop("__fi_raw")
+  }
+
+  /** TRIX(span): triple-smoothed EMA's percentage rate of change,
+    * 100·(e3 − e3_{t−1})/e3_{t−1}. Each EMA stage counts its own
+    * min_periods from the previous stage's first emitted value, so TRIX
+    * appears after 3·span − 2 bars (plus one for the lag).
+    */
+  def withTrix(df: DataFrame, keyCol: String, ordCol: String,
+      valCol: String = "close", span: Int = 15, outCol: String = "trix"): DataFrame = {
+    val e1 = withEma(df, keyCol, ordCol, valCol, Seq(emaSpanSpec("__e1", span)))
+    val e2 = withEma(e1, keyCol, ordCol, "__e1", Seq(emaSpanSpec("__e2", span)))
+    val e3 = withEma(e2, keyCol, ordCol, "__e2", Seq(emaSpanSpec("__e3", span)))
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val pe3 = lag("__e3", 1).over(win)
+    e3.withColumn(outCol,
+      when(pe3.isNotNull && pe3 =!= 0.0, lit(100.0) * (col("__e3") - pe3) / pe3))
+      .drop("__e1", "__e2", "__e3")
+  }
+
   /** Bollinger bands(w=20, k=2) with the `ta` library's ddof=0 std. */
   def withBollinger(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
       w: Int = 20, k: Double = 2.0): DataFrame = {

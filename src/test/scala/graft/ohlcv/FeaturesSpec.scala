@@ -134,6 +134,82 @@ class FeaturesSpec extends SparkSpec {
     assert(approx(last.getDouble(2), 100.0))
   }
 
+  test("withWilliamsR: -100 at window low, 0 at window high") {
+    val df = bars((0, 10, 5, 10, 1), (1, 12, 6, 6, 1), (2, 11, 7, 12, 1))
+    val out = Features.withWilliamsR(df, "symbol", "idx", w = 2)
+      .orderBy("idx").select("williams_r").collect()
+    assert(out(0).isNullAt(0))
+    // idx1: hh=12 ll=5 close=6 -> -100*(12-6)/7
+    assert(approx(out(1).getDouble(0), -100.0 * 6.0 / 7.0))
+    // idx2: hh=12 ll=6 close=12 -> 0
+    assert(approx(out(2).getDouble(0), 0.0))
+  }
+
+  test("withRoc: percentage change vs n-lagged value") {
+    val out = Features.withRoc(series(100, 110, 121), "symbol", "idx", "close", n = 1)
+      .orderBy("idx").select("roc").collect()
+    assert(out(0).isNullAt(0))
+    assert(approx(out(1).getDouble(0), 10.0))
+    assert(approx(out(2).getDouble(0), 10.0))
+  }
+
+  test("withCci: zero at window mean, scales by mean abs deviation") {
+    // tp = close when high=low=close
+    val df = bars((0, 10, 10, 10, 1), (1, 14, 14, 14, 1), (2, 12, 12, 12, 1))
+    val out = Features.withCci(df, "symbol", "idx", w = 3)
+      .orderBy("idx").select("cci").collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    // window (10,14,12): m=12, mad=(2+2+0)/3=4/3; cci=(12-12)/(.015*4/3)=0
+    assert(approx(out(2).getDouble(0), 0.0))
+  }
+
+  test("withDonchian: rolling channel with min_periods") {
+    val df = bars((0, 10, 5, 7, 1), (1, 12, 6, 8, 1), (2, 11, 8, 9, 1))
+    val out = Features.withDonchian(df, "symbol", "idx", w = 2)
+      .orderBy("idx").select("dc_up", "dc_dn", "dc_mid").collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 12.0 && out(1).getDouble(1) == 5.0)
+    assert(approx(out(1).getDouble(2), 8.5))
+  }
+
+  test("withKeltner: mid is the close EMA, bands offset by k*ATR") {
+    val df = bars((0 until 6).map(i => (i.toLong, 11.0, 9.0, 10.0, 1.0)): _*)
+    val out = Features.withKeltner(df, "symbol", "idx", w = 2, atrW = 2, k = 2.0)
+      .orderBy("idx").select("kc_mid", "kc_up", "kc_dn").collect()
+    // constant series: EMA=10, TR=2 always -> ATR=2; bands 10±4
+    val last = out.last
+    assert(approx(last.getDouble(0), 10.0))
+    assert(approx(last.getDouble(1), 14.0))
+    assert(approx(last.getDouble(2), 6.0))
+  }
+
+  test("withCmf: all closes at the high gives cmf = +1") {
+    val df = bars((0, 10, 8, 10, 5), (1, 12, 9, 12, 3), (2, 11, 7, 11, 4))
+    val out = Features.withCmf(df, "symbol", "idx", w = 3)
+      .orderBy("idx").select("cmf").collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(approx(out(2).getDouble(0), 1.0)) // mfm = +1 on every bar
+  }
+
+  test("withForceIndex: EMA of close-change times volume") {
+    val df = bars((0, 0, 0, 10, 2), (1, 0, 0, 12, 3), (2, 0, 0, 11, 4))
+    val out = Features.withForceIndex(df, "symbol", "idx", span = 1)
+      .orderBy("idx").select("force_index").collect()
+    // span=1 -> alpha=1: fi = raw = [(12-10)*3, (11-12)*4]
+    assert(out(0).isNullAt(0))
+    assert(approx(out(1).getDouble(0), 6.0))
+    assert(approx(out(2).getDouble(0), -4.0))
+  }
+
+  test("withTrix: constant series yields 0 rate of change") {
+    val df = (0 until 10).map(i => ("a", i.toLong, 5.0)).toDF("symbol", "idx", "close")
+    val out = Features.withTrix(df, "symbol", "idx", "close", span = 2)
+      .orderBy("idx").select("trix").collect()
+    // span=2: e1 from rn>=2, e2 from rn>=3, e3 from rn>=4, trix from rn>=5
+    assert(out(3).isNullAt(0))
+    assert(approx(out(9).getDouble(0), 0.0))
+  }
+
   test("savgol center weights match the classical 21-point quartic kernel sign pattern") {
     val d = Features.SavgolDesign(21, 4)
     val w = d.centerWeights
