@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
 import graft.ohlcv.Search
-import graft.text.{Dedup, TextOps}
+import graft.text.{Dedup, Packing, TextOps}
 import graft.Queries.Q
 import graft.Rounding.{pround, sqlRound}
 
@@ -263,6 +263,40 @@ object VectorTextQueries {
            |  ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
            |ORDER BY id_a, id_b""".stripMargin
       }),
+
+    // GPT-style sequence packing: the doc_id-ordered token stream chunked
+    // into 256-token batches. The engine side is the two-pass distributed
+    // prefix sum (no global-window single-partition collapse); the oracle
+    // is the equivalent window cumsum.
+    Q("q75_seq_packing",
+      (s, d) =>
+        Packing.packSequences(Tables.documents(s, d), "doc_id",
+          TextOps.subwordCount(col("text")), budget = 256L)
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]')) AS n_tokens
+              |  FROM documents),
+              |c AS (SELECT doc_id, n_tokens,
+              |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+              |  FROM t)
+              |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+              |  (cum_excl // 256)::BIGINT AS batch_id,
+              |  (cum_excl % 256)::BIGINT AS batch_offset
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic hash split (train/val/test by portable 60-bit hash
+    // bucket) — stable across engines, leakage-free at any scale.
+    Q("q76_hash_split",
+      (s, d) =>
+        Packing.hashSplit(Tables.documents(s, d), "text")
+          .select(col("doc_id"), col("bucket"), col("split"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${sqlHash60("text")} % 100 AS bucket,
+              |  CASE WHEN ${sqlHash60("text")} % 100 < 90 THEN 'train'
+              |       WHEN ${sqlHash60("text")} % 100 < 95 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("q44_quality",
       (s, d) =>
