@@ -962,5 +962,165 @@ object ExtraQueries {
            |ORDER BY user_id, bucket_s""".stripMargin
       }))
 
-  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship ++ ta ++ ta2 ++ statsExtra
+  // ------------------------------------------------------------------
+  // TA indicator pack, third batch (F14): MFI, EOM, DPO, PPO, ultimate
+  // oscillator, vortex.
+  // ------------------------------------------------------------------
+
+  private val ta3: Seq[Q] = Seq(
+    Q("q77_mfi",
+      (s, d) =>
+        Features.withMfi(hourlyBars(s, d), "user_id", "bucket_s", w = 14)
+          .filter(col("mfi").isNotNull)
+          .select(col("user_id"), col("bucket_s"), pround(col("mfi"), 6).as("mfi"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH ${Queries.HourlyOhlcvCte},
+              |t AS (SELECT user_id, bucket_s, (high + low + close) / 3.0 AS tp, volume FROM aggv),
+              |d AS (SELECT *, lag(tp) OVER (PARTITION BY user_id ORDER BY bucket_s) AS ptp FROM t),
+              |b AS (SELECT user_id, bucket_s,
+              |    CASE WHEN tp > ptp THEN tp * volume ELSE 0.0 END AS pos,
+              |    CASE WHEN tp < ptp THEN tp * volume ELSE 0.0 END AS neg
+              |  FROM d WHERE ptp IS NOT NULL),
+              |l AS (SELECT user_id, bucket_s, list(pos) OVER w AS ps, list(neg) OVER w AS ns
+              |  FROM b
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+              |SELECT user_id, bucket_s,
+              |  ${sqlRound("100.0 * list_sum(ps) / (list_sum(ps) + list_sum(ns))", 6)} AS mfi
+              |FROM l WHERE len(ps) = 14 AND list_sum(ps) + list_sum(ns) > 0
+              |ORDER BY user_id, bucket_s""".stripMargin)),
+
+    // Daily bars: hourly buckets are mostly single-event (high == low), so
+    // the box ratio would be undefined everywhere and the query vacuous.
+    Q("q78_eom",
+      (s, d) =>
+        Features.withEom(
+          Queries.barsResampled(s, d, 86400, emitEmpty = false)
+            .select("user_id", "bucket_s", "high", "low", "close", "volume"),
+          "user_id", "bucket_s", w = 5)
+          .filter(col("eom").isNotNull)
+          // box-ratio division gives ~1e8-magnitude values; window-avg
+          // summation order differs across engines at ~1e-8 absolute, so
+          // compare at 2 decimals
+          .select(col("user_id"), col("bucket_s"), pround(col("eom"), 2).as("eom"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH ${Queries.ohlcvCte(86400)},
+              |r AS (SELECT user_id, bucket_s,
+              |    CASE WHEN ph IS NOT NULL AND high > low
+              |      THEN ((high + low) / 2.0 - (ph + pl) / 2.0)
+              |        / ((volume / 1.0e8) / (high - low)) END AS raw
+              |  FROM (SELECT *, lag(high) OVER pw AS ph, lag(low) OVER pw AS pl
+              |    FROM aggv WINDOW pw AS (PARTITION BY user_id ORDER BY bucket_s)))
+              |SELECT user_id, bucket_s, ${sqlRound("eom", 2)} AS eom FROM (
+              |  SELECT user_id, bucket_s,
+              |    CASE WHEN count(raw) OVER w = 5 THEN avg(raw) OVER w END AS eom
+              |  FROM r
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+              |WHERE eom IS NOT NULL ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q79_dpo",
+      (s, d) =>
+        Features.withDpo(hourlyBars(s, d), "user_id", "bucket_s", w = 20)
+          .filter(col("dpo").isNotNull)
+          .select(col("user_id"), col("bucket_s"), pround(col("dpo"), 6).as("dpo"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH ${Queries.HourlyOhlcvCte}
+              |SELECT user_id, bucket_s, ${sqlRound("dpo", 6)} AS dpo FROM (
+              |  SELECT user_id, bucket_s,
+              |    CASE WHEN sh IS NOT NULL AND count(close) OVER w = 20
+              |      THEN sh - avg(close) OVER w END AS dpo
+              |  FROM (SELECT *, lag(close, 11) OVER (PARTITION BY user_id ORDER BY bucket_s) AS sh
+              |    FROM aggv)
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+              |WHERE dpo IS NOT NULL ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q80_ppo",
+      (s, d) =>
+        Features.withPpo(
+          Queries.hourlyResampled(s, d, emitEmpty = false)
+            .select("user_id", "bucket_s", "close"),
+          "user_id", "bucket_s", "close")
+          .filter(col("ppo_hist").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("ppo"), 6).as("ppo"),
+            pround(col("ppo_signal"), 6).as("ppo_signal"),
+            pround(col("ppo_hist"), 6).as("ppo_hist"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH RECURSIVE $ordCte,
+              |${emaRec("e12", "ord", "close", "rn", "2.0 / 13.0")},
+              |${emaRec("e26", "ord", "close", "rn", "2.0 / 27.0")},
+              |m AS (SELECT a.user_id, a.bucket_s, a.rn,
+              |    CASE WHEN b.e <> 0 THEN 100.0 * (a.e - b.e) / b.e END AS ppo
+              |  FROM e12 a JOIN e26 b ON a.user_id = b.user_id AND a.rn = b.rn
+              |  WHERE a.rn >= 26),
+              |mo AS (SELECT user_id, bucket_s, ppo,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2
+              |  FROM m WHERE ppo IS NOT NULL),
+              |${emaRec("sig", "mo", "ppo", "rn2", "2.0 / 10.0")}
+              |SELECT user_id, bucket_s, ${sqlRound("ppo", 6)} AS ppo,
+              |  ${sqlRound("e", 6)} AS ppo_signal,
+              |  ${sqlRound("ppo - e", 6)} AS ppo_hist
+              |FROM sig WHERE rn2 >= 9 ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q81_ultimate",
+      (s, d) =>
+        Features.withUltimate(hourlyBars(s, d), "user_id", "bucket_s")
+          .filter(col("ultimate").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("ultimate"), 6).as("ultimate"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH ${Queries.HourlyOhlcvCte},
+              |b AS (SELECT user_id, bucket_s,
+              |    close - least(low, pc) AS bp,
+              |    greatest(high, pc) - least(low, pc) AS utr
+              |  FROM (SELECT *, lag(close) OVER (PARTITION BY user_id ORDER BY bucket_s) AS pc
+              |    FROM aggv)
+              |  WHERE pc IS NOT NULL),
+              |l AS (SELECT user_id, bucket_s,
+              |    list(bp) OVER w7 AS b7, list(utr) OVER w7 AS t7,
+              |    list(bp) OVER w14 AS b14, list(utr) OVER w14 AS t14,
+              |    list(bp) OVER w28 AS b28, list(utr) OVER w28 AS t28
+              |  FROM b
+              |  WINDOW w7 AS (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+              |    w14 AS (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+              |    w28 AS (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+              |SELECT user_id, bucket_s,
+              |  ${sqlRound("100.0 * (4.0 * (list_sum(b7) / list_sum(t7)) + 2.0 * (list_sum(b14) / list_sum(t14)) + (list_sum(b28) / list_sum(t28))) / 7.0", 6)} AS ultimate
+              |FROM l
+              |WHERE len(b28) = 28 AND list_sum(t7) > 0 AND list_sum(t14) > 0 AND list_sum(t28) > 0
+              |ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q82_vortex",
+      (s, d) =>
+        Features.withVortex(hourlyBars(s, d), "user_id", "bucket_s", w = 14)
+          .filter(col("vi_plus").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("vi_plus"), 6).as("vi_plus"),
+            pround(col("vi_minus"), 6).as("vi_minus"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH ${Queries.HourlyOhlcvCte},
+              |b AS (SELECT user_id, bucket_s,
+              |    abs(high - pl) AS vmp, abs(low - ph) AS vmm,
+              |    greatest(high - low, abs(high - pc), abs(low - pc)) AS vtr
+              |  FROM (SELECT *, lag(high) OVER pw AS ph, lag(low) OVER pw AS pl,
+              |      lag(close) OVER pw AS pc
+              |    FROM aggv WINDOW pw AS (PARTITION BY user_id ORDER BY bucket_s))
+              |  WHERE pc IS NOT NULL),
+              |l AS (SELECT user_id, bucket_s,
+              |    list(vmp) OVER w AS vps, list(vmm) OVER w AS vms, list(vtr) OVER w AS trs
+              |  FROM b
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+              |SELECT user_id, bucket_s,
+              |  ${sqlRound("list_sum(vps) / list_sum(trs)", 6)} AS vi_plus,
+              |  ${sqlRound("list_sum(vms) / list_sum(trs)", 6)} AS vi_minus
+              |FROM l WHERE len(trs) = 14 AND list_sum(trs) > 0
+              |ORDER BY user_id, bucket_s""".stripMargin)))
+
+  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship ++ ta ++ ta2 ++ ta3 ++ statsExtra
 }

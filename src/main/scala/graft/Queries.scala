@@ -270,10 +270,11 @@ object Queries {
   // Time-series operators on `events` (the reference's own surface)
   // ------------------------------------------------------------------
 
-  /** Hourly right-closed OHLCV-ified events, via the real resample
-    * operator (value plays all five OHLCV roles).
+  /** Right-closed OHLCV-ified events at an arbitrary bucket width, via
+    * the real resample operator (value plays all five OHLCV roles).
     */
-  private[graft] def hourlyResampled(s: SparkSession, d: String, emitEmpty: Boolean): DataFrame = {
+  private[graft] def barsResampled(s: SparkSession, d: String, widthS: Int,
+      emitEmpty: Boolean): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("value"))
       .withColumn("open", col("value"))
@@ -281,9 +282,12 @@ object Queries {
       .withColumn("low", col("value"))
       .withColumn("close", col("value"))
       .withColumn("volume", col("value"))
-    TimeSeriesOps.resampleOhlcv(ev, "user_id", "ts", 3600, emitEmpty = emitEmpty)
+    TimeSeriesOps.resampleOhlcv(ev, "user_id", "ts", widthS, emitEmpty = emitEmpty)
       .withColumn("bucket_s", unix_timestamp(col("ts")))
   }
+
+  private[graft] def hourlyResampled(s: SparkSession, d: String, emitEmpty: Boolean): DataFrame =
+    barsResampled(s, d, 3600, emitEmpty)
 
   /** Shared oracle CTE: hourly right-closed close per user. */
   private[graft] val HourlyCloseCte =
@@ -295,12 +299,14 @@ object Queries {
   /** Shared oracle CTE: hourly right-closed OHLCV bars (high/low/close/
     * volume) per user — mirror of [[hourlyResampled]] for the TA oracles.
     */
-  private[graft] val HourlyOhlcvCte =
-    """aggv AS (
-      |  SELECT user_id, CAST(ceil(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
-      |    max(value) AS high, min(value) AS low,
-      |    arg_max(value, ts) AS close, sum(value) AS volume
-      |  FROM events GROUP BY user_id, bucket_s)""".stripMargin
+  private[graft] def ohlcvCte(widthS: Int): String =
+    s"""aggv AS (
+       |  SELECT user_id, CAST(ceil(epoch(ts) / $widthS) * $widthS AS BIGINT) AS bucket_s,
+       |    max(value) AS high, min(value) AS low,
+       |    arg_max(value, ts) AS close, sum(value) AS volume
+       |  FROM events GROUP BY user_id, bucket_s)""".stripMargin
+
+  private[graft] val HourlyOhlcvCte = ohlcvCte(3600)
 
   /** Shared oracle CTE: gap-filled + forward-filled hourly close. */
   private[graft] val FilledCloseCte =

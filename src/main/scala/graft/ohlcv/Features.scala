@@ -406,6 +406,150 @@ object Features {
       .drop("__e1", "__e2", "__e3")
   }
 
+  /** Money flow index(w): typical-price money flow split by tp direction,
+    * MFI = 100·Σpos/(Σpos + Σneg) over the trailing w diff-rows. Rows
+    * without a previous bar are dropped; null until w rows and when both
+    * flows are zero. Window sums use collected-frame sequential HOF
+    * arithmetic for oracle-exact summation order.
+    */
+  def withMfi(df: DataFrame, keyCol: String, ordCol: String, w: Int = 14,
+      outCol: String = "mfi"): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val tp = (col("high") + col("low") + col("close")) / 3.0
+    val base = df.withColumn("__tp", tp)
+      .withColumn("__ptp", lag("__tp", 1).over(win))
+      .filter(col("__ptp").isNotNull)
+      .withColumn("__pos", when(col("__tp") > col("__ptp"), col("__tp") * col("volume")).otherwise(lit(0.0)))
+      .withColumn("__neg", when(col("__tp") < col("__ptp"), col("__tp") * col("volume")).otherwise(lit(0.0)))
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+    val withLists = base
+      .withColumn("__ps", collect_list(col("__pos")).over(frame))
+      .withColumn("__ns", collect_list(col("__neg")).over(frame))
+    val sp = aggregate(col("__ps"), lit(0.0), (a, x) => a + x)
+    val sn = aggregate(col("__ns"), lit(0.0), (a, x) => a + x)
+    withLists
+      .withColumn(outCol,
+        when(size(col("__ps")) === w && sp + sn > 0, lit(100.0) * sp / (sp + sn)))
+      .drop("__tp", "__ptp", "__pos", "__neg", "__ps", "__ns")
+  }
+
+  /** Ease of movement(w): midpoint move ÷ box ratio, SMA-smoothed.
+    * dm = (high+low)/2 − (prevHigh+prevLow)/2; br = (volume/1e8)/(high−low);
+    * eom = SMA_w(dm/br). Flat bars (high = low) yield null raw values,
+    * which the SMA's observation count excludes.
+    */
+  def withEom(df: DataFrame, keyCol: String, ordCol: String, w: Int = 14,
+      outCol: String = "eom"): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val mid = (col("high") + col("low")) / 2.0
+    val pmid = lag(col("high"), 1).over(win)
+    val plow = lag(col("low"), 1).over(win)
+    val dm = mid - (pmid + plow) / 2.0
+    val raw = when(pmid.isNotNull && col("high") > col("low"),
+      dm / ((col("volume") / 1.0e8) / (col("high") - col("low"))))
+    val base = df.withColumn("__eom_raw", raw)
+    base.withColumn(outCol,
+      sma(col("__eom_raw"), col(keyCol), col(ordCol), w))
+      .drop("__eom_raw")
+  }
+
+  /** Detrended price oscillator(w): close_{t−(w/2+1)} − SMA_w(close). */
+  def withDpo(df: DataFrame, keyCol: String, ordCol: String, w: Int = 20,
+      valCol: String = "close", outCol: String = "dpo"): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val shifted = lag(valCol, w / 2 + 1).over(win)
+    df.withColumn(outCol,
+      when(shifted.isNotNull,
+        shifted - sma(col(valCol), col(keyCol), col(ordCol), w)))
+  }
+
+  /** Percentage price oscillator(fast, slow, signal): MACD's percentage
+    * form — ppo = 100·(EMA_fast − EMA_slow)/EMA_slow, plus its signal EMA
+    * and histogram.
+    */
+  def withPpo(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      fast: Int = 12, slow: Int = 26, signal: Int = 9): DataFrame = {
+    val withEmas = withEma(df, keyCol, ordCol, valCol,
+      Seq(emaSpanSpec("__ema_fast", fast), emaSpanSpec("__ema_slow", slow)))
+    val withLine = withEmas.withColumn("ppo",
+      when(col("__ema_slow") =!= 0.0,
+        lit(100.0) * (col("__ema_fast") - col("__ema_slow")) / col("__ema_slow")))
+    val withSig = withEma(withLine, keyCol, ordCol, "ppo",
+      Seq(emaSpanSpec("ppo_signal", signal)))
+    withSig
+      .withColumn("ppo_hist", col("ppo") - col("ppo_signal"))
+      .drop("__ema_fast", "__ema_slow")
+  }
+
+  /** Ultimate oscillator(7, 14, 28): buying pressure over true range at
+    * three horizons, weighted 4/2/1. bp = close − min(low, prevClose);
+    * tr = max(high, prevClose) − min(low, prevClose). Sums are
+    * collected-frame HOF sums; null until the longest window fills.
+    */
+  def withUltimate(df: DataFrame, keyCol: String, ordCol: String,
+      w1: Int = 7, w2: Int = 14, w3: Int = 28,
+      outCol: String = "ultimate"): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val base = df
+      .withColumn("__pc", lag("close", 1).over(win))
+      .withColumn("__bp", col("close") - least(col("low"), col("__pc")))
+      .withColumn("__utr",
+        greatest(col("high"), col("__pc")) - least(col("low"), col("__pc")))
+      .filter(col("__pc").isNotNull)
+      .drop("__pc")
+    def avgAt(w: Int): (Column, Column) = {
+      val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+      (collect_list(col("__bp")).over(frame), collect_list(col("__utr")).over(frame))
+    }
+    val (b1, t1) = avgAt(w1); val (b2, t2) = avgAt(w2); val (b3, t3) = avgAt(w3)
+    def hsum(c: Column): Column = aggregate(c, lit(0.0), (a, x) => a + x)
+    val lists = base
+      .withColumn("__b1", b1).withColumn("__t1", t1)
+      .withColumn("__b2", b2).withColumn("__t2", t2)
+      .withColumn("__b3", b3).withColumn("__t3", t3)
+    val a1 = hsum(col("__b1")) / hsum(col("__t1"))
+    val a2 = hsum(col("__b2")) / hsum(col("__t2"))
+    val a3 = hsum(col("__b3")) / hsum(col("__t3"))
+    lists.withColumn(outCol,
+      when(size(col("__b3")) === w3 &&
+          hsum(col("__t1")) > 0 && hsum(col("__t2")) > 0 && hsum(col("__t3")) > 0,
+        lit(100.0) * (lit(4.0) * a1 + lit(2.0) * a2 + a3) / 7.0))
+      .drop("__bp", "__utr", "__b1", "__t1", "__b2", "__t2", "__b3", "__t3")
+  }
+
+  /** Vortex indicator(w): VI± = Σ|high − prevLow| / ΣTR and
+    * Σ|low − prevHigh| / ΣTR over the trailing w diff-rows.
+    */
+  def withVortex(df: DataFrame, keyCol: String, ordCol: String,
+      w: Int = 14): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val base = df
+      .withColumn("__ph", lag("high", 1).over(win))
+      .withColumn("__pl", lag("low", 1).over(win))
+      .withColumn("__pc", lag("close", 1).over(win))
+      .withColumn("__vmp", abs(col("high") - col("__pl")))
+      .withColumn("__vmm", abs(col("low") - col("__ph")))
+      .withColumn("__vtr",
+        greatest(col("high") - col("low"), abs(col("high") - col("__pc")),
+          abs(col("low") - col("__pc"))))
+      .filter(col("__pc").isNotNull)
+      .drop("__ph", "__pl", "__pc")
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+    def hsum(c: Column): Column = aggregate(c, lit(0.0), (a, x) => a + x)
+    val lists = base
+      .withColumn("__vps", collect_list(col("__vmp")).over(frame))
+      .withColumn("__vms", collect_list(col("__vmm")).over(frame))
+      .withColumn("__trs", collect_list(col("__vtr")).over(frame))
+    lists
+      .withColumn("vi_plus",
+        when(size(col("__trs")) === w && hsum(col("__trs")) > 0,
+          hsum(col("__vps")) / hsum(col("__trs"))))
+      .withColumn("vi_minus",
+        when(size(col("__trs")) === w && hsum(col("__trs")) > 0,
+          hsum(col("__vms")) / hsum(col("__trs"))))
+      .drop("__vmp", "__vmm", "__vtr", "__vps", "__vms", "__trs")
+  }
+
   /** Bollinger bands(w=20, k=2) with the `ta` library's ddof=0 std. */
   def withBollinger(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
       w: Int = 20, k: Double = 2.0): DataFrame = {

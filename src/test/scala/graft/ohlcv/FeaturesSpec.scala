@@ -210,6 +210,70 @@ class FeaturesSpec extends SparkSpec {
     assert(approx(out(9).getDouble(0), 0.0))
   }
 
+  test("withMfi: all-rising typical price gives mfi = 100") {
+    val df = bars((0 until 5).map(i =>
+      (i.toLong, 10.0 + i, 8.0 + i, 9.0 + i, 2.0)): _*)
+    val out = Features.withMfi(df, "symbol", "idx", w = 3)
+      .orderBy("idx").select("mfi").collect()
+    assert(out.length == 4) // first bar dropped (no prev tp)
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(approx(out(2).getDouble(0), 100.0))
+  }
+
+  test("withDpo: shifted close minus rolling mean") {
+    // w=2 -> shift = 2; constant close -> dpo = 0 once defined
+    val df = bars((0 until 5).map(i => (i.toLong, 0.0, 0.0, 7.0, 1.0)): _*)
+    val out = Features.withDpo(df, "symbol", "idx", w = 2)
+      .orderBy("idx").select("dpo").collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(approx(out(2).getDouble(0), 0.0))
+  }
+
+  test("withPpo: constant series gives ppo = 0 after warmup") {
+    val df = (0 until 40).map(i => ("a", i.toLong, 4.0)).toDF("symbol", "idx", "close")
+    val out = Features.withPpo(df, "symbol", "idx", "close")
+      .filter(col("ppo_hist").isNotNull)
+      .select("ppo", "ppo_signal", "ppo_hist").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(approx(r.getDouble(0), 0.0) && approx(r.getDouble(2), 0.0))
+    }
+  }
+
+  test("withUltimate: close pinned at the high gives uo = 100") {
+    // close = high, prev_close = high - 1 < low: bp = close - min(low,pc)...
+    // use monotone bars where close == high and low == close - 1
+    val df = bars((0 until 30).map(i =>
+      (i.toLong, 10.0 + i, 9.0 + i, 10.0 + i, 1.0)): _*)
+    val out = Features.withUltimate(df, "symbol", "idx", 2, 3, 4)
+      .orderBy("idx").select("ultimate").collect()
+    // bp = close - min(low, pc) = (10+i) - (9+i) = 1; utr = max(high,pc)-min = 1
+    val defined = out.filter(!_.isNullAt(0))
+    assert(defined.nonEmpty)
+    defined.foreach(r => assert(approx(r.getDouble(0), 100.0)))
+  }
+
+  test("withVortex: ratios over true-range sums, window-gated") {
+    val df = bars((0 until 5).map(i =>
+      (i.toLong, 10.0 + i, 9.0 + i, 9.5 + i, 1.0)): _*)
+    val out = Features.withVortex(df, "symbol", "idx", w = 2)
+      .orderBy("idx").select("vi_plus", "vi_minus").collect()
+    assert(out(0).isNullAt(0))
+    // vmp = |high - prev_low| = 2; vmm = |low - prev_high| = 0; tr = max(1, 1.5, 0.5) = 1.5
+    assert(approx(out(1).getDouble(0), (2.0 + 2.0) / 3.0 / 1.0))
+    assert(approx(out(1).getDouble(1), 0.0))
+  }
+
+  test("withEom: flat-bar raws are excluded by min_periods counting") {
+    val df = bars((0, 10, 8, 9, 100), (1, 10, 10, 10, 100), (2, 12, 9, 10, 100),
+      (3, 13, 10, 11, 100))
+    val out = Features.withEom(df, "symbol", "idx", w = 2)
+      .orderBy("idx").select("eom").collect()
+    // raw: idx0 null (no prev), idx1 null (flat), idx2/idx3 defined -> first eom at idx3
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0) && out(2).isNullAt(0))
+    assert(!out(3).isNullAt(0))
+  }
+
   test("savgol center weights match the classical 21-point quartic kernel sign pattern") {
     val d = Features.SavgolDesign(21, 4)
     val w = d.centerWeights
