@@ -234,8 +234,10 @@ object VectorTextQueries {
       }),
 
     // MinHash LSH banded candidate pairs — the registered, oracle-checked
-    // form of the banding scheme (12 hashes × 4 bands of 3). Deterministic
-    // given the seed prefixes, so DuckDB mirrors the exact banding.
+    // form of the banding scheme (12 hashes × 4 bands of 3). The
+    // permutation family is one md5 + 12 universal hashes
+    // (a·x1 + b·x2 + c mod 2^61−1) with coefficient literals shared by
+    // the plan and the SQL, so DuckDB mirrors the exact banding.
     Q("q52_minhash_pairs",
       (s, d) =>
         Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
@@ -245,8 +247,10 @@ object VectorTextQueries {
         val numHashes = 12
         val bands = 4
         val rpb = numHashes / bands
-        val hs = (0 until numHashes).map { seed =>
-          s"min(${sqlHash60(s"'$seed:' || s")}) AS h$seed"
+        val coeffs = Dedup.minhashCoeffs(numHashes, 7L)
+        val hs = (0 until numHashes).map { i =>
+          val (a, b, c) = coeffs(i)
+          s"min(($a * (h & ${(1L << 30) - 1}) + $b * (h >> 30) + $c) % ${Dedup.MinhashPrime}) AS h$i"
         }.mkString(",\n  ")
         val bandSelects = (0 until bands).map { b =>
           val bs = (b * rpb until (b + 1) * rpb).map(h => s"h$h").mkString("[", ", ", "]")
@@ -254,9 +258,10 @@ object VectorTextQueries {
         }.mkString("\n  UNION ALL ")
         s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
            |sh AS (SELECT doc_id, unnest(${sqlShingles(3)}) AS s FROM toks WHERE len(toks) >= 3),
+           |hashed AS (SELECT doc_id, ${sqlHash60("s")} AS h FROM sh),
            |sig AS (SELECT doc_id,
            |  $hs
-           |  FROM sh GROUP BY doc_id),
+           |  FROM hashed GROUP BY doc_id),
            |banded AS ($bandSelects)
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |FROM banded a JOIN banded b
