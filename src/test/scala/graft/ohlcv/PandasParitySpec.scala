@@ -101,4 +101,60 @@ class PandasParitySpec extends SparkSpec {
       assertGold(s2, s"macdsig_$i", 1e-8)
     }
   }
+
+  private def series(df: org.apache.spark.sql.DataFrame, c: String): Array[java.lang.Double] =
+    df.orderBy("datetime").select(c).collect()
+      .map(r => if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0)))
+
+  test("withAtr(14) matches the pandas SMA-seeded Wilder recurrence") {
+    // withAtr drops each key's first bar: output row i = corpus bar i+1
+    val out = series(Features.withAtr(bars, "symbol", "datetime", w = 14), "atr")
+    Seq(14, 150, 299).foreach(bar => assertGold(out(bar - 1), s"atr14_bar$bar", 1e-8))
+  }
+
+  test("withStochastic(14,3) matches pandas rolling min/max + mean") {
+    val st = Features.withStochastic(bars, "symbol", "datetime", w = 14, smooth = 3)
+    val k = series(st, "stoch_k")
+    val dl = series(st, "stoch_d")
+    Seq(13, 150, 299).foreach(bar => assertGold(k(bar), s"stochk14_bar$bar", 1e-8))
+    Seq(15, 150, 299).foreach(bar => assertGold(dl(bar), s"stochd14_bar$bar", 1e-8))
+  }
+
+  test("withWilliamsR(14) matches the pandas formula") {
+    val out = series(Features.withWilliamsR(bars, "symbol", "datetime", w = 14), "williams_r")
+    Seq(13, 150).foreach(bar => assertGold(out(bar), s"williams14_bar$bar", 1e-8))
+  }
+
+  test("withRoc(12) matches pandas pct_change(12)*100") {
+    val out = series(Features.withRoc(bars.select("symbol", "datetime", "close"),
+      "symbol", "datetime", "close", n = 12), "roc")
+    Seq(12, 150).foreach(bar => assertGold(out(bar), s"roc12_bar$bar", 1e-8))
+  }
+
+  test("withObv matches the ta cumulative sign convention") {
+    val out = series(Features.withObv(bars, "symbol", "datetime"), "obv")
+    Seq(0, 150, 299).foreach(bar => assertGold(out(bar), s"obv_bar$bar", 1e-6))
+  }
+
+  test("withDpo(20) matches pandas shift(11) - rolling(20).mean()") {
+    val out = series(Features.withDpo(bars, "symbol", "datetime", w = 20), "dpo")
+    Seq(19, 150).foreach(bar => assertGold(out(bar), s"dpo20_bar$bar", 1e-8))
+  }
+
+  test("withCci(20) matches pandas rolling MAD formula") {
+    // non-flat bars only: a fully flat window makes CCI 0/0 noise (see
+    // gen_goldens.py comment)
+    val out = series(Features.withCci(bars, "symbol", "datetime", w = 20), "cci")
+    Seq(19, 25, 299).foreach(bar => assertGold(out(bar), s"cci20_bar$bar", 1e-7))
+  }
+
+  test("withDonchian(20) matches pandas rolling max/min") {
+    val dc = Features.withDonchian(bars, "symbol", "datetime", w = 20)
+    val up = series(dc, "dc_up")
+    val dn = series(dc, "dc_dn")
+    Seq(19, 150).foreach { bar =>
+      assertGold(up(bar), s"donchup20_bar$bar")
+      assertGold(dn(bar), s"donchdn20_bar$bar")
+    }
+  }
 }
