@@ -1122,5 +1122,78 @@ object ExtraQueries {
               |FROM l WHERE len(trs) = 14 AND list_sum(trs) > 0
               |ORDER BY user_id, bucket_s""".stripMargin)))
 
-  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship ++ ta ++ ta2 ++ ta3 ++ statsExtra
+  private val ta4: Seq[Q] = {
+    val KamaC1 = 2.0 / 3.0 - 2.0 / 31.0
+    val KamaC2 = 2.0 / 31.0
+    Seq(
+      Q("q83_kama",
+        (s, d) =>
+          Features.withKama(
+            Queries.hourlyResampled(s, d, emitEmpty = false)
+              .select("user_id", "bucket_s", "close"),
+            "user_id", "bucket_s", "close")
+            .filter(col("kama").isNotNull)
+            .select(col("user_id"), col("bucket_s"), pround(col("kama"), 6).as("kama"))
+            .orderBy("user_id", "bucket_s"),
+        // Data-dependent alpha: er/sc are precomputed per row (sequential
+        // list sums), then ONE recursion carries the adaptive state; null
+        // sc (flat stretch) carries the state forward on both sides.
+        Some(s"""WITH RECURSIVE ${Queries.HourlyCloseCte},
+                |ord AS (SELECT user_id, bucket_s, close,
+                |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+                |  FROM agg),
+                |dd AS (SELECT *, abs(close - lag(close, 1) OVER pw) AS da,
+                |    lag(close, 10) OVER pw AS pcw
+                |  FROM ord WINDOW pw AS (PARTITION BY user_id ORDER BY rn)),
+                |b0 AS (SELECT user_id, bucket_s, close, pcw, rn - 1 AS rn2,
+                |    list(da) OVER (PARTITION BY user_id ORDER BY rn
+                |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS das
+                |  FROM dd WHERE da IS NOT NULL),
+                |b AS (SELECT user_id, bucket_s, close, rn2,
+                |    (CASE WHEN pcw IS NOT NULL AND len(das) = 10 AND list_sum(das) > 0
+                |       THEN abs(close - pcw) / list_sum(das) END * ${dlit(KamaC1)} + ${dlit(KamaC2)})
+                |    * (CASE WHEN pcw IS NOT NULL AND len(das) = 10 AND list_sum(das) > 0
+                |       THEN abs(close - pcw) / list_sum(das) END * ${dlit(KamaC1)} + ${dlit(KamaC2)}) AS sc
+                |  FROM b0),
+                |srn AS (SELECT user_id, min(rn2) AS s0 FROM b WHERE sc IS NOT NULL GROUP BY user_id),
+                |rec AS (
+                |  SELECT b.user_id, b.bucket_s, b.rn2, b.close AS kama
+                |  FROM b JOIN srn ON b.user_id = srn.user_id AND b.rn2 = srn.s0
+                |  UNION ALL
+                |  SELECT o.user_id, o.bucket_s, o.rn2,
+                |    CASE WHEN o.sc IS NULL THEN r.kama
+                |         ELSE r.kama + o.sc * (o.close - r.kama) END
+                |  FROM b o JOIN rec r ON o.user_id = r.user_id AND o.rn2 = r.rn2 + 1)
+                |SELECT user_id, bucket_s, ${sqlRound("kama", 6)} AS kama
+                |FROM rec ORDER BY user_id, bucket_s""".stripMargin)),
+
+      Q("q84_chaikin_osc",
+        (s, d) =>
+          Features.withChaikinOsc(hourlyBars(s, d), "user_id", "bucket_s")
+            .filter(col("chaikin_osc").isNotNull)
+            .select(col("user_id"), col("bucket_s"),
+              pround(col("chaikin_osc"), 4).as("chaikin_osc"))
+            .orderBy("user_id", "bucket_s"),
+        // ONE recursion carries both EMA states over the running ADL.
+        Some(s"""WITH RECURSIVE ${Queries.HourlyOhlcvCte},
+                |a AS (SELECT user_id, bucket_s,
+                |    sum((CASE WHEN high > low
+                |        THEN ((close - low) - (high - close)) / (high - low)
+                |        ELSE 0.0 END) * volume)
+                |      OVER (PARTITION BY user_id ORDER BY bucket_s
+                |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adl,
+                |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+                |  FROM aggv),
+                |rec AS (
+                |  SELECT user_id, bucket_s, adl, rn, adl AS ef, adl AS es FROM a WHERE rn = 1
+                |  UNION ALL
+                |  SELECT o.user_id, o.bucket_s, o.adl, o.rn,
+                |    (2.0 / 4.0) * o.adl + (1.0 - 2.0 / 4.0) * r.ef,
+                |    (2.0 / 11.0) * o.adl + (1.0 - 2.0 / 11.0) * r.es
+                |  FROM a o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+                |SELECT user_id, bucket_s, ${sqlRound("ef - es", 4)} AS chaikin_osc
+                |FROM rec WHERE rn >= 10 ORDER BY user_id, bucket_s""".stripMargin)))
+  }
+
+  def all: Seq[Q] = positional ++ savgol ++ ann ++ audio ++ flagship ++ ta ++ ta2 ++ ta3 ++ ta4 ++ statsExtra
 }

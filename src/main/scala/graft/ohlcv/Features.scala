@@ -550,6 +550,93 @@ object Features {
       .drop("__vmp", "__vmm", "__vtr", "__vps", "__vms", "__trs")
   }
 
+  /** Adaptive-alpha EMA scan: seeds with the value at each key's first
+    * row where `alphaCol` is non-null, then
+    * `s_t = s_{t−1} + α_t·(x_t − s_{t−1})`; rows with null α carry the
+    * previous state forward (emitted), rows before the seed emit null.
+    * The recurrence coefficient is DATA-DEPENDENT per row — the shape
+    * KAMA needs — so unlike [[withEma]] the α comes from a column.
+    */
+  def withAdaptiveEma(df: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, alphaCol: String, outCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outCol, DoubleType, nullable = true))
+    val keyIdx = inSchema.fieldIndex(keyCol)
+    val valIdx = inSchema.fieldIndex(valCol)
+    val alphaIdx = inSchema.fieldIndex(alphaCol)
+    val sorted = df.repartition(col(keyCol)).sortWithinPartitions(col(keyCol), col(ordCol))
+    sorted.mapPartitions { rows =>
+      var curKey: Any = null
+      var started = false
+      var seeded = false
+      var state = 0.0
+      rows.map { row =>
+        val k = row.get(keyIdx)
+        if (!started || k != curKey) { started = true; curKey = k; seeded = false }
+        val out = new Array[Any](outSchema.length)
+        var i = 0
+        while (i < inSchema.length) { out(i) = row.get(i); i += 1 }
+        val hasAlpha = !row.isNullAt(alphaIdx)
+        if (!seeded) {
+          if (hasAlpha) { state = row.getDouble(valIdx); seeded = true }
+        } else if (hasAlpha) {
+          state = state + row.getDouble(alphaIdx) * (row.getDouble(valIdx) - state)
+        }
+        out(inSchema.length) =
+          if (seeded) java.lang.Double.valueOf(state) else null
+        new org.apache.spark.sql.catalyst.expressions.GenericRow(out): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** KAMA(er=10, fast=2, slow=30): Kaufman's adaptive moving average.
+    * Efficiency ratio er = |close_t − close_{t−10}| / Σ|Δclose| over the
+    * trailing 10 diffs; smoothing constant sc = (er·(2/3 − 2/31) +
+    * 2/31)²; then the adaptive recurrence via [[withAdaptiveEma]]
+    * (seeded at the first row where sc is defined; flat stretches where
+    * ΣΔ = 0 carry the state forward).
+    */
+  def withKama(df: DataFrame, keyCol: String, ordCol: String,
+      valCol: String = "close", erW: Int = 10, fast: Int = 2, slow: Int = 30,
+      outCol: String = "kama"): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(ordCol)
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(erW - 1), 0)
+    val c1 = 2.0 / (fast + 1) - 2.0 / (slow + 1)
+    val c2 = 2.0 / (slow + 1)
+    val base = df
+      .withColumn("__da", abs(col(valCol) - lag(valCol, 1).over(win)))
+      .withColumn("__pcw", lag(valCol, erW).over(win))
+      .withColumn("__das", collect_list(col("__da")).over(frame))
+    val den = aggregate(col("__das"), lit(0.0), (a, x) => a + x)
+    val er = when(col("__pcw").isNotNull && size(col("__das")) === erW && den > 0,
+      abs(col(valCol) - col("__pcw")) / den)
+    val scBase = er * lit(c1) + lit(c2)
+    val withSc = base
+      .withColumn("__sc", scBase * scBase)
+      .drop("__da", "__pcw", "__das")
+    withAdaptiveEma(withSc, keyCol, ordCol, valCol, "__sc", outCol)
+      .drop("__sc")
+  }
+
+  /** Chaikin oscillator(3, 10): EMA₃ − EMA₁₀ of the accumulation/
+    * distribution line (ADL = running Σ mfm·volume, mfm as in CMF).
+    */
+  def withChaikinOsc(df: DataFrame, keyCol: String, ordCol: String,
+      fast: Int = 3, slow: Int = 10, outCol: String = "chaikin_osc"): DataFrame = {
+    val mfm = when(col("high") > col("low"),
+      ((col("close") - col("low")) - (col("high") - col("close"))) /
+        (col("high") - col("low"))).otherwise(lit(0.0))
+    val cum = Window.partitionBy(keyCol).orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAdl = df.withColumn("__adl", sum(mfm * col("volume")).over(cum))
+    val smoothed = withEma(withAdl, keyCol, ordCol, "__adl",
+      Seq(emaSpanSpec("__ef", fast), emaSpanSpec("__es", slow)))
+    smoothed
+      .withColumn(outCol, col("__ef") - col("__es"))
+      .drop("__adl", "__ef", "__es")
+  }
+
   /** Bollinger bands(w=20, k=2) with the `ta` library's ddof=0 std. */
   def withBollinger(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
       w: Int = 20, k: Double = 2.0): DataFrame = {

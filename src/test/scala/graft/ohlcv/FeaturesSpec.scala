@@ -274,6 +274,45 @@ class FeaturesSpec extends SparkSpec {
     assert(!out(3).isNullAt(0))
   }
 
+  test("withAdaptiveEma: seeds at first alpha, carries state over null alpha") {
+    val df = Seq(
+      ("a", 0L, 10.0, null.asInstanceOf[java.lang.Double]),
+      ("a", 1L, 20.0, java.lang.Double.valueOf(0.5)),
+      ("a", 2L, 30.0, null.asInstanceOf[java.lang.Double]),
+      ("a", 3L, 40.0, java.lang.Double.valueOf(1.0)))
+      .toDF("symbol", "idx", "x", "alpha")
+    val out = Features.withAdaptiveEma(df, "symbol", "idx", "x", "alpha", "s")
+      .orderBy("idx").select("s").collect()
+    assert(out(0).isNullAt(0))
+    assert(approx(out(1).getDouble(0), 20.0)) // seed = value, not blended
+    assert(approx(out(2).getDouble(0), 20.0)) // null alpha carries
+    assert(approx(out(3).getDouble(0), 40.0)) // alpha 1 jumps to value
+  }
+
+  test("withKama: converges to the level on a flat-then-step series") {
+    // 15 bars at 10, then 15 bars at 20: er becomes 1 on the clean step,
+    // sc = (2/3)^2 ~ 0.444 -> kama moves toward 20 and stays within [10,20]
+    val vals = Seq.fill(15)(10.0) ++ Seq.fill(15)(20.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+      .toDF("symbol", "idx", "close")
+    val out = Features.withKama(df, "symbol", "idx", "close")
+      .orderBy("idx").select("kama").collect()
+    val defined = out.filter(!_.isNullAt(0)).map(_.getDouble(0))
+    assert(defined.nonEmpty)
+    assert(defined.forall(v => v >= 10.0 - 1e-9 && v <= 20.0 + 1e-9))
+    assert(math.abs(defined.last - 20.0) < 1.0) // pulled to the new level
+  }
+
+  test("withChaikinOsc: close at the high drives the oscillator positive") {
+    val df = bars((0 until 15).map(i =>
+      (i.toLong, 10.0 + i, 8.0 + i, 10.0 + i, 5.0)): _*)
+    val out = Features.withChaikinOsc(df, "symbol", "idx")
+      .orderBy("idx").select("chaikin_osc").collect()
+    assert(out(8).isNullAt(0)) // needs 10 bars for the slow EMA
+    // ADL rises by +vol each bar (mfm = +1): fast EMA > slow EMA
+    assert(out(14).getDouble(0) > 0.0)
+  }
+
   test("savgol center weights match the classical 21-point quartic kernel sign pattern") {
     val d = Features.SavgolDesign(21, 4)
     val w = d.centerWeights
