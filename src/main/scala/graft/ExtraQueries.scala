@@ -435,18 +435,29 @@ object ExtraQueries {
               |  ${sqlRound("quantile_cont(l_quantity, 0.75)", 6)} AS p75
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // HLL sketches are implementation-specific — rows-only check (the
-    // driver records a weaker gate for oracle-less entries by contract).
-    // The deterministic exact-distinct companion is q69 below, which DOES
-    // get a full hash oracle, so only the genuinely non-deterministic HLL
-    // output stays oracle-less.
+    // HLL sketch values are implementation-specific, so the raw estimate
+    // can't hash-match DuckDB. Instead the query emits the DETERMINISTIC
+    // facts about the sketch: the exact distinct count and a boolean
+    // asserting the HLL estimate landed within 3x its configured rsd
+    // (5% -> 15% band). Spark's HLL++ is deterministic for fixed input,
+    // so the boolean is stable; the oracle computes the exact count and
+    // expects `true` — an HLL regression >15% off flips the flag and
+    // fails the hash check, which is exactly the property worth gating.
     Q("q65_approx_distinct",
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+          .select(
+            col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts") * 0.15).as("within_tol"))
           .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             |  true AS within_tol
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     Q("q69_exact_distinct",
       (s, d) =>

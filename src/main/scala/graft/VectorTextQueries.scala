@@ -215,16 +215,20 @@ object VectorTextQueries {
     Q("q49_simhash_neardup",
       (s, d) => {
         // Both sides of the self-join reference the fingerprint frame —
-        // persist it so the shingle+hash subtree runs once.
+        // persist it so the shingle+hash subtree runs once. 60-bit
+        // fingerprints (the full md5Hash60 width): 7 pigeonhole bands of
+        // 8–9 bits each, so band values span ≥256 buckets and the banded
+        // equi-join's fan-out Σ|bucket|² stays sub-quadratic at scale —
+        // the production configuration, not just the sf0.1 one.
         val fps = Dedup.simhashAgg(Tables.documents(s, d), "doc_id",
-          TextOps.wordShingles(col("text"), 3), 32)
+          TextOps.wordShingles(col("text"), 3), 60)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         fps.count()
-        Dedup.simhashNearDupPairs(fps, "doc_id", "simhash", maxHamming = 6)
+        Dedup.simhashNearDupPairs(fps, "doc_id", "simhash", maxHamming = 6, bits = 60)
           .orderBy("id_a", "id_b")
       },
       Some {
-        val sub = simhashSql(32)
+        val sub = simhashSql(60)
         s"""WITH fps AS ($sub)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
