@@ -543,7 +543,7 @@ object ExtraQueries {
   /** Recursive-CTE EMA over `src(user_id, bucket_s, <valCol>, <rnCol>)`
     * with the same per-step operation order as the mapPartitions scan.
     */
-  private def emaRec(name: String, src: String, valCol: String, rnCol: String,
+  private[graft] def emaRec(name: String, src: String, valCol: String, rnCol: String,
       alphaSql: String): String =
     s"""$name AS (
        |  SELECT user_id, bucket_s, $valCol, $rnCol, $valCol AS e FROM $src WHERE $rnCol = 1

@@ -263,5 +263,167 @@ object TaQueries {
               |SELECT user_id, bucket_s, ${sqlRound("nvi", 6)} AS nvi
               |FROM rec ORDER BY user_id, bucket_s""".stripMargin)))
 
-  def all: Seq[Q] = windowed ++ cumulative
+  // --------------------------------------------------------------
+  // EMA-recurrence families. Chained EMA stages ride ONE recursion
+  // carrying all states with CASE-gated seeds (the q74 TRIX pattern);
+  // recursions feeding window stages hand off through plain CTEs.
+  // --------------------------------------------------------------
+
+  private val recurrent: Seq[Q] = Seq(
+    Q("q95_mass_index",
+      (s, d) =>
+        Indicators.withMassIndex(hourlyBars(s, d), "user_id", "bucket_s")
+          .filter(col("mass_index").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("mass_index"), 6).as("mass_index"))
+          .orderBy("user_id", "bucket_s"),
+      Some {
+        val a = "2.0 / 10.0"
+        val e1t = s"($a) * o.rng + (1.0 - ($a)) * r.e1"
+        s"""WITH RECURSIVE ${Queries.HourlyOhlcvCte},
+           |ord AS (SELECT user_id, bucket_s, high - low AS rng,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+           |  FROM aggv),
+           |rec AS (
+           |  SELECT user_id, bucket_s, rng, rn, rng AS e1, CAST(NULL AS DOUBLE) AS e2
+           |  FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.user_id, o.bucket_s, o.rng, o.rn,
+           |    $e1t,
+           |    CASE WHEN o.rn < 9 THEN NULL
+           |         WHEN o.rn = 9 THEN $e1t
+           |         ELSE ($a) * ($e1t) + (1.0 - ($a)) * r.e2 END
+           |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1),
+           |q AS (SELECT user_id, bucket_s, e1 / e2 AS ratio
+           |  FROM rec WHERE rn >= 17 AND e2 <> 0),
+           |l AS (SELECT user_id, bucket_s,
+           |    list(ratio) OVER (PARTITION BY user_id ORDER BY bucket_s
+           |      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) AS rs
+           |  FROM q)
+           |SELECT user_id, bucket_s, ${sqlRound("list_sum(rs)", 6)} AS mass_index
+           |FROM l WHERE len(rs) = 25 ORDER BY user_id, bucket_s""".stripMargin
+      }),
+
+    Q("q96_tsi",
+      (s, d) =>
+        Indicators.withTsi(hourlyClose(s, d), "user_id", "bucket_s")
+          .filter(col("tsi").isNotNull)
+          .select(col("user_id"), col("bucket_s"), pround(col("tsi"), 6).as("tsi"))
+          .orderBy("user_id", "bucket_s"),
+      Some {
+        val aS = "2.0 / 26.0"
+        val aF = "2.0 / 14.0"
+        val mst = s"($aS) * o.m + (1.0 - ($aS)) * r.ms"
+        val ast = s"($aS) * o.am + (1.0 - ($aS)) * r.as_"
+        s"""WITH RECURSIVE ${Queries.HourlyCloseCte},
+           |ord AS (SELECT user_id, bucket_s, close,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+           |  FROM agg),
+           |b AS (SELECT user_id, bucket_s, rn - 1 AS rn2,
+           |    close - pc AS m, abs(close - pc) AS am
+           |  FROM (SELECT *, lag(close) OVER (PARTITION BY user_id ORDER BY rn) AS pc FROM ord)
+           |  WHERE pc IS NOT NULL),
+           |rec AS (
+           |  SELECT user_id, bucket_s, m, am, rn2, m AS ms, am AS as_,
+           |    CAST(NULL AS DOUBLE) AS msf, CAST(NULL AS DOUBLE) AS asf
+           |  FROM b WHERE rn2 = 1
+           |  UNION ALL
+           |  SELECT o.user_id, o.bucket_s, o.m, o.am, o.rn2,
+           |    $mst,
+           |    $ast,
+           |    CASE WHEN o.rn2 < 25 THEN NULL
+           |         WHEN o.rn2 = 25 THEN $mst
+           |         ELSE ($aF) * ($mst) + (1.0 - ($aF)) * r.msf END,
+           |    CASE WHEN o.rn2 < 25 THEN NULL
+           |         WHEN o.rn2 = 25 THEN $ast
+           |         ELSE ($aF) * ($ast) + (1.0 - ($aF)) * r.asf END
+           |  FROM b o JOIN rec r ON o.user_id = r.user_id AND o.rn2 = r.rn2 + 1)
+           |SELECT user_id, bucket_s,
+           |  ${sqlRound("100.0 * msf / asf", 6)} AS tsi
+           |FROM rec WHERE rn2 >= 37 AND asf <> 0
+           |ORDER BY user_id, bucket_s""".stripMargin
+      }),
+
+    Q("q97_pvo",
+      (s, d) =>
+        Indicators.withPvo(hourlyBars(s, d), "user_id", "bucket_s")
+          .filter(col("pvo_hist").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("pvo"), 6).as("pvo"),
+            pround(col("pvo_signal"), 6).as("pvo_signal"),
+            pround(col("pvo_hist"), 6).as("pvo_hist"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH RECURSIVE ${Queries.HourlyOhlcvCte},
+              |ord AS (SELECT user_id, bucket_s, volume,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+              |  FROM aggv),
+              |${ExtraQueries.emaRec("e12", "ord", "volume", "rn", "2.0 / 13.0")},
+              |${ExtraQueries.emaRec("e26", "ord", "volume", "rn", "2.0 / 27.0")},
+              |m AS (SELECT a.user_id, a.bucket_s, a.rn,
+              |    CASE WHEN b.e <> 0 THEN 100.0 * (a.e - b.e) / b.e END AS pvo
+              |  FROM e12 a JOIN e26 b ON a.user_id = b.user_id AND a.rn = b.rn
+              |  WHERE a.rn >= 26),
+              |mo AS (SELECT user_id, bucket_s, pvo,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2
+              |  FROM m WHERE pvo IS NOT NULL),
+              |${ExtraQueries.emaRec("sig", "mo", "pvo", "rn2", "2.0 / 10.0")}
+              |SELECT user_id, bucket_s, ${sqlRound("pvo", 6)} AS pvo,
+              |  ${sqlRound("e", 6)} AS pvo_signal,
+              |  ${sqlRound("pvo - e", 6)} AS pvo_hist
+              |FROM sig WHERE rn2 >= 9 ORDER BY user_id, bucket_s""".stripMargin)),
+
+    Q("q98_stochrsi",
+      (s, d) =>
+        Indicators.withStochRsi(hourlyClose(s, d), "user_id", "bucket_s")
+          .filter(col("stochrsi_d").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("stochrsi"), 6).as("stochrsi"),
+            pround(col("stochrsi_k"), 6).as("stochrsi_k"),
+            pround(col("stochrsi_d"), 6).as("stochrsi_d"))
+          .orderBy("user_id", "bucket_s"),
+      Some(s"""WITH RECURSIVE ${Queries.HourlyCloseCte},
+              |ord AS (SELECT user_id, bucket_s, close,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+              |  FROM agg),
+              |d AS (SELECT user_id, bucket_s, rn,
+              |    close - lag(close) OVER (PARTITION BY user_id ORDER BY rn) AS df
+              |  FROM ord),
+              |uo AS (SELECT user_id, bucket_s, rn - 1 AS rn2,
+              |    greatest(df, 0.0) AS up, greatest(-df, 0.0) AS dn
+              |  FROM d WHERE df IS NOT NULL),
+              |urec AS (
+              |  SELECT user_id, bucket_s, rn2, up, dn, up AS ue, dn AS de
+              |  FROM uo WHERE rn2 = 1
+              |  UNION ALL
+              |  SELECT o.user_id, o.bucket_s, o.rn2, o.up, o.dn,
+              |    (1.0 / 14.0) * o.up + (1.0 - 1.0 / 14.0) * r.ue,
+              |    (1.0 / 14.0) * o.dn + (1.0 - 1.0 / 14.0) * r.de
+              |  FROM uo o JOIN urec r ON o.user_id = r.user_id AND o.rn2 = r.rn2 + 1),
+              |f AS (SELECT user_id, bucket_s,
+              |    CASE WHEN de = 0 THEN 100.0
+              |      ELSE 100.0 - 100.0 / (1.0 + ue / de) END AS rsi
+              |  FROM urec WHERE rn2 >= 14),
+              |sr AS (SELECT user_id, bucket_s,
+              |    CASE WHEN count(rsi) OVER w = 14 AND max(rsi) OVER w > min(rsi) OVER w
+              |      THEN (rsi - min(rsi) OVER w) / (max(rsi) OVER w - min(rsi) OVER w)
+              |    END AS srsi
+              |  FROM f
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+              |k AS (SELECT user_id, bucket_s, srsi,
+              |    CASE WHEN count(srsi) OVER w3 = 3 THEN avg(srsi) OVER w3 END AS srsi_k
+              |  FROM sr
+              |  WINDOW w3 AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+              |dd AS (SELECT user_id, bucket_s, srsi, srsi_k,
+              |    CASE WHEN count(srsi_k) OVER w3b = 3 THEN avg(srsi_k) OVER w3b END AS srsi_d
+              |  FROM k
+              |  WINDOW w3b AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+              |SELECT user_id, bucket_s, ${sqlRound("srsi", 6)} AS stochrsi,
+              |  ${sqlRound("srsi_k", 6)} AS stochrsi_k,
+              |  ${sqlRound("srsi_d", 6)} AS stochrsi_d
+              |FROM dd WHERE srsi_d IS NOT NULL ORDER BY user_id, bucket_s""".stripMargin)))
+
+  def all: Seq[Q] = windowed ++ cumulative ++ recurrent
 }
