@@ -425,5 +425,124 @@ object TaQueries {
               |  ${sqlRound("srsi_d", 6)} AS stochrsi_d
               |FROM dd WHERE srsi_d IS NOT NULL ORDER BY user_id, bucket_s""".stripMargin)))
 
-  def all: Seq[Q] = windowed ++ cumulative ++ recurrent
+  // --------------------------------------------------------------
+  // State-machine families: PSAR's trend-flip recurrence (one
+  // recursion carrying psar/trend/af/extremes) and STC's EMA→stoch→
+  // EMA→stoch→EMA chain (three recursions bridged by MATERIALIZED
+  // CTEs so DuckDB doesn't re-evaluate upstream recursions per
+  // iteration — the q74 blowup).
+  // --------------------------------------------------------------
+
+  private val stateful: Seq[Q] = {
+    // Candidate SAR before reversal/clamp checks, from the prior state.
+    val s0 = "(r.psar + r.af * (r.uth - r.psar))"
+    val s0d = "(r.psar - r.af * (r.psar - r.dtl))"
+    Seq(
+      Q("q99_psar",
+        (s, d) =>
+          Indicators.withPsar(hourlyBars(s, d), "user_id", "bucket_s")
+            .filter(col("psar").isNotNull)
+            .select(col("user_id"), col("bucket_s"),
+              pround(col("psar"), 6).as("psar"), col("psar_up_trend"))
+            .orderBy("user_id", "bucket_s"),
+        Some(s"""WITH RECURSIVE ${Queries.HourlyOhlcvCte},
+                |ord AS (SELECT user_id, bucket_s, high, low, close,
+                |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+                |  FROM aggv),
+                |b AS (SELECT *, lag(high, 1) OVER pw AS h1, lag(high, 2) OVER pw AS h2,
+                |    lag(low, 1) OVER pw AS l1, lag(low, 2) OVER pw AS l2
+                |  FROM ord WINDOW pw AS (PARTITION BY user_id ORDER BY rn)),
+                |rec AS (
+                |  SELECT user_id, bucket_s, rn, close AS psar, true AS trend,
+                |    CAST(0.02 AS DOUBLE) AS af, h1 AS uth, l1 AS dtl
+                |  FROM b WHERE rn = 2
+                |  UNION ALL
+                |  SELECT o.user_id, o.bucket_s, o.rn,
+                |    CASE WHEN r.trend THEN
+                |      CASE WHEN o.low < $s0 THEN r.uth
+                |           WHEN o.l2 < $s0 THEN o.l2
+                |           WHEN o.l1 < $s0 THEN o.l1
+                |           ELSE $s0 END
+                |    ELSE
+                |      CASE WHEN o.high > $s0d THEN r.dtl
+                |           WHEN o.h2 > $s0d THEN o.h2
+                |           WHEN o.h1 > $s0d THEN o.h1
+                |           ELSE $s0d END
+                |    END,
+                |    CASE WHEN r.trend THEN NOT (o.low < $s0)
+                |         ELSE (o.high > $s0d) END,
+                |    CASE WHEN r.trend THEN
+                |      CASE WHEN o.low < $s0 THEN CAST(0.02 AS DOUBLE)
+                |           WHEN o.high > r.uth THEN least(r.af + 0.02, 0.2)
+                |           ELSE r.af END
+                |    ELSE
+                |      CASE WHEN o.high > $s0d THEN CAST(0.02 AS DOUBLE)
+                |           WHEN o.low < r.dtl THEN least(r.af + 0.02, 0.2)
+                |           ELSE r.af END
+                |    END,
+                |    CASE WHEN r.trend THEN
+                |      CASE WHEN o.low < $s0 THEN r.uth
+                |           WHEN o.high > r.uth THEN o.high
+                |           ELSE r.uth END
+                |    ELSE
+                |      CASE WHEN o.high > $s0d THEN o.high ELSE r.uth END
+                |    END,
+                |    CASE WHEN r.trend THEN
+                |      CASE WHEN o.low < $s0 THEN o.low ELSE r.dtl END
+                |    ELSE
+                |      CASE WHEN o.high > $s0d THEN r.dtl
+                |           WHEN o.low < r.dtl THEN o.low ELSE r.dtl END
+                |    END
+                |  FROM b o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+                |SELECT user_id, bucket_s, ${sqlRound("psar", 6)} AS psar,
+                |  trend AS psar_up_trend
+                |FROM rec WHERE rn >= 3 ORDER BY user_id, bucket_s""".stripMargin)),
+
+      Q("q100_stc",
+        (s, d) =>
+          Indicators.withStc(hourlyClose(s, d), "user_id", "bucket_s")
+            .filter(col("stc").isNotNull)
+            .select(col("user_id"), col("bucket_s"), pround(col("stc"), 6).as("stc"))
+            .orderBy("user_id", "bucket_s"),
+        Some(s"""WITH RECURSIVE ${Queries.HourlyCloseCte},
+                |ord AS (SELECT user_id, bucket_s, close,
+                |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+                |  FROM agg),
+                |rec1 AS (
+                |  SELECT user_id, bucket_s, close, rn, close AS ef, close AS es
+                |  FROM ord WHERE rn = 1
+                |  UNION ALL
+                |  SELECT o.user_id, o.bucket_s, o.close, o.rn,
+                |    (2.0 / 24.0) * o.close + (1.0 - 2.0 / 24.0) * r.ef,
+                |    (2.0 / 51.0) * o.close + (1.0 - 2.0 / 51.0) * r.es
+                |  FROM ord o JOIN rec1 r ON o.user_id = r.user_id AND o.rn = r.rn + 1),
+                |m1 AS MATERIALIZED (
+                |  SELECT user_id, bucket_s, ef - es AS macd FROM rec1 WHERE rn >= 50),
+                |k0 AS (SELECT user_id, bucket_s, macd, count(macd) OVER w AS c,
+                |    min(macd) OVER w AS lo, max(macd) OVER w AS hi
+                |  FROM m1
+                |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+                |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+                |k AS (SELECT user_id, bucket_s,
+                |    100.0 * (macd - lo) / (hi - lo) AS k,
+                |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn3
+                |  FROM k0 WHERE c = 10 AND hi > lo),
+                |${ExtraQueries.emaRec("rec2", "k", "k", "rn3", "2.0 / 4.0")},
+                |m2 AS MATERIALIZED (
+                |  SELECT user_id, bucket_s, e AS d FROM rec2 WHERE rn3 >= 3),
+                |kd0 AS (SELECT user_id, bucket_s, d, count(d) OVER wk AS c,
+                |    min(d) OVER wk AS lo, max(d) OVER wk AS hi
+                |  FROM m2
+                |  WINDOW wk AS (PARTITION BY user_id ORDER BY bucket_s
+                |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+                |kd AS (SELECT user_id, bucket_s,
+                |    100.0 * (d - lo) / (hi - lo) AS kd,
+                |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn5
+                |  FROM kd0 WHERE c = 10 AND hi > lo),
+                |${ExtraQueries.emaRec("rec3", "kd", "kd", "rn5", "2.0 / 4.0")}
+                |SELECT user_id, bucket_s, ${sqlRound("e", 6)} AS stc
+                |FROM rec3 WHERE rn5 >= 3 ORDER BY user_id, bucket_s""".stripMargin)))
+  }
+
+  def all: Seq[Q] = windowed ++ cumulative ++ recurrent ++ stateful
 }
