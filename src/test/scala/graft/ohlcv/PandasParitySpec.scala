@@ -148,6 +148,85 @@ class PandasParitySpec extends SparkSpec {
     Seq(19, 25, 299).foreach(bar => assertGold(out(bar), s"cci20_bar$bar", 1e-7))
   }
 
+  test("withIchimoku matches the pandas min_periods=1 midpoints") {
+    val ich = Indicators.withIchimoku(bars, "symbol", "datetime")
+    val conv = series(ich, "ichimoku_conv")
+    val base = series(ich, "ichimoku_base")
+    val a = series(ich, "ichimoku_a")
+    val b = series(ich, "ichimoku_b")
+    Seq(0, 25, 150, 299).foreach { bar =>
+      assertGold(conv(bar), s"ichi_conv_bar$bar")
+      assertGold(base(bar), s"ichi_base_bar$bar")
+      assertGold(a(bar), s"ichi_a_bar$bar")
+      assertGold(b(bar), s"ichi_b_bar$bar")
+    }
+  }
+
+  test("withTsi(25,13) matches the pandas double-EMA momentum ratio") {
+    // withTsi drops each key's first bar (no diff): output row i = bar i+1
+    val out = series(Indicators.withTsi(bars.select("symbol", "datetime", "close"),
+      "symbol", "datetime"), "tsi")
+    Seq(37, 150, 299).foreach(bar => assertGold(out(bar - 1), s"tsi_bar$bar", 1e-8))
+  }
+
+  test("withPsar matches the ta trend-flip loop (value and regime)") {
+    val ps = Indicators.withPsar(bars, "symbol", "datetime")
+    val v = series(ps, "psar")
+    val t = ps.orderBy("datetime").select("psar_up_trend").collect()
+      .map(r => if (r.isNullAt(0)) null else java.lang.Boolean.valueOf(r.getBoolean(0)))
+    Seq(2, 3, 150, 299).foreach { bar =>
+      assertGold(v(bar), s"psar_bar$bar", 1e-8)
+      assert(t(bar) != null && t(bar).booleanValue == (G(s"psar_trend_bar$bar") == 1.0),
+        s"psar trend bar $bar")
+    }
+  }
+
+  test("withAroon(25) matches pandas first-occurrence argmax/argmin") {
+    val ar = Indicators.withAroon(bars.select("symbol", "datetime", "close"),
+      "symbol", "datetime", w = 25)
+    val up = series(ar, "aroon_up")
+    val dn = series(ar, "aroon_down")
+    Seq(24, 150, 299).foreach { bar =>
+      assertGold(up(bar), s"aroonup_bar$bar", 1e-8)
+      assertGold(dn(bar), s"aroondn_bar$bar", 1e-8)
+    }
+  }
+
+  test("withWma(9) matches the pandas linear-weight window") {
+    val out = series(Indicators.withWma(bars.select("symbol", "datetime", "close"),
+      "symbol", "datetime", w = 9), "wma")
+    Seq(8, 150).foreach(bar => assertGold(out(bar), s"wma9_bar$bar", 1e-8))
+  }
+
+  test("withNvi matches the pandas 1000-seeded gated product") {
+    val out = series(Indicators.withNvi(bars, "symbol", "datetime"), "nvi")
+    Seq(0, 150, 299).foreach(bar => assertGold(out(bar), s"nvi_bar$bar", 1e-6))
+  }
+
+  test("withVwap(14) matches the pandas typical-price ratio") {
+    val out = series(Indicators.withVwap(bars, "symbol", "datetime", w = 14), "vwap")
+    Seq(13, 100, 250).foreach(bar => assertGold(out(bar), s"vwap14_bar$bar", 1e-8))
+  }
+
+  test("withUlcer(14) matches the pandas drawdown RMS") {
+    // withUlcer drops rows before the max window fills: row i = bar i+13
+    val out = series(Indicators.withUlcer(bars.select("symbol", "datetime", "close"),
+      "symbol", "datetime", w = 14), "ulcer")
+    Seq(26, 150).foreach(bar => assertGold(out(bar - 13), s"ulcer14_bar$bar", 1e-8))
+  }
+
+  test("withMassIndex(9,25) matches the pandas double-EMA ratio sum") {
+    // ratio rows start at 0-based bar 16 (the second EMA's 9th
+    // observation): row j = bar j+16
+    val out = series(Indicators.withMassIndex(bars, "symbol", "datetime"), "mass_index")
+    Seq(41, 150, 299).foreach(bar => assertGold(out(bar - 16), s"mass_bar$bar", 1e-8))
+  }
+
+  test("withAwesome(5,34) matches the pandas midpoint SMA difference") {
+    val out = series(Indicators.withAwesome(bars, "symbol", "datetime"), "ao")
+    Seq(33, 150).foreach(bar => assertGold(out(bar), s"ao_bar$bar", 1e-8))
+  }
+
   test("withDonchian(20) matches pandas rolling max/min") {
     val dc = Features.withDonchian(bars, "symbol", "datetime", w = 20)
     val up = series(dc, "dc_up")
