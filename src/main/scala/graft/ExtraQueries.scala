@@ -335,14 +335,26 @@ object ExtraQueries {
           "(greatest(sqrt(list_dot_product(c.e, c.e)), 1e-8) * " +
           "greatest(sqrt(list_dot_product(q.qe, q.qe)), 1e-8)))"
     }
-    def flagshipQ(name: String, metric: String): Q = Q(name,
+    // LSH-accelerated variant (q101): hyperplane signatures over the same
+    // 6-dim embeddings; the candidate join gains a bucket equality, the
+    // re-rank stays exact. Planes are plan+SQL literals from one matrix.
+    val FlagPlanes = Encode.randomProjectionMatrix(Dim, 3, 77L)
+    val flagSigSql: String => String = v =>
+      FlagPlanes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product($v, ${arrLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    def flagshipQ(name: String, metric: String,
+        lshPlanes: Option[Array[Array[Double]]] = None): Q = Q(name,
       (s, d) =>
         Flagship.scoredQueries(s, d, metric = metric, seqLen = SeqLen,
-          predWindow = Pred, stride = Stride, k = 2, embedDim = Dim)
+          predWindow = Pred, stride = Stride, k = 2, embedDim = Dim,
+          lshPlanes = lshPlanes)
           .select(col("q_key"), col("q_start"), pround(col("mae_err"), 6).as("mae_err"))
           .orderBy("q_key", "q_start"),
-      Some(flagshipSql(metric, rounded = true)))
-    def flagshipSql(metric: String, rounded: Boolean): String =
+      Some(flagshipSql(metric, rounded = true,
+        lshSig = lshPlanes.map(_ => flagSigSql))))
+    def flagshipSql(metric: String, rounded: Boolean,
+        lshSig: Option[String => String] = None): String =
       s"""WITH ${Queries.FilledCloseCte},
               |series AS (SELECT user_id, CAST(bucket_s / 3600 AS BIGINT) AS idx, close FROM filled),
               |win0 AS (SELECT user_id, idx AS start_idx,
@@ -360,14 +372,15 @@ object ExtraQueries {
               |emb AS (SELECT user_id, start_idx, vs, c, sc, $meanPool AS e FROM wins),
               |bounds AS (SELECT user_id, min(start_idx) AS mn, max(start_idx) AS mx
               |  FROM emb GROUP BY user_id),
-              |corpus AS (SELECT e.* FROM emb e JOIN bounds b USING (user_id)
+              |corpus AS (SELECT e.*${lshSig.map(f => ", " + f("e.e") + " AS sig").getOrElse("")}
+              |  FROM emb e JOIN bounds b USING (user_id)
               |  WHERE start_idx <= mx - $SeqLen),
-              |queries AS (SELECT e.user_id, e.start_idx AS q_start, e.c AS qc, e.sc AS qsc, e.e AS qe
+              |queries AS (SELECT e.user_id, e.start_idx AS q_start, e.c AS qc, e.sc AS qsc, e.e AS qe${lshSig.map(f => ", " + f("e.e") + " AS qsig").getOrElse("")}
               |  FROM emb e JOIN bounds b USING (user_id)
               |  WHERE (start_idx - mn) % $Stride = 0 AND start_idx <= mx - $SeqLen),
               |scored AS (SELECT c.user_id, q.q_start, q.qc, q.qsc, c.start_idx, c.c AS mc, c.sc AS msc,
               |    ${sqlDist(metric)} AS dist
-              |  FROM corpus c JOIN queries q ON c.user_id = q.user_id
+              |  FROM corpus c JOIN queries q ON c.user_id = q.user_id${lshSig.map(_ => " AND c.sig = q.qsig").getOrElse("")}
               |  WHERE c.start_idx <> q.q_start),
               |top AS (SELECT *, row_number() OVER (PARTITION BY user_id, q_start
               |    ORDER BY dist ASC, start_idx ASC) AS rank
@@ -398,6 +411,7 @@ object ExtraQueries {
               |FROM tgt ORDER BY q_key, q_start""".stripMargin
     Seq(flagshipQ("q60_flagship_mae", "l1"),
       flagshipQ("q61_flagship_cosine", "cosine_dist"),
+      flagshipQ("q101_flagship_lsh", "l1", lshPlanes = Some(FlagPlanes)),
       // A6 error summary over the same pipeline (mean / population std).
       Q("q62_mae_summary",
         (s, d) => {

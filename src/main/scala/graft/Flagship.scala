@@ -69,11 +69,13 @@ object Flagship {
     */
   def scoredQueries(s: SparkSession, dir: String, metric: String = "l1",
       seqLen: Int = SeqLen, predWindow: Int = PredWindow, stride: Int = Stride,
-      k: Int = TopK, embedDim: Int = EmbedDim): DataFrame = {
+      k: Int = TopK, embedDim: Int = EmbedDim,
+      lshPlanes: Option[Array[Array[Double]]] = None): DataFrame = {
     val wins = embeddedWindows(filledSeries(s, dir), seqLen, embedDim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wins.count()
-    val top = Forecast.evaluate(wins, "user_id", seqLen, predWindow, stride, k, metric)
+    val top = Forecast.evaluate(wins, "user_id", seqLen, predWindow, stride, k, metric,
+      lshPlanes)
     // Small (one row per evaluation query); persisting lets the summary
     // query (q62) reuse the identical-plan result via the cache manager.
     Forecast.forecastAndScore(top, wins, "user_id", seqLen, predWindow)

@@ -71,9 +71,10 @@ object Forecast {
     * Returns one row per query: (key, start_idx, mae_err).
     */
   def evaluate(embedded: DataFrame, keyCol: String, seqLen: Int,
-      predWindow: Int, stride: Int, k: Int, metricName: String): DataFrame =
+      predWindow: Int, stride: Int, k: Int, metricName: String,
+      lshPlanes: Option[Array[Array[Double]]] = None): DataFrame =
     evaluateSplit(embedded, embedded, keyCol, seqLen, predWindow, stride, k,
-      metricName, excludeSelf = true)
+      metricName, excludeSelf = true, lshPlanes = lshPlanes)
 
   /** Split-corpus form (the reference's actual protocol,
     * `test.ipynb` cell 20: queries come from the VALIDATION windows,
@@ -84,17 +85,25 @@ object Forecast {
     * reference's multi-symbol union corpus searched as one index space
     * (U2, `train.py:42-43` ConcatDataset consumed at `test.ipynb:812`).
     */
+  /** With `lshPlanes`, candidate generation is bucketed: both sides get a
+    * random-hyperplane signature over the embedding and the join adds an
+    * equality on it — the sub-linear search path the reference asks for
+    * (`README.md:155`), with the exact metric re-ranking inside each
+    * bucket. Queries whose bucket holds no candidate drop out (standard
+    * ANN recall semantics); `planes` trades recall for bucket size.
+    */
   def evaluateSplit(corpusWins: DataFrame, queryWins: DataFrame, keyCol: String,
       seqLen: Int, predWindow: Int, stride: Int, k: Int, metricName: String,
-      excludeSelf: Boolean = false, crossKey: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, crossKey: Boolean = false,
+      lshPlanes: Option[Array[Array[Double]]] = None): DataFrame = {
     val maxIdx = corpusWins.groupBy(keyCol).agg(max("start_idx").as("__max_idx"))
     // O3: corpus windows must have a full follow-on window after them.
-    val corpus = corpusWins.join(broadcast(maxIdx), Seq(keyCol))
+    val corpus0 = corpusWins.join(broadcast(maxIdx), Seq(keyCol))
       .filter(col("start_idx") <= col("__max_idx") - seqLen)
       .select(col(keyCol), col("start_idx"), col("center"), col("scale"), col("embedding"))
     val minIdx = queryWins.groupBy(keyCol).agg(min("start_idx").as("__min_idx"))
     val qMaxIdx = queryWins.groupBy(keyCol).agg(max("start_idx").as("__qmax_idx"))
-    val queries = queryWins.join(broadcast(minIdx), Seq(keyCol))
+    val queries0 = queryWins.join(broadcast(minIdx), Seq(keyCol))
       .join(broadcast(qMaxIdx), Seq(keyCol))
       .filter(((col("start_idx") - col("__min_idx")) % stride === 0) &&
         col("start_idx") <= col("__qmax_idx") - seqLen)
@@ -102,9 +111,20 @@ object Forecast {
         col("center").as("q_center"), col("scale").as("q_scale"),
         col("embedding").as("q_embedding"))
 
+    val (corpus, queries) = lshPlanes match {
+      case Some(mat) => (
+        corpus0.withColumn("__sig", graft.sim.Lsh.hyperplaneSignature(col("embedding"), mat)),
+        queries0.withColumn("__q_sig", graft.sim.Lsh.hyperplaneSignature(col("q_embedding"), mat)))
+      case None => (corpus0, queries0)
+    }
+    val sigCond = lshPlanes.map(_ => col("__sig") === col("__q_sig"))
     val crossed0 =
-      if (crossKey) corpus.crossJoin(broadcast(queries))
-      else corpus.join(broadcast(queries), col(keyCol) === col("q_key"))
+      if (crossKey) sigCond match {
+        case Some(c) => corpus.join(broadcast(queries), c)
+        case None => corpus.crossJoin(broadcast(queries))
+      }
+      else corpus.join(broadcast(queries),
+        sigCond.foldLeft(col(keyCol) === col("q_key"))(_ && _))
     val crossed = (if (excludeSelf) crossed0.filter(col("start_idx") =!= col("q_start"))
       else crossed0)
       .withColumn("dist", Search.metric(metricName)(col("embedding"), col("q_embedding")))
