@@ -544,5 +544,96 @@ object TaQueries {
                 |FROM rec3 WHERE rn5 >= 3 ORDER BY user_id, bucket_s""".stripMargin)))
   }
 
-  def all: Seq[Q] = windowed ++ cumulative ++ recurrent ++ stateful
+  // --------------------------------------------------------------
+  // Decoder (M2 analog): reconstruction error of the mean-pool
+  // encode→decode round trip over the flagship's z-scored windows.
+  // --------------------------------------------------------------
+
+  private val decode: Seq[Q] = {
+    val SeqLen = 24
+    val Dim = 6
+    val Bucket = SeqLen / Dim
+    val meanPool = (0 until Dim).map { i =>
+      s"list_sum(z[(${i * Bucket} + 1):(${i * Bucket} + $Bucket)]) / $Bucket"
+    }.mkString("[", ", ", "]")
+    Seq(
+      Q("q102_decode_mse",
+        (s, d) => {
+          import graft.ohlcv.{Encode, Windows}
+          val wins = Windows.slidingZscored(Flagship.filledSeries(s, d),
+            "user_id", "idx", "close", SeqLen)
+            .filter(col("scale") > 1e-6)
+          val withDec = wins
+            .withColumn("__e", Encode.meanPool(col("zvalues"), SeqLen, Dim))
+            .withColumn("__d", Encode.meanPoolDecode(col("__e"), SeqLen, Dim))
+          withDec.select(col("user_id"), col("start_idx"),
+            pround(
+              aggregate(zip_with(col("zvalues"), col("__d"), (a, b) => (a - b) * (a - b)),
+                lit(0.0), (acc, x) => acc + x) / SeqLen, 6).as("recon_mse"))
+            .orderBy("user_id", "start_idx")
+        },
+        Some(s"""WITH ${Queries.FilledCloseCte},
+                |series AS (SELECT user_id, CAST(bucket_s / 3600 AS BIGINT) AS idx, close FROM filled),
+                |win0 AS (SELECT user_id, idx AS start_idx,
+                |    list(close) OVER (PARTITION BY user_id ORDER BY idx
+                |      ROWS BETWEEN CURRENT ROW AND ${SeqLen - 1} FOLLOWING) AS vs
+                |  FROM series),
+                |win1 AS (SELECT user_id, start_idx, vs, list_sum(vs) / $SeqLen AS c
+                |  FROM win0 WHERE len(vs) = $SeqLen),
+                |win2 AS (SELECT user_id, start_idx, vs, c,
+                |    sqrt(list_sum([(x - c) * (x - c) FOR x IN vs]) / $SeqLen) AS sc
+                |  FROM win1),
+                |wins AS (SELECT user_id, start_idx,
+                |    [(x - c) / (sc + 1e-8) FOR x IN vs] AS z
+                |  FROM win2 WHERE sc > 1e-6),
+                |emb AS (SELECT user_id, start_idx, z, $meanPool AS e FROM wins),
+                |dec AS (SELECT user_id, start_idx, z,
+                |    flatten([${(0 until Bucket).map(_ => "x").mkString("[", ", ", "]")} FOR x IN e]) AS d
+                |  FROM emb)
+                |SELECT user_id, start_idx,
+                |  ${sqlRound(s"list_sum([(y[1] - y[2]) * (y[1] - y[2]) FOR y IN list_zip(z, d)]) / $SeqLen", 6)} AS recon_mse
+                |FROM dec ORDER BY user_id, start_idx""".stripMargin)))
+  }
+
+  // --------------------------------------------------------------
+  // Streaming path under the batch oracle: the foreachBatch upsert
+  // sink's FINAL TABLE must equal the batch dedup-keep-last (q22)
+  // semantics — the streaming twin gets a DuckDB hash check, not just
+  // spec assertions. Each call streams the sf events parquet through
+  // the real sink (fresh checkpoint + sink dir) and returns the
+  // committed table.
+  // --------------------------------------------------------------
+
+  private val streamingChecked: Seq[Q] = Seq(
+    Q("q103_stream_upsert",
+      (s, d) => {
+        import graft.streaming.StreamingIngest
+        val base = java.nio.file.Files.createTempDirectory("graft_q103").toString
+        val sink = base + "/table"
+        val ckpt = base + "/ckpt"
+        // The file stream source needs a DIRECTORY; expose the single
+        // events parquet through a symlinked source dir.
+        val src = base + "/src"
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(src, "events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val schema = s.read.parquet(src).schema
+        val stream = StreamingIngest.readEvents(s, src, schema)
+          .withColumn("__arr", struct(col("ts"), col("event_id")))
+        val q = StreamingIngest.foreachBatchUpsert(stream, sink,
+          Seq("user_id", "event_type"), "__arr", ckpt).start()
+        q.awaitTermination(300000)
+        q.stop()
+        s.read.parquet(sink)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, value FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+             |  ORDER BY ts DESC, event_id DESC) = 1
+             |ORDER BY user_id, event_type""".stripMargin)))
+
+  def all: Seq[Q] =
+    windowed ++ cumulative ++ recurrent ++ stateful ++ decode ++ streamingChecked
 }

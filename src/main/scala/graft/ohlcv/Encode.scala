@@ -25,6 +25,59 @@ object Encode {
       aggregate(slice(arr, i * bucket + 1, lit(bucket)), lit(0.0), (a, x) => a + x) / bucket)
   }
 
+  /** Decoder for [[meanPool]] — the M2 analog (reference `core/nn/vae.py`
+    * decode): the Moore–Penrose pseudo-inverse of the mean-pool matrix
+    * A (entries 1/bucket, AAᵀ = I/bucket) is bucket·Aᵀ, i.e. each latent
+    * value repeats across its bucket. `decode(encode(w))` is the
+    * per-bucket-mean reconstruction, the least-squares optimum for this
+    * encoder; reconstruction MSE = mean within-bucket variance.
+    */
+  def meanPoolDecode(emb: Column, outLen: Int, embDim: Int): Column = {
+    require(outLen % embDim == 0, s"outLen $outLen not divisible by embDim $embDim")
+    val bucket = outLen / embDim
+    flatten(transform(emb, v => array_repeat(v, bucket)))
+  }
+
+  /** Decoder for [[linearProject]]: right pseudo-inverse Mᵀ(MMᵀ)⁻¹ of the
+    * outDim × inLen projection, computed driver-side (outDim² solve) and
+    * applied as a literal matrix — `decode(e) = e · (M⁺)ᵀ` is the
+    * minimum-norm pre-image, exact when the window lies in M's row space.
+    */
+  def pseudoInverse(matrix: Array[Array[Double]]): Array[Array[Double]] = {
+    val outDim = matrix.length
+    val inLen = matrix(0).length
+    // G = M Mᵀ (outDim × outDim), then solve G X = M for X = G⁻¹M; the
+    // pseudo-inverse (inLen × outDim) is Xᵀ = Mᵀ G⁻¹.
+    val g = Array.tabulate(outDim, outDim) { (i, j) =>
+      var s = 0.0; var t = 0; while (t < inLen) { s += matrix(i)(t) * matrix(j)(t); t += 1 }; s
+    }
+    // Gauss-Jordan with partial pivoting on [G | M].
+    val aug = Array.tabulate(outDim, outDim + inLen)((i, j) =>
+      if (j < outDim) g(i)(j) else matrix(i)(j - outDim))
+    var r = 0
+    while (r < outDim) {
+      var piv = r
+      var rr = r + 1
+      while (rr < outDim) { if (math.abs(aug(rr)(r)) > math.abs(aug(piv)(r))) piv = rr; rr += 1 }
+      val tmp = aug(r); aug(r) = aug(piv); aug(piv) = tmp
+      val d = aug(r)(r)
+      var c = 0
+      while (c < outDim + inLen) { aug(r)(c) /= d; c += 1 }
+      var r2 = 0
+      while (r2 < outDim) {
+        if (r2 != r) {
+          val f = aug(r2)(r)
+          var c2 = 0
+          while (c2 < outDim + inLen) { aug(r2)(c2) -= f * aug(r)(c2); c2 += 1 }
+        }
+        r2 += 1
+      }
+      r += 1
+    }
+    // Row i of the result maps the embedding to window position i.
+    Array.tabulate(inLen, outDim)((i, j) => aug(j)(outDim + i))
+  }
+
   /** Fixed linear projection `arr · M` (inLen → outDim) with a literal
     * projection matrix — the PCA/ random-projection family. The matrix is
     * broadcast as literals inside the plan; rows never leave executors.
