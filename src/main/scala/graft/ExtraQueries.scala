@@ -285,7 +285,47 @@ object ExtraQueries {
                 |  FROM e),
                 |b AS (SELECT *, $best AS best FROM scored)
                 |SELECT vec_id, $ivfCase AS ivf_list
-                |FROM b ORDER BY vec_id""".stripMargin)))
+                |FROM b ORDER BY vec_id""".stripMargin)),
+
+      // IVF-probed kNN: corpus pinned to nearest-centroid lists, queries
+      // probe their 2 nearest lists, exact L2 re-rank inside. Oracle picks
+      // the two probe lists with tie-safe lowest-index CASE chains — the
+      // same order as the engine's (d2, list) struct sort.
+      Q("q104_ivf_knn",
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+          val corpus = emb.filter(col("vec_id") >= 5)
+          val queries = emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          Lsh.ivfKnn(corpus, queries, "vec_id", "embedding", "query_id", "query_vec",
+            k = 3, metricName = "l2", centroids = centroids, nprobe = 2)
+            .select(col("query_id"), col("rank"), col("vec_id"), pround(col("dist"), 6).as("dist"))
+            .orderBy("query_id", "rank")
+        },
+        Some {
+          val second = (0 until 8).map(i => s"CASE WHEN $i = i1 THEN NULL ELSE d$i END")
+            .mkString("least(", ", ", ")")
+          val i2Case = (0 until 8).map(i => s"WHEN d$i = second AND i1 <> $i THEN $i")
+            .mkString("CASE ", " ", " END")
+          s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cs AS (SELECT vec_id, v, $dExprs FROM e WHERE vec_id >= 5),
+             |cb AS (SELECT *, $best AS best FROM cs),
+             |c AS (SELECT vec_id, v, $ivfCase AS list FROM cb),
+             |qs AS (SELECT vec_id AS query_id, v AS qv, $dExprs
+             |  FROM e WHERE vec_id < 5),
+             |qb AS (SELECT *, $best AS best FROM qs),
+             |q1 AS (SELECT *, $ivfCase AS i1 FROM qb),
+             |q2 AS (SELECT *, $second AS second FROM q1),
+             |q AS (SELECT query_id, qv, i1, $i2Case AS i2 FROM q2),
+             |j AS (SELECT query_id, c.vec_id, list_distance(c.v, q.qv) AS dist
+             |  FROM c JOIN q ON c.list = q.i1 OR c.list = q.i2),
+             |ranked AS (SELECT query_id, vec_id, dist,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+             |  FROM j)
+             |SELECT query_id, rank, vec_id, ${sqlRound("dist", 6)} AS dist
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+        }))
   }
 
   // ------------------------------------------------------------------

@@ -71,4 +71,47 @@ object Lsh {
     }
     array_min(array(scored.toIndexedSeq: _*)).getField("list")
   }
+
+  /** The `nprobe` nearest centroid lists for a query vector (struct sort
+    * orders by distance then index, so ties break low-index first —
+    * deterministic and oracle-mirrorable).
+    */
+  def ivfProbe(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(vec, cl, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d2"),
+        lit(i).as("list"))
+    }
+    transform(slice(sort_array(array(scored.toIndexedSeq: _*)), 1, nprobe),
+      s => s.getField("list"))
+  }
+
+  /** IVF-probed approximate k-NN: corpus vectors are pinned to their
+    * nearest centroid's list; each query probes its `nprobe` nearest
+    * lists and re-ranks the collisions exactly. The corpus side is an
+    * equi-join on the list id — at 100 TB the lists are the partition
+    * layout, so a query touches nprobe/nlist of the data.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, corpusId: String,
+      corpusVec: String, queryId: String, queryVec: String, k: Int,
+      metricName: String, centroids: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    import graft.ohlcv.Search
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.withColumn("__list",
+      ivfAssign(col(corpusVec).cast("array<double>"), centroids))
+    val q = queries
+      .withColumn("__probe", explode(
+        ivfProbe(col(queryVec).cast("array<double>"), centroids, nprobe)))
+      .select(col("__probe"), col(queryId), col(queryVec))
+    val crossed = c.join(broadcast(q), col("__list") === col("__probe"))
+      .withColumn("dist", Search.metric(metricName)(
+        col(corpusVec).cast("array<double>"), col(queryVec).cast("array<double>")))
+    val w = Window.partitionBy(queryId).orderBy(col("dist").asc, col(corpusId).asc)
+    crossed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop(queryVec, "__list", "__probe")
+  }
 }
