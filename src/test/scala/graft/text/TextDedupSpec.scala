@@ -113,6 +113,28 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("simhashNearDupPairs: 60-bit banding is lossless on random fingerprints") {
+    // The q49 registered width: 7 bands of 8–9 bits. Seeded random corpus
+    // with planted near-duplicates; banded output must equal brute force.
+    val rnd = new scala.util.Random(1234L)
+    val base = Seq.tabulate(40)(i => (i.toLong, rnd.nextLong() & ((1L << 60) - 1)))
+    val planted = base.take(10).map { case (id, fp) =>
+      var v = fp
+      (0 until rnd.nextInt(7)).foreach(_ => v ^= 1L << rnd.nextInt(60))
+      (id + 1000L, v)
+    }
+    val fps = base ++ planted
+    val df = fps.toDF("doc_id", "simhash")
+    val banded = Dedup.simhashNearDupPairs(df, "doc_id", "simhash",
+      maxHamming = 6, bits = 60)
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 6
+    } yield (a, b, h.toLong)).toSet
+    assert(brute.nonEmpty)
+    assert(banded.as[(Long, Long, Long)].collect().toSet == brute)
+  }
+
   test("embeddingNearDup(planes>0): subset of exact pairs, errors on bad dim") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0, 0.0)),
