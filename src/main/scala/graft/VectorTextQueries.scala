@@ -388,7 +388,28 @@ object VectorTextQueries {
           .orderBy("doc_id"),
       Some(s"""SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
               |  ${sqlHash60("text")} AS hash60
-              |FROM documents ORDER BY doc_id""".stripMargin)))
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Winnowing (Schleimer 2003): k-gram rolling hashes, per-window
+    // minima, dedup — the content-defined fingerprint family. One scan,
+    // all HOFs; oracle mirrors with list comprehensions over the same
+    // 60-bit hash.
+    Q("q105_winnowing",
+      (s, d) =>
+        TextOps.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
+          k = 4, w = 5)
+          .orderBy("doc_id", "fp"),
+      Some(s"""WITH n AS (SELECT doc_id,
+              |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+              |  FROM documents),
+              |g AS (SELECT doc_id,
+              |    [${sqlHash60("substr(t, i, 4)")} FOR i IN range(1, greatest(len(t) - 3, 0) + 1)] AS hs
+              |  FROM n),
+              |m AS (SELECT doc_id,
+              |    [list_min(hs[i:i+4]) FOR i IN range(1, greatest(len(hs) - 4, 0) + 1)] AS mins
+              |  FROM g)
+              |SELECT DISTINCT doc_id, unnest(mins) AS fp
+              |FROM m ORDER BY doc_id, fp""".stripMargin)))
 
   // ------------------------------------------------------------------
   // Multimodal plumbing: binary payloads + stubbed decode

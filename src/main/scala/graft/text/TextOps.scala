@@ -62,6 +62,43 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, public
+    * knowledge — the MOSS scheme): hash every character k-gram of the
+    * normalized text, keep the minimum hash of each window of `w`
+    * consecutive k-gram hashes, deduplicate. Guarantees every shared
+    * substring of length ≥ k + w − 1 contributes at least one common
+    * fingerprint — the rolling-hash document-fingerprint family.
+    *
+    * Shape: k-grams posexplode to rows (the array and each md5 evaluate
+    * ONCE — an array-of-windows HOF would re-evaluate the hash array per
+    * window position, quadratic md5s), then one bounded-frame window min
+    * per doc. Linear work, one shuffle on the id; per-doc state never
+    * exceeds the w-row frame, so documents of any length stream.
+    * Output: (idCol, fp) — distinct fingerprints per document.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sequence(1, n) DESCENDS for n < 1 — build 1..n as a slice of a
+    // never-empty ascending sequence so short docs yield empty arrays.
+    def upTo(n: Column): Column =
+      slice(sequence(lit(1), greatest(n, lit(1))), lit(1), greatest(n, lit(0)))
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val grams = transform(upTo(length(norm) - (k - 1)), i => norm.substr(i, lit(k)))
+    val hashed = df
+      .select(col(idCol), posexplode(grams).as(Seq("pos", "__g")))
+      .select(col(idCol), col("pos"), md5Hash60(col("__g")).as("__h"))
+    val frame = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
+    val cnt = Window.partitionBy(idCol)
+    hashed
+      .withColumn("__n", count(lit(1)).over(cnt))
+      .withColumn("__min", min("__h").over(frame))
+      // Only positions with a full w-hash window ahead yield a fingerprint.
+      .filter(col("pos") <= col("__n") - w)
+      .select(col(idCol), col("__min").as("fp"))
+      .distinct()
+  }
+
   /** Quality features (length / punctuation / stopword ratios — the
     * C4/Gopher-style heuristics, public knowledge).
     */
