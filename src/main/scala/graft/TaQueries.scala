@@ -632,7 +632,51 @@ object TaQueries {
       Some("""SELECT user_id, event_type, event_id, value FROM events
              |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
              |  ORDER BY ts DESC, event_id DESC) = 1
-             |ORDER BY user_id, event_type""".stripMargin)))
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Custom streaming state (flatMapGroupsWithState): the per-key EMA
+    // recurrence runs INSIDE the stream with (ema, n) carried across
+    // micro-batches; one AvailableNow pass must equal the batch EMA over
+    // each user's full raw series — checked against the recursive-CTE
+    // oracle, the same gate the batch q27 EMA passes.
+    Q("q106_stream_ema",
+      (s, d) => {
+        import graft.streaming.StreamingIngest
+        import org.apache.spark.sql.streaming.Trigger
+        val base = java.nio.file.Files.createTempDirectory("graft_q106").toString
+        val src = base + "/src"
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(src, "events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val schema = s.read.parquet(src).schema
+        val stream = StreamingIngest.readEvents(s, src, schema)
+        val ema = StreamingIngest.streamingEma(stream, "user_id", "ts", "event_id",
+          "value", alpha = 2.0 / 11.0, minPeriods = 10)
+        val qn = "graft_q106_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = ema.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        q.stop()
+        // Raw event nanos carry sub-µs digits that DuckDB's TIMESTAMP
+        // truncates — emit µs on both sides.
+        s.table(qn).filter(col("ema").isNotNull)
+          .select(col("key").as("user_id"), expr("ts div 1000").as("ts_us"),
+            pround(col("ema"), 6).as("ema"))
+          .orderBy("user_id", "ts_us")
+      },
+      Some(s"""WITH RECURSIVE ord AS (
+              |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              |  FROM events),
+              |rec AS (
+              |  SELECT user_id, ts_us, value, rn, value AS e FROM ord WHERE rn = 1
+              |  UNION ALL
+              |  SELECT o.user_id, o.ts_us, o.value, o.rn,
+              |    (2.0 / 11.0) * o.value + (1.0 - 2.0 / 11.0) * r.e
+              |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+              |SELECT user_id, ts_us, ${sqlRound("e", 6)} AS ema
+              |FROM rec WHERE rn >= 10 ORDER BY user_id, ts_us""".stripMargin)))
 
   def all: Seq[Q] =
     windowed ++ cumulative ++ recurrent ++ stateful ++ decode ++ streamingChecked

@@ -64,6 +64,60 @@ object StreamingIngest {
       .select(col(keyCol), col("window.start").as("bucket_start"),
         col("mean_value"), col("n_events"))
 
+  /** Streaming EMA via `flatMapGroupsWithState` — the custom-state
+    * streaming twin of [[graft.ohlcv.Features.withEma]] (W4): per key,
+    * the state carries (ema, observations) across micro-batches; each
+    * batch's rows are ordered by (ts, tie) inside the group and folded
+    * through the same `α·x + (1−α)·ema` recurrence, emitting one row per
+    * event once `minPeriods` observations are seen. With a single
+    * AvailableNow batch the output is exactly the batch EMA over the
+    * full series (oracle-checked as q106); across batches the state
+    * makes it incremental. Requires per-key event-time order across
+    * batches (true for append-only time-series ingest).
+    */
+  final case class EmaState(ema: Double, n: Long)
+
+  def streamingEma(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, alpha: Double, minPeriods: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Normalize the event time to a sortable long (µs for real
+    // timestamps; raw long columns — e.g. nanos-shimmed parquet — pass
+    // through unchanged).
+    val tsLong = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        events.schema(keyCol).dataType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ema",
+        org.apache.spark.sql.types.DoubleType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    events
+      .select(col(keyCol).as("key"), tsLong.as("ts"),
+        col(tieCol).as("tie"), col(valCol).cast("double").as("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[EmaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var (ema, n) = state.getOption.map(s => (s.ema, s.n)).getOrElse((0.0, 0L))
+          val out = sorted.map { case (_, ts, _, v) =>
+            if (n == 0L) ema = v else ema = alpha * v + (1 - alpha) * ema
+            n += 1
+            Row(key, ts, if (n >= minPeriods) ema else null)
+          }
+          state.update(EmaState(ema, n))
+          out.iterator
+      }
+  }
+
   /** The reference's cache-merge upsert (`cdd.py:108-110`): each
     * micro-batch unions with the sink table and keeps the newest row per
     * key — batch A2 applied inside `foreachBatch`, giving exactly-once

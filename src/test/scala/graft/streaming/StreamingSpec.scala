@@ -54,6 +54,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("streamingEma carries per-key state across micro-batches") {
+    val src = Files.createTempDirectory("graft_stream_ema").toString
+    val ckpt = Files.createTempDirectory("graft_ema_ckpt").toString
+    val alpha = 0.5
+    writeBatch(src, Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, 20.0)))
+    val out = Files.createTempDirectory("graft_ema_out").toString + "/table"
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      // Memory sinks can't recover from a checkpoint; foreachBatch can.
+      val ema = StreamingIngest.streamingEma(
+        StreamingIngest.readEvents(spark, src, schema),
+        "user_id", "ts", "event_id", "value", alpha, minPeriods = 1)
+      val q = ema.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }.start()
+      q.awaitTermination(60000); q.stop()
+    }
+    run()
+    val first = spark.read.parquet(out).orderBy("ts").select("ema")
+      .collect().map(_.getDouble(0))
+    assert(first.toSeq == Seq(10.0, 15.0)) // seed, then 0.5·20 + 0.5·10
+    // Second delivery: the recurrence must continue from ema = 15.
+    writeBatch(src, Seq((3L, ts("2024-01-01 00:02:00"), 1L, 35.0)))
+    run()
+    val second = spark.read.parquet(out).orderBy("ts").select("ema")
+      .collect().map(_.getDouble(0))
+    assert(second.toSeq == Seq(10.0, 15.0, 25.0)) // 0.5·35 + 0.5·15 — not a fresh seed
+  }
+
   test("foreachBatchUpsert merges micro-batches with keep-last semantics") {
     val src = Files.createTempDirectory("graft_stream3").toString
     val sink = Files.createTempDirectory("graft_sink").toString + "/table"
