@@ -237,6 +237,40 @@ object VectorTextQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // Cluster resolution over the q49 near-dup pairs: connected
+    // components by min-label propagation, then keep-one-per-cluster —
+    // the step between pair generation and actually deduplicating a
+    // corpus. Oracle computes the same components via a transitive-
+    // closure recursion and takes the min reachable id.
+    Q("q107_dedup_clusters",
+      (s, d) => {
+        val fps = Dedup.simhashAgg(Tables.documents(s, d), "doc_id",
+          TextOps.wordShingles(col("text"), 3), 60)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fps.count()
+        val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "simhash",
+          maxHamming = 6, bits = 60)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("cluster"),
+            (col("id") === col("cluster")).as("is_keeper"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val sub = simhashSql(60)
+        s"""WITH RECURSIVE fps AS ($sub),
+           |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           |  FROM fps a, fps b
+           |  WHERE a.doc_id <> b.doc_id
+           |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+           |reach AS (
+           |  SELECT src, dst FROM e0
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src)
+           |SELECT src AS doc_id, least(src, min(dst)) AS cluster,
+           |  least(src, min(dst)) = src AS is_keeper
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      }),
+
     // MinHash LSH banded candidate pairs — the registered, oracle-checked
     // form of the banding scheme (12 hashes × 4 bands of 3). The
     // permutation family is one md5 + 12 universal hashes
