@@ -135,6 +135,15 @@ class TextDedupSpec extends SparkSpec {
     assert(banded.as[(Long, Long, Long)].collect().toSet == brute)
   }
 
+  test("connectedComponents resolves chains and separate clusters") {
+    // Component {1,2,3,9} is a chain 9-3-2-1 (needs >1 propagation
+    // round for 9 to reach label 1); {5,6} is separate.
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("embeddingNearDup(planes>0): subset of exact pairs, errors on bad dim") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0, 0.0)),
