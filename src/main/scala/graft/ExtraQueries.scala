@@ -353,6 +353,30 @@ object ExtraQueries {
              |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame, cs, step FROM codes)
              |SELECT doc_id, frame,
              |  floor(((CAST(list_sum(cs[(frame * step + 1):(frame * step + step)]) AS FLOAT) / step)::DOUBLE) * 1e3 + 0.5) / 1e3 AS level
+             |FROM f ORDER BY doc_id, frame""".stripMargin)),
+
+    // Video leg of the multimodal trio: uniform temporal frame sampling
+    // (i -> floor(i*nFrames/k)) over fixed-size byte "frames"; the codec
+    // is stubbed, the sampling arithmetic and plumbing are real.
+    Q("q108_video_frames",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(length(col("text")) >= 8)
+          .withColumn("payload", col("text").cast("binary"))
+        Multimodal.withDecodedFeatures(docs, "payload", "frames",
+          new Multimodal.StubVideoFrameSampler(4, 8))
+          .select(col("doc_id"), posexplode(col("frames")))
+          .select(col("doc_id"), col("pos").as("frame"),
+            pround(col("col").cast("double"), 3).as("level"))
+          .orderBy("doc_id", "frame")
+      },
+      Some("""WITH codes AS (SELECT doc_id,
+             |    [unicode(c) FOR c IN string_split(text, '')] AS cs,
+             |    len(text) // 8 AS nf
+             |  FROM documents WHERE len(text) >= 8),
+             |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame, cs, nf FROM codes)
+             |SELECT doc_id, frame,
+             |  floor(((CAST(list_sum(cs[((frame * nf // 4) * 8 + 1):((frame * nf // 4) * 8 + 8)]) AS FLOAT) / 8)::DOUBLE) * 1e3 + 0.5) / 1e3 AS level
              |FROM f ORDER BY doc_id, frame""".stripMargin)))
 
   // ------------------------------------------------------------------

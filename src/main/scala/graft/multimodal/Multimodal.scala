@@ -82,6 +82,35 @@ object Multimodal {
     }
   }
 
+  /** Deterministic stand-in for a video frame-sampler: the payload is a
+    * sequence of `frameBytes`-byte "frames"; sample `sampleFrames`
+    * evenly-spaced frames (index i ↦ ⌊i·nFrames/sampleFrames⌋ — the
+    * standard uniform temporal sampling a real video pipeline does) and
+    * emit each sampled frame's mean byte as its "luma" feature.
+    */
+  final class StubVideoFrameSampler(sampleFrames: Int = 4,
+      frameBytes: Int = 8) extends Decoder {
+    val featureDim: Int = sampleFrames
+    def decode(payload: Array[Byte]): Option[Array[Float]] = {
+      if (payload == null || payload.length < frameBytes) None
+      else {
+        val nFrames = payload.length / frameBytes
+        val out = new Array[Float](sampleFrames)
+        var i = 0
+        while (i < sampleFrames) {
+          val fi = (i.toLong * nFrames / sampleFrames).toInt
+          var s = 0L
+          var j = fi * frameBytes
+          val end = j + frameBytes
+          while (j < end) { s += (payload(j) & 0xff); j += 1 }
+          out(i) = s.toFloat / frameBytes
+          i += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
   /** Append `outCol: array<float>` by running `decoder` over `payloadCol`
     * in a partition-batched pass. Rows stream through one at a time but
     * the decoder object is constructed once per partition (the expensive
