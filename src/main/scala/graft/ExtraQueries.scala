@@ -335,8 +335,12 @@ object ExtraQueries {
   private val audio: Seq[Q] = Seq(
     Q("q51_audio_frames",
       (s, d) => {
+        // ASCII guard: the stub decoders sample UTF-8 BYTES while the
+        // oracle models Unicode CODEPOINTS — identical only for ASCII, so
+        // both sides filter to it (the synthetic corpus is all-ASCII; the
+        // guard makes the parity contract explicit rather than latent).
         val docs = Tables.documents(s, d)
-          .filter(length(col("text")) >= 4)
+          .filter(length(col("text")) >= 4 && col("text").rlike("^[\\x00-\\x7F]*$"))
           .withColumn("payload", col("text").cast("binary"))
         Multimodal.withDecodedFeatures(docs, "payload", "frames",
           new Multimodal.StubAudioFrameSampler(4))
@@ -349,7 +353,7 @@ object ExtraQueries {
       Some("""WITH codes AS (SELECT doc_id,
              |    [unicode(c) FOR c IN string_split(text, '')] AS cs,
              |    len(text) // 4 AS step
-             |  FROM documents WHERE len(text) >= 4),
+             |  FROM documents WHERE len(text) >= 4 AND regexp_matches(text, '^[\x00-\x7f]*$')),
              |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame, cs, step FROM codes)
              |SELECT doc_id, frame,
              |  floor(((CAST(list_sum(cs[(frame * step + 1):(frame * step + step)]) AS FLOAT) / step)::DOUBLE) * 1e3 + 0.5) / 1e3 AS level
@@ -361,7 +365,7 @@ object ExtraQueries {
     Q("q108_video_frames",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .filter(length(col("text")) >= 8)
+          .filter(length(col("text")) >= 8 && col("text").rlike("^[\\x00-\\x7F]*$"))
           .withColumn("payload", col("text").cast("binary"))
         Multimodal.withDecodedFeatures(docs, "payload", "frames",
           new Multimodal.StubVideoFrameSampler(4, 8))
@@ -373,7 +377,7 @@ object ExtraQueries {
       Some("""WITH codes AS (SELECT doc_id,
              |    [unicode(c) FOR c IN string_split(text, '')] AS cs,
              |    len(text) // 8 AS nf
-             |  FROM documents WHERE len(text) >= 8),
+             |  FROM documents WHERE len(text) >= 8 AND regexp_matches(text, '^[\x00-\x7f]*$')),
              |f AS (SELECT doc_id, unnest(generate_series(0, 3)) AS frame, cs, nf FROM codes)
              |SELECT doc_id, frame,
              |  floor(((CAST(list_sum(cs[((frame * nf // 4) * 8 + 1):((frame * nf // 4) * 8 + 8)]) AS FLOAT) / 8)::DOUBLE) * 1e3 + 0.5) / 1e3 AS level
@@ -672,7 +676,7 @@ object ExtraQueries {
               |m AS (SELECT a.user_id, a.bucket_s, a.rn, a.e - b.e AS macd
               |  FROM e12 a JOIN e26 b ON a.user_id = b.user_id AND a.rn = b.rn
               |  WHERE a.rn >= 26),
-              |mo AS (SELECT user_id, bucket_s, macd,
+              |mo AS MATERIALIZED (SELECT user_id, bucket_s, macd,
               |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2
               |  FROM m),
               |${emaRec("sig", "mo", "macd", "rn2", "2.0 / 10.0")}
@@ -836,10 +840,10 @@ object ExtraQueries {
               |dx AS (SELECT user_id, bucket_s, rn2, dip, dim,
               |    CASE WHEN dip + dim > 0 THEN 100.0 * abs(dip - dim) / (dip + dim) END AS dxv
               |  FROM di),
-              |dxn AS (SELECT user_id, bucket_s, dip, dim, dxv,
+              |dxn AS MATERIALIZED (SELECT user_id, bucket_s, dip, dim, dxv,
               |    row_number() OVER (PARTITION BY user_id ORDER BY rn2) AS rn3
               |  FROM dx WHERE dxv IS NOT NULL),
-              |dsl AS (SELECT user_id, list(dxv ORDER BY rn3) AS dxs FROM dxn GROUP BY user_id),
+              |dsl AS MATERIALIZED (SELECT user_id, list(dxv ORDER BY rn3) AS dxs FROM dxn GROUP BY user_id),
               |arec AS (
               |  SELECT t.user_id, t.bucket_s, t.rn3, t.dip, t.dim,
               |    list_sum(s.dxs[1:14]) / 14.0 AS adx
@@ -1144,7 +1148,7 @@ object ExtraQueries {
               |    CASE WHEN b.e <> 0 THEN 100.0 * (a.e - b.e) / b.e END AS ppo
               |  FROM e12 a JOIN e26 b ON a.user_id = b.user_id AND a.rn = b.rn
               |  WHERE a.rn >= 26),
-              |mo AS (SELECT user_id, bucket_s, ppo,
+              |mo AS MATERIALIZED (SELECT user_id, bucket_s, ppo,
               |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2
               |  FROM m WHERE ppo IS NOT NULL),
               |${emaRec("sig", "mo", "ppo", "rn2", "2.0 / 10.0")}

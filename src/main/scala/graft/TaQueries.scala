@@ -363,7 +363,7 @@ object TaQueries {
               |    CASE WHEN b.e <> 0 THEN 100.0 * (a.e - b.e) / b.e END AS pvo
               |  FROM e12 a JOIN e26 b ON a.user_id = b.user_id AND a.rn = b.rn
               |  WHERE a.rn >= 26),
-              |mo AS (SELECT user_id, bucket_s, pvo,
+              |mo AS MATERIALIZED (SELECT user_id, bucket_s, pvo,
               |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS rn2
               |  FROM m WHERE pvo IS NOT NULL),
               |${ExtraQueries.emaRec("sig", "mo", "pvo", "rn2", "2.0 / 10.0")}
@@ -650,18 +650,22 @@ object TaQueries {
           java.nio.file.Paths.get(src, "events.parquet"),
           java.nio.file.Paths.get(d, "events.parquet"))
         val schema = s.read.parquet(src).schema
+        // Truncate raw nanos to µs BEFORE the stateful fold: the oracle's
+        // ORDER BY (DuckDB TIMESTAMP) is µs-resolution, so folding on full
+        // nanos would reorder the recurrence for events sharing a µs but
+        // differing in sub-µs digits (event_id breaks ties identically on
+        // both sides).
         val stream = StreamingIngest.readEvents(s, src, schema)
-        val ema = StreamingIngest.streamingEma(stream, "user_id", "ts", "event_id",
+          .withColumn("ts_us", expr("ts div 1000"))
+        val ema = StreamingIngest.streamingEma(stream, "user_id", "ts_us", "event_id",
           "value", alpha = 2.0 / 11.0, minPeriods = 10)
         val qn = "graft_q106_" + java.util.UUID.randomUUID.toString.replace("-", "")
         val q = ema.writeStream.format("memory").queryName(qn)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination(300000)
         q.stop()
-        // Raw event nanos carry sub-µs digits that DuckDB's TIMESTAMP
-        // truncates — emit µs on both sides.
         s.table(qn).filter(col("ema").isNotNull)
-          .select(col("key").as("user_id"), expr("ts div 1000").as("ts_us"),
+          .select(col("key").as("user_id"), col("ts").as("ts_us"),
             pround(col("ema"), 6).as("ema"))
           .orderBy("user_id", "ts_us")
       },

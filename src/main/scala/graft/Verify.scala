@@ -18,13 +18,29 @@ object Verify {
       else SparkEntry.queries.filter { case (n, _) => only(n) }
     val spark = Session.get()
     new java.io.File(outDir).mkdirs()
+    // Dump queries CONCURRENTLY (Spark job scheduling is thread-safe and
+    // the outputs are disjoint directories): at sf0.01 most queries are
+    // seconds of work but there are 100+ of them, and the two streaming
+    // queries block on micro-batch commits — run serially the suite
+    // outgrew the driver's gate budget (round 4 recorded an empty
+    // CORRECTNESS file). 8 lanes keeps 32 cores busy without thrashing
+    // the shuffle dirs.
+    val lanes = math.min(8, math.max(1, selected.size))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(lanes)
+    val done = new java.util.concurrent.CountDownLatch(selected.size)
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          } finally done.countDown()
+        }
+      })
     }
+    done.await()
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -74,6 +74,12 @@ object StreamingIngest {
     * full series (oracle-checked as q106); across batches the state
     * makes it incremental. Requires per-key event-time order across
     * batches (true for append-only time-series ingest).
+    *
+    * Type contract: `keyCol` and `tieCol` must be integral (they are cast
+    * to long — the output `key` is LongType regardless of input width);
+    * `tsCol` may be a timestamp (folded at µs resolution) or any integral
+    * column. Non-integral keys would need a Row-encoder groupByKey — not
+    * plumbed, so the schema states the long contract honestly.
     */
   final case class EmaState(ema: Double, n: Long)
 
@@ -90,17 +96,28 @@ object StreamingIngest {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
       case _ => col(tsCol).cast("long")
     }
+    {
+      import org.apache.spark.sql.types._
+      val integral: Set[org.apache.spark.sql.types.DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
+      Seq(keyCol, tieCol).foreach { c =>
+        require(integral(events.schema(c).dataType),
+          s"streamingEma: column '$c' must be integral (got " +
+            s"${events.schema(c).dataType.simpleString}); long keys are the " +
+            "plumbed contract")
+      }
+    }
     val outSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("key",
-        events.schema(keyCol).dataType),
+        org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ema",
         org.apache.spark.sql.types.DoubleType)))
     implicit val rowEnc = Encoders.row(outSchema)
     events
-      .select(col(keyCol).as("key"), tsLong.as("ts"),
-        col(tieCol).as("tie"), col(valCol).cast("double").as("v"))
+      .select(col(keyCol).cast("long").as("key"), tsLong.as("ts"),
+        col(tieCol).cast("long").as("tie"), col(valCol).cast("double").as("v"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -131,10 +148,6 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        def readOrEmpty(path: String): DataFrame =
-          try spark.read.parquet(path)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
         // Crash recovery: if a previous batch died between the two renames
         // below, the live table is the __old copy (sinkDir missing) — the
         // re-run batch merges against it, so no committed row is ever lost.
@@ -143,7 +156,10 @@ object StreamingIngest {
         val dst = new org.apache.hadoop.fs.Path(sinkDir)
         val oldP = new org.apache.hadoop.fs.Path(sinkDir + "__old")
         val existing =
-          if (fs.exists(dst)) readOrEmpty(sinkDir) else readOrEmpty(sinkDir + "__old")
+          if (fs.exists(dst)) spark.read.parquet(sinkDir)
+          else if (fs.exists(oldP)) spark.read.parquet(sinkDir + "__old")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val merged = graft.ohlcv.TimeSeriesOps.dedupKeepLast(
           existing.unionByName(batch), keys, col(arrivalCol))
         // Write to a temp dir then swap — parquet sinks can't be read and
