@@ -55,9 +55,17 @@ object Bench {
           (-1.0, sanitize(e.getClass.getSimpleName + ": " + e.getMessage))
       }
     }
+    // Two warm reps, report the MIN: warm timings on a shared box spike
+    // 3–10× under transient GC/load pressure (different queries each run),
+    // and the min of two reps is the plan's actual cost — both spiking on
+    // the same query is rare, so round-over-round comparisons stop chasing
+    // noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, _) = time(fn)
-      val (warm, err) = time(fn)
+      val (warm1, _) = time(fn)
+      val (warm2, err) = time(fn)
+      val warm = if (warm1 < 0) warm2 else if (warm2 < 0) warm1
+        else math.min(warm1, warm2)
       (name, cold, warm, err)
     }
     def r2(v: Double): String = f"$v%.2f"

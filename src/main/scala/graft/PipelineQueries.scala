@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.Rounding.{pround, sqlRound}
+import graft.VectorTextQueries.{sqlHash60, sqlShingles, sqlToks}
+import graft.sim.Pq
+import graft.text.{Contamination, Sampling, TextOps}
+
+/** Round-5 training-data-pipeline queries: corpus hygiene (repetition
+  * filters, benchmark decontamination, cross-document chunk dedup),
+  * balanced sampling, PQ-compressed similarity search, and the
+  * watermarked streaming OHLCV aggregation — each with a DuckDB oracle.
+  */
+object PipelineQueries {
+
+  /** DuckDB n-gram shingles over a token column named `w`. */
+  private def shinglesW(n: Int): String =
+    s"[array_to_string(w[i:i+${n - 1}], ' ') FOR i IN range(1, len(w) - ${n - 2})]"
+
+  private val quality: Seq[Q] = Seq(
+    // Gopher-style repetition metrics (Rae et al. 2021 §A1.1): the
+    // most-repetitious-2-gram character mass and the duplicated-3-gram
+    // character mass, per document (3-grams because the synthetic corpus
+    // has a 40-word vocab — its natural repetition length; web text uses
+    // 5..10).
+    Q("q109_repetition",
+      (s, d) => TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, len(text) AS nc, $sqlToks AS w FROM documents),
+              |b AS (SELECT doc_id, unnest(${shinglesW(2)}) AS g FROM t),
+              |bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+              |bt AS (SELECT doc_id, max(c * len(g)) AS topchars FROM bc GROUP BY 1),
+              |f AS (SELECT doc_id, unnest(${shinglesW(3)}) AS g FROM t),
+              |fc AS (SELECT doc_id, g, count(*) AS c FROM f GROUP BY 1, 2),
+              |fd AS (SELECT doc_id, CAST(sum(c * len(g)) AS BIGINT) AS dupchars
+              |  FROM fc WHERE c >= 2 GROUP BY 1)
+              |SELECT t.doc_id, CAST(t.nc AS BIGINT) AS n_chars,
+              |  ${sqlRound("CAST(coalesce(bt.topchars, 0) AS DOUBLE) / t.nc", 6)} AS top2_frac,
+              |  ${sqlRound("CAST(coalesce(fd.dupchars, 0) AS DOUBLE) / t.nc", 6)} AS dup_frac
+              |FROM t LEFT JOIN bt USING (doc_id) LEFT JOIN fd USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // GPT-3-style benchmark decontamination: distinct 8-gram overlap of
+    // every candidate doc against the src0 "benchmark" slice.
+    Q("q110_contamination",
+      (s, d) => Contamination.benchmarkOverlap(Tables.documents(s, d),
+          "doc_id", "text", col("source") === "src0", n = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS w FROM documents),
+              |sh AS (SELECT doc_id, source, unnest(${shinglesW(8)}) AS g FROM t),
+              |hh AS (SELECT doc_id, source, ${sqlHash60("g")} AS h FROM sh),
+              |b AS (SELECT DISTINCT h FROM hh WHERE source = 'src0'),
+              |c AS (SELECT DISTINCT doc_id, h FROM hh WHERE source <> 'src0'),
+              |sj AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              |  FROM c JOIN b USING (h) GROUP BY 1)
+              |SELECT d.doc_id,
+              |  coalesce(sj.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+              |  coalesce(sj.n_shared, 0) > 0 AS contaminated
+              |FROM documents d LEFT JOIN sj USING (doc_id)
+              |WHERE d.source <> 'src0'
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // C4-style cross-document chunk dedup statistic: fraction of each
+    // doc's 10-token chunks that occur in at least one other doc.
+    Q("q114_chunk_dedup",
+      (s, d) => Contamination.chunkDupStats(Tables.documents(s, d),
+          "doc_id", "text", chunkTokens = 10)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+              |tt AS (SELECT doc_id, w, len(w) // 10 AS nch FROM t WHERE len(w) // 10 > 0),
+              |ch AS (SELECT doc_id,
+              |    unnest([${sqlHash60("array_to_string(w[(j*10+1):(j*10+10)], ' ')")}
+              |            FOR j IN range(0, nch)]) AS h
+              |  FROM tt),
+              |nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY 1),
+              |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              |    CAST(sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ndup
+              |  FROM ch JOIN nd USING (h) GROUP BY 1)
+              |SELECT doc_id, n_chunks,
+              |  ${sqlRound("CAST(ndup AS DOUBLE) / n_chunks", 6)} AS dup_chunk_frac
+              |FROM ag ORDER BY doc_id""".stripMargin)),
+
+    // Language-balanced deterministic sample: every lang's expected
+    // sampled size equals the smallest lang's size; the keep decision is
+    // a pure integer hash coin, reproducible on any cluster layout.
+    Q("q113_stratified_sample",
+      (s, d) => Sampling.balancedSample(Tables.documents(s, d),
+          "doc_id", "lang", salt = "strat")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+              |t AS (SELECT lang, (min(cnt) OVER ()) * 1000000 // cnt AS thresh FROM c)
+              |SELECT d.doc_id, d.lang
+              |FROM documents d JOIN t USING (lang)
+              |WHERE ${sqlHash60("'strat:' || CAST(d.doc_id AS VARCHAR)")} % 1000000 < t.thresh
+              |ORDER BY d.doc_id""".stripMargin)))
+
+  private val pq: Seq[Q] = Seq(
+    // Product-quantization ADC search: codebook = subvectors of corpus
+    // vectors 0–3 (deterministic, pluggable in production via k-means),
+    // corpus = vec_id ≥ 5 encoded to 4 codes each, query = vec_id 4
+    // scored by asymmetric distance, top-10.
+    Q("q111_pq_adc",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val cb = Pq.codebook(emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          m = 4, subDim = 16)
+        val codes = Pq.encode(emb.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          cb, m = 4, subDim = 16)
+        Pq.adcTopK(codes, "vec_id", cb, emb.filter(col("vec_id") === 4),
+            "embedding", m = 4, subDim = 16, k = 10)
+          .select(col("rank"), col("vec_id"), pround(col("adc"), 6).as("adc"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
+              |cbv AS (SELECT vec_id AS code, embedding::DOUBLE[] AS v
+              |  FROM embeddings WHERE vec_id < 4),
+              |cb AS (SELECT sub, code, v[(sub*16+1):(sub*16+16)] AS sv FROM cbv, subs),
+              |corp AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              |  FROM embeddings WHERE vec_id >= 5),
+              |cs AS (SELECT vec_id, sub, v[(sub*16+1):(sub*16+16)] AS sv FROM corp, subs),
+              |d AS (SELECT cs.vec_id, cs.sub, cb.code,
+              |    list_sum(list_transform(range(1, 17),
+              |      i -> (cs.sv[i]-cb.sv[i])*(cs.sv[i]-cb.sv[i]))) AS d2
+              |  FROM cs JOIN cb ON cs.sub = cb.sub),
+              |codes AS (SELECT vec_id, sub, code FROM
+              |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+              |     ORDER BY d2 ASC, code ASC) AS rn FROM d)
+              |  WHERE rn = 1),
+              |q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 4),
+              |qs AS (SELECT sub, v[(sub*16+1):(sub*16+16)] AS qv FROM q, subs),
+              |lut AS (SELECT cb.sub, cb.code,
+              |    list_sum(list_transform(range(1, 17),
+              |      i -> (qs.qv[i]-cb.sv[i])*(qs.qv[i]-cb.sv[i]))) AS d2
+              |  FROM cb JOIN qs ON cb.sub = qs.sub),
+              |adc AS (SELECT c.vec_id, list_sum(list(l.d2 ORDER BY c.sub)) AS adc
+              |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+              |  GROUP BY 1)
+              |SELECT row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS rank,
+              |  vec_id, ${sqlRound("adc", 6)} AS adc
+              |FROM adc
+              |QUALIFY rank <= 10
+              |ORDER BY rank""".stripMargin)))
+
+  private val streamingChecked: Seq[Q] = Seq(
+    // Watermarked streaming tumbling OHLCV: append-mode emission — only
+    // buckets whose END the final watermark (max event time − 2 days)
+    // has passed are committed; the oracle applies the same cut to the
+    // batch aggregation.
+    Q("q112_stream_ohlcv",
+      (s, d) => {
+        import graft.streaming.StreamingIngest
+        import org.apache.spark.sql.streaming.Trigger
+        val base = java.nio.file.Files.createTempDirectory("graft_q112").toString
+        val src = base + "/src"
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(src, "events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val schema = s.read.parquet(src).schema
+        val stream = StreamingIngest.readEvents(s, src, schema)
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        val agg = StreamingIngest.tumblingOhlcv(stream, "ts_t", "value",
+          "event_type", "1 day", "2 days", tieCol = Some("event_id"))
+        val qn = "graft_q112_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        q.stop()
+        s.table(qn)
+          .select(col("event_type"),
+            col("bucket_start").cast("long").as("bucket_s"),
+            pround(col("open"), 6).as("open"), pround(col("high"), 6).as("high"),
+            pround(col("low"), 6).as("low"), pround(col("close"), 6).as("close"),
+            pround(col("volume"), 6).as("volume"), col("n_events"))
+          .orderBy("event_type", "bucket_s")
+      },
+      Some(s"""WITH e AS (SELECT event_type, event_id,
+              |    CAST(epoch_us(ts) AS BIGINT) AS us, value FROM events),
+              |wm AS (SELECT (max(us) // 1000) * 1000 - 172800000000 AS wm_us FROM e),
+              |b AS (SELECT event_type, event_id, us, value,
+              |    (us // 86400000000) * 86400 AS bucket_s FROM e),
+              |r AS (SELECT *,
+              |    row_number() OVER (PARTITION BY event_type, bucket_s
+              |      ORDER BY us ASC, event_id ASC) AS rf,
+              |    row_number() OVER (PARTITION BY event_type, bucket_s
+              |      ORDER BY us DESC, event_id DESC) AS rl
+              |  FROM b),
+              |g AS (SELECT event_type, bucket_s,
+              |    max(CASE WHEN rf = 1 THEN value END) AS open,
+              |    max(value) AS high, min(value) AS low,
+              |    max(CASE WHEN rl = 1 THEN value END) AS close,
+              |    sum(value) AS volume, CAST(count(*) AS BIGINT) AS n_events
+              |  FROM r GROUP BY 1, 2)
+              |SELECT event_type, bucket_s, ${sqlRound("open", 6)} AS open,
+              |  ${sqlRound("high", 6)} AS high, ${sqlRound("low", 6)} AS low,
+              |  ${sqlRound("close", 6)} AS close, ${sqlRound("volume", 6)} AS volume,
+              |  n_events
+              |FROM g, wm WHERE (bucket_s + 86400) * 1000000 <= wm.wm_us
+              |ORDER BY event_type, bucket_s""".stripMargin)))
+
+  def all: Seq[Q] = quality ++ pq ++ streamingChecked
+}

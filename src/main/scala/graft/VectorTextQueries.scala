@@ -22,14 +22,14 @@ import graft.Rounding.{pround, sqlRound}
 object VectorTextQueries {
 
   /** DuckDB rendering of TextOps.md5Hash60. */
-  private def sqlHash60(expr: String): String =
+  private[graft] def sqlHash60(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
 
   /** DuckDB rendering of TextOps.tokens (whitespace split, empties out). */
-  private val sqlToks = """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
+  private[graft] val sqlToks = """list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)"""
 
   /** DuckDB word-n-gram shingles over `toks` (1-based inclusive slices). */
-  private def sqlShingles(n: Int): String =
+  private[graft] def sqlShingles(n: Int): String =
     s"[array_to_string(toks[i:i+${n - 1}], ' ') FOR i IN range(1, len(toks) - ${n - 2})]"
 
   /** DuckDB mirror of Search.cosine (incl. the 1e-8 norm guards and the
@@ -41,12 +41,12 @@ object VectorTextQueries {
   /** `Double.toString` round-trips the exact IEEE value; lowercase the E
     * so DuckDB parses a double literal.
     */
-  private def dlit(x: Double): String = {
+  private[graft] def dlit(x: Double): String = {
     val s = x.toString
     if (s.contains("E") || s.contains("e")) s.toLowerCase else s
   }
 
-  private def arrLit(a: Array[Double]): String =
+  private[graft] def arrLit(a: Array[Double]): String =
     a.map(dlit).mkString("[", ", ", "]")
 
   /** DuckDB mirror of Lsh.hyperplaneSignature over plane literals. */

@@ -36,22 +36,30 @@ object StreamingIngest {
   /** Streaming tumbling-window OHLCV aggregation with watermark:
     * open/close via min_by/max_by on event time, high/low/volume as plain
     * aggregates. Append-mode capable (emits a bucket once the watermark
-    * passes its end).
+    * passes its end). `tieCol` breaks event-time ties for open/close
+    * deterministically (struct ordering is lexicographic) — without it
+    * two events sharing a timestamp make min_by/max_by pick arbitrarily.
     */
   def tumblingOhlcv(events: DataFrame, tsCol: String, valCol: String,
-      keyCol: String, width: String, watermark: String): DataFrame =
+      keyCol: String, width: String, watermark: String,
+      tieCol: Option[String] = None): DataFrame = {
+    val ord = tieCol match {
+      case Some(t) => struct(col(tsCol), col(t))
+      case None => struct(col(tsCol))
+    }
     events.withWatermark(tsCol, watermark)
       .groupBy(col(keyCol), window(col(tsCol), width))
       .agg(
-        min_by(col(valCol), col(tsCol)).as("open"),
+        min_by(col(valCol), ord).as("open"),
         max(col(valCol)).as("high"),
         min(col(valCol)).as("low"),
-        max_by(col(valCol), col(tsCol)).as("close"),
+        max_by(col(valCol), ord).as("close"),
         sum(col(valCol)).as("volume"),
         count(lit(1)).as("n_events"))
       .select(col(keyCol), col("window.start").as("bucket_start"),
         col("window.end").as("bucket_end"), col("open"), col("high"),
         col("low"), col("close"), col("volume"), col("n_events"))
+  }
 
   /** Sliding-window mean (W1's streaming shape): 256-width / 1-slide in
     * the reference; width/slide parameterized here.

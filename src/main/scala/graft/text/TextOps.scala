@@ -173,4 +173,48 @@ object TextOps {
       .withColumn("lang_score", pround(col("__best.score"), 6))
       .drop("__best")
   }
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1, public
+    * knowledge), per document:
+    *
+    *  - `top2_frac`: max over word-2-grams of
+    *    `occurrences(g) · chars(g) / chars(doc)` — the "fraction of
+    *    characters in the most repetitious 2-gram" filter (our max is over
+    *    the count·length PRODUCT, which removes the tie-break ambiguity of
+    *    "most frequent gram" while keeping the same filtering power);
+    *  - `dup_frac`: Σ over word-`dupN`-grams occurring ≥ 2 times of
+    *    `occurrences(g) · chars(g) / chars(doc)` — the duplicated-n-gram
+    *    mass (overlaps double-count, so the score can exceed 1; it is a
+    *    filter statistic, not a proportion). Gopher uses n ∈ 5..10 on web
+    *    text; `dupN` is a parameter because the right n tracks the
+    *    corpus's natural repetition length.
+    *
+    * Shape: two explode→count aggregations keyed by (doc, gram) — the
+    * heavy lifting is hash aggregation with map-side partials, so a
+    * 100 TB corpus pays two shuffles of (id, gram-hash) pairs and no
+    * per-document state exceeds a gram row.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      dupN: Int = 3): DataFrame = {
+    val base = df.select(col(idCol), col(textCol).as("__text"),
+      length(col(textCol)).as("__nc"))
+    def gramMass(n: Int) = base
+      .select(col(idCol), explode(wordShingles(col("__text"), n)).as("g"))
+      .groupBy(idCol, "g").count()
+    val top2 = gramMass(2)
+      .groupBy(idCol)
+      .agg(max(col("count") * length(col("g"))).as("__top2"))
+    val dup = gramMass(dupN)
+      .filter(col("count") >= 2)
+      .groupBy(idCol)
+      .agg(sum(col("count") * length(col("g"))).as("__dup"))
+    base
+      .join(top2, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("__nc").cast("long").as("n_chars"),
+        pround(coalesce(col("__top2"), lit(0L)).cast("double") / col("__nc"), 6)
+          .as("top2_frac"),
+        pround(coalesce(col("__dup"), lit(0L)).cast("double") / col("__nc"), 6)
+          .as("dup_frac"))
+  }
 }

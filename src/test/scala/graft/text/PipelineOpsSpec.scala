@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sim.Pq
+
+/** Round-5 pipeline operators: repetition metrics, contamination,
+  * chunk dedup, stratified sampling, product quantization.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats: hand-computed gram masses") {
+    // doc 1: "a b a b a b" — top 2-gram "a b" occurs 3×, len 3, text len 11.
+    // 3-grams: "a b a" ×2, "b a b" ×2 → dup mass (2·5 + 2·5) / 11.
+    // doc 2: all-distinct words — dup mass 0, top 2-gram count 1.
+    val docs = Seq((1L, "a b a b a b"), (2L, "w x y z")).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text").orderBy("doc_id")
+      .collect()
+    assert(out(0).getAs[Long]("n_chars") == 11L)
+    assert(approx(out(0).getAs[Double]("top2_frac"), 9.0 / 11, 1e-6))
+    assert(approx(out(0).getAs[Double]("dup_frac"), 20.0 / 11, 1e-6))
+    assert(approx(out(1).getAs[Double]("top2_frac"), 3.0 / 7, 1e-6))
+    assert(out(1).getAs[Double]("dup_frac") == 0.0)
+  }
+
+  test("benchmarkOverlap: shared n-grams counted once, bench docs excluded") {
+    val docs = Seq(
+      (1L, "q w e r t y u i o p", "bench"), // benchmark doc
+      (2L, "q w e r t y u i o p", "cand"), // exact copy: 3 distinct 8-grams shared
+      (3L, "z z z z z z z z z z", "cand"), // no overlap; 1 distinct 8-gram
+      (4L, "a b", "cand")) // too short for an 8-gram
+      .toDF("doc_id", "text", "source")
+    val out = Contamination.benchmarkOverlap(docs, "doc_id", "text",
+      col("source") === "bench", n = 8).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    assert(out(0).getAs[Long]("n_shared") == 3L && out(0).getAs[Boolean]("contaminated"))
+    assert(out(1).getAs[Long]("n_shared") == 0L && !out(1).getAs[Boolean]("contaminated"))
+    assert(out(2).getAs[Long]("n_shared") == 0L)
+  }
+
+  test("chunkDupStats: cross-doc chunks flagged, intra-doc repeats not") {
+    val ten = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    val other = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"
+    val docs = Seq(
+      (1L, s"$ten $other"), // 2 chunks; first shared with doc 2
+      (2L, s"$ten x1 x2"), // 1 chunk (tail dropped); shared with doc 1
+      (3L, s"$ten $ten")) // same chunk twice — but only docs 1/2 make it cross-doc
+      .toDF("doc_id", "text")
+    val out = Contamination.chunkDupStats(docs, "doc_id", "text", 10)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_chunks") == 2L)
+    assert(approx(out(0).getAs[Double]("dup_chunk_frac"), 0.5, 1e-6))
+    assert(approx(out(1).getAs[Double]("dup_chunk_frac"), 1.0, 1e-6))
+    // doc 3's repeated chunk IS cross-doc here (docs 1/2 share it), so 1.0;
+    // the intra-doc-only case needs a chunk unique to doc 3:
+    assert(approx(out(2).getAs[Double]("dup_chunk_frac"), 1.0, 1e-6))
+    val solo = Contamination.chunkDupStats(
+      Seq((9L, s"$other $other")).toDF("doc_id", "text"), "doc_id", "text", 10)
+      .collect()
+    // both chunks identical but no OTHER doc has them → not duplicates
+    assert(solo(0).getAs[Double]("dup_chunk_frac") == 0.0)
+  }
+
+  test("balancedSample: expected per-stratum size ≈ smallest stratum") {
+    val rows = (1 to 900).map(i => (i.toLong, if (i <= 600) "big" else "small"))
+    val df = rows.toDF("doc_id", "lang")
+    val out = Sampling.balancedSample(df, "doc_id", "lang", "t")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // thresholds: small keeps all (rate 1.0); big keeps ~300/600
+    assert(out("small") == 300L)
+    assert(math.abs(out("big") - 300L) < 80)
+    // determinism: same salt → same sample
+    val again = Sampling.balancedSample(df, "doc_id", "lang", "t").count()
+    assert(again == out.values.sum)
+  }
+
+  test("PQ: encode picks the nearest codeword; ADC orders by codeword distance") {
+    // 4-dim vectors, m=2 subspaces of dim 2. Codebook from 2 vectors.
+    val cbv = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(5.0, 5.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val cb = Pq.codebook(cbv, "vec_id", "embedding", m = 2, subDim = 2)
+    assert(cb.count() == 4)
+    val corpus = Seq(
+      (10L, Seq(0.1, 0.1, 9.0, 9.0)), // codes (0, 0)
+      (11L, Seq(4.0, 4.0, 1.0, 1.0))) // codes (1, 1)
+      .toDF("vec_id", "embedding")
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb, 2, 2)
+      .orderBy("vec_id", "sub").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codes.toSeq == Seq((10L, 0, 0), (10L, 1, 0), (11L, 0, 1), (11L, 1, 1)))
+    // query at (0,0,10,10): ADC(10) = 0 exactly (its codewords ARE the query);
+    // ADC(11) = ‖(0,0)-(5,5)‖² + ‖(10,10)-(0,0)‖² = 50 + 200.
+    val q = Seq(Tuple1(Seq(0.0, 0.0, 10.0, 10.0))).toDF("embedding")
+    val top = Pq.adcTopK(Pq.encode(corpus, "vec_id", "embedding", cb, 2, 2),
+      "vec_id", cb, q, "embedding", 2, 2, k = 2).orderBy("rank").collect()
+    assert(top(0).getAs[Long]("vec_id") == 10L && top(0).getAs[Double]("adc") == 0.0)
+    assert(top(1).getAs[Long]("vec_id") == 11L && top(1).getAs[Double]("adc") == 250.0)
+  }
+}
