@@ -98,6 +98,81 @@ object PipelineQueries {
               |WHERE ${sqlHash60("'strat:' || CAST(d.doc_id AS VARCHAR)")} % 1000000 < t.thresh
               |ORDER BY d.doc_id""".stripMargin)))
 
+  private val relevance: Seq[Q] = Seq(
+    // Per-domain quality selection: the k best-quality docs per source
+    // (the "curate top docs per domain" stage). The rank filter compiles
+    // to Spark 4's WindowGroupLimit — per-partition partial top-k before
+    // the shuffle, so no source's full doc list ever sorts globally.
+    Q("q115_topk_quality",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        TextOps.qualityScore(Tables.documents(s, d), "text")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("source"), col("rank"), col("doc_id"), col("quality_score"))
+          .orderBy("source", "rank")
+      },
+      Some {
+        val stopList = TextOps.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, source, text, $sqlToks AS toks FROM documents),
+           |f AS (SELECT doc_id, source,
+           |    len(toks)::BIGINT AS n_tokens,
+           |    CASE WHEN len(toks) > 0
+           |      THEN list_sum(list_transform(toks, x -> len(x)::DOUBLE)) / len(toks) END AS mean_word_len,
+           |    CASE WHEN len(toks) > 0
+           |      THEN len(list_filter(toks, x -> list_contains($stopList, lower(x))))::DOUBLE / len(toks) END AS stopword_ratio,
+           |    CASE WHEN len(text) > 0
+           |      THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / len(text) END AS punct_ratio
+           |  FROM t),
+           |q AS (SELECT doc_id, source,
+           |  ${sqlRound("""CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+           |    1.0 * least(1.0, n_tokens::DOUBLE / 16.0)
+           |        * least(1.0, stopword_ratio * 8.0)
+           |        * greatest(0.0, 1.0 - punct_ratio * 4.0)
+           |        * (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+           |  END""", 6)} AS quality_score
+           |  FROM f)
+           |SELECT source, row_number() OVER (PARTITION BY source
+           |    ORDER BY quality_score DESC, doc_id ASC) AS rank,
+           |  doc_id, quality_score
+           |FROM q
+           |QUALIFY rank <= 3
+           |ORDER BY source, rank""".stripMargin
+      }),
+
+    // BM25 bag-of-terms relevance search (Robertson-Walker): inverted-
+    // index-shaped postings restricted to the query terms, broadcast df
+    // join, ascending-term sequential score fold, distributed top-k.
+    Q("q116_bm25",
+      (s, d) => graft.text.Relevance.bm25TopK(Tables.documents(s, d),
+          "doc_id", "text", terms = Seq("table", "scan", "merge", "spark"),
+          k1 = 1.2, b = 0.75, topK = 20)
+        .orderBy("rank"),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+              |tl AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM t),
+              |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM tl),
+              |e AS (SELECT doc_id, dl, unnest(w) AS tok FROM tl),
+              |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM e WHERE tok IN ('table', 'scan', 'merge', 'spark')
+              |  GROUP BY 1, 2, 3),
+              |dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              |  FROM tf GROUP BY 1),
+              |sc AS (SELECT tf.doc_id, tf.tok,
+              |    ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) *
+              |      (tf.tf * (1.2 + 1.0)) /
+              |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.sdl AS DOUBLE) / st.n))) AS part
+              |  FROM tf JOIN dft USING (tok) CROSS JOIN st),
+              |ag AS (SELECT doc_id,
+              |    ${sqlRound("list_sum(list(part ORDER BY tok))", 6)} AS score
+              |  FROM sc GROUP BY 1)
+              |SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+              |  doc_id, score
+              |FROM ag
+              |QUALIFY rank <= 20
+              |ORDER BY rank""".stripMargin)))
+
   private val pq: Seq[Q] = Seq(
     // Product-quantization ADC search: codebook = subvectors of corpus
     // vectors 0–3 (deterministic, pluggable in production via k-means),
@@ -202,5 +277,5 @@ object PipelineQueries {
               |FROM g, wm WHERE (bucket_s + 86400) * 1000000 <= wm.wm_us
               |ORDER BY event_type, bucket_s""".stripMargin)))
 
-  def all: Seq[Q] = quality ++ pq ++ streamingChecked
+  def all: Seq[Q] = quality ++ relevance ++ pq ++ streamingChecked
 }

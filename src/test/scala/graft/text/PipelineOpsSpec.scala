@@ -76,6 +76,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.values.sum)
   }
 
+  test("bm25TopK: hand-computed single-term score; termless docs unranked") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = Relevance.bm25TopK(docs, "doc_id", "text", Seq("x"), topK = 5)
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Long]("doc_id") == 1L)
+    // N=2, df=1, tf=2, dl=3, avdl=5/2
+    val expected = math.log(1.0 + (2 - 1 + 0.5) / 1.5) * (2 * (1.2 + 1.0)) /
+      (2 + 1.2 * (1.0 - 0.75 + 0.75 * 3.0 / 2.5))
+    assert(approx(out(0).getAs[Double]("score"), expected, 1e-6))
+  }
+
   test("PQ: encode picks the nearest codeword; ADC orders by codeword distance") {
     // 4-dim vectors, m=2 subspaces of dim 2. Codebook from 2 vectors.
     val cbv = Seq(
