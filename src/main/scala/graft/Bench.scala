@@ -32,7 +32,9 @@ object Bench {
     "q43_simhash", "q49_simhash_neardup", "q52_minhash_pairs",
     "q56_adx", "q58_cci", "q60_flagship_mae", "q61_flagship_cosine",
     "q75_seq_packing", "q99_psar", "q101_flagship_lsh",
-    "q103_stream_upsert", "q105_winnowing", "q107_neardup_clusters")
+    "q103_stream_upsert", "q105_winnowing", "q107_dedup_clusters",
+    "q109_repetition", "q111_pq_adc", "q112_stream_ohlcv", "q116_bm25",
+    "q117_pipeline_e2e")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")

@@ -277,5 +277,116 @@ object PipelineQueries {
               |FROM g, wm WHERE (bucket_s + 86400) * 1000000 <= wm.wm_us
               |ORDER BY event_type, bucket_s""".stripMargin)))
 
-  def all: Seq[Q] = quality ++ relevance ++ pq ++ streamingChecked
+  /** DuckDB quality-score subquery over a relation with (doc_id, lang,
+    * text) — the q44 formula composable as a FROM-clause fragment.
+    */
+  private def sqlQuality(srcRel: String): String = {
+    val stopList = TextOps.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang, text,
+       |  ${sqlRound("""CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+       |    1.0 * least(1.0, n_tokens::DOUBLE / 16.0)
+       |        * least(1.0, stopword_ratio * 8.0)
+       |        * greatest(0.0, 1.0 - punct_ratio * 4.0)
+       |        * (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+       |  END""", 6)} AS quality_score
+       |FROM (SELECT doc_id, lang, text,
+       |    len(toks)::BIGINT AS n_tokens,
+       |    CASE WHEN len(toks) > 0
+       |      THEN list_sum(list_transform(toks, x -> len(x)::DOUBLE)) / len(toks) END AS mean_word_len,
+       |    CASE WHEN len(toks) > 0
+       |      THEN len(list_filter(toks, x -> list_contains($stopList, lower(x))))::DOUBLE / len(toks) END AS stopword_ratio,
+       |    CASE WHEN len(text) > 0
+       |      THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / len(text) END AS punct_ratio
+       |  FROM (SELECT doc_id, lang, text, $sqlToks AS toks FROM $srcRel))""".stripMargin
+  }
+
+  private val composed: Seq[Q] = Seq(
+    // The operators COMPOSE: exact dedup (keep-min-id per fingerprint) →
+    // quality floor → language-balanced sample → sequence packing, one
+    // lazy plan end-to-end, hash-checked against the same four stages in
+    // SQL. This is the shape of a real corpus-prep job; every stage is
+    // individually oracle-checked elsewhere (q40/q44/q113/q75).
+    Q("q117_pipeline_e2e",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("__fp").orderBy("doc_id")
+        val deduped = Tables.documents(s, d)
+          .withColumn("__fp", TextOps.fingerprint(col("text")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__fp", "__rn")
+        val qual = TextOps.qualityScore(deduped, "text")
+          .filter(col("quality_score") >= 0.5)
+        val sampled = Sampling.balancedSample(qual, "doc_id", "lang", salt = "mix")
+        graft.text.Packing.packSequences(sampled, "doc_id",
+            TextOps.subwordCount(col("text")), budget = 512L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH dd AS (SELECT doc_id, lang, text FROM documents
+              |  QUALIFY row_number() OVER (
+              |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+              |    ORDER BY doc_id) = 1),
+              |qf AS (SELECT * FROM (${sqlQuality("dd")}) WHERE quality_score >= 0.5),
+              |c AS (SELECT lang, count(*) AS cnt FROM qf GROUP BY 1),
+              |t AS (SELECT lang, (min(cnt) OVER ()) * 1000000 // cnt AS thresh FROM c),
+              |sm AS (SELECT qf.doc_id, qf.text FROM qf JOIN t USING (lang)
+              |  WHERE ${sqlHash60("'mix:' || CAST(qf.doc_id AS VARCHAR)")} % 1000000 < t.thresh),
+              |tok AS (SELECT doc_id,
+              |    len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]')) AS n_tokens
+              |  FROM sm),
+              |cum AS (SELECT doc_id, n_tokens,
+              |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+              |  FROM tok)
+              |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+              |  (cum_excl // 512)::BIGINT AS batch_id,
+              |  (cum_excl % 512)::BIGINT AS batch_offset
+              |FROM cum ORDER BY doc_id""".stripMargin)),
+
+    // Sliding-window streaming aggregation under the same watermark cut
+    // as q112 — each event lands in width/slide windows; append mode
+    // emits exactly the windows the final watermark closed. Completes
+    // the oracle-checked streaming matrix: upsert sink (q103), stateful
+    // recurrence (q106), tumbling agg (q112), sliding agg (here).
+    Q("q118_stream_sliding",
+      (s, d) => {
+        import graft.streaming.StreamingIngest
+        import org.apache.spark.sql.streaming.Trigger
+        val base = java.nio.file.Files.createTempDirectory("graft_q118").toString
+        val src = base + "/src"
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(src, "events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val schema = s.read.parquet(src).schema
+        val stream = StreamingIngest.readEvents(s, src, schema)
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        val agg = StreamingIngest.slidingMean(stream, "ts_t", "value",
+          "event_type", "4 hours", "1 hour", "2 days")
+        val qn = "graft_q118_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        q.stop()
+        s.table(qn)
+          .select(col("event_type"),
+            col("bucket_start").cast("long").as("bucket_s"),
+            pround(col("mean_value"), 6).as("mean_value"), col("n_events"))
+          .orderBy("event_type", "bucket_s")
+      },
+      Some(s"""WITH e AS (SELECT event_type,
+              |    CAST(epoch_us(ts) AS BIGINT) AS us, value FROM events),
+              |wm AS (SELECT (max(us) // 1000) * 1000 - 172800000000 AS wm_us FROM e),
+              |x AS (SELECT event_type, us, value,
+              |    ((us // 3600000000) - k) * 3600 AS bucket_s
+              |  FROM e, (SELECT unnest(range(0, 4)) AS k) kk),
+              |g AS (SELECT event_type, bucket_s,
+              |    ${sqlRound("avg(value)", 6)} AS mean_value,
+              |    CAST(count(*) AS BIGINT) AS n_events
+              |  FROM x GROUP BY 1, 2)
+              |SELECT event_type, bucket_s, mean_value, n_events
+              |FROM g, wm WHERE (bucket_s + 14400) * 1000000 <= wm.wm_us
+              |ORDER BY event_type, bucket_s""".stripMargin)))
+
+  def all: Seq[Q] = quality ++ relevance ++ pq ++ streamingChecked ++ composed
 }
