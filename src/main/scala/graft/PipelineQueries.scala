@@ -388,5 +388,106 @@ object PipelineQueries {
               |FROM g, wm WHERE (bucket_s + 14400) * 1000000 <= wm.wm_us
               |ORDER BY event_type, bucket_s""".stripMargin)))
 
-  def all: Seq[Q] = quality ++ relevance ++ pq ++ streamingChecked ++ composed
+  private val ml: Seq[Q] = Seq(
+    // kNN classification: majority label of the 5 nearest corpus
+    // vectors (ties → smaller label). The search is the oracle-proven
+    // q30 broadcast-kNN plan; the classifier adds one tiny aggregation
+    // over the k·queries candidate rows.
+    Q("q119_knn_classify",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        val corpus = emb.filter(col("vec_id") >= 5)
+        val knn = graft.ohlcv.Search.knnJoin(corpus, queries, "vec_id",
+          "embedding", "query_id", "query_vec", k = 5, metricName = "cosine_dist")
+        val votes = knn.groupBy("query_id", "label")
+          .agg(count(lit(1)).as("votes"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("label").asc)
+        votes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              |  FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+              |  FROM embeddings WHERE vec_id >= 5),
+              |scored AS (SELECT query_id, vec_id, label,
+              |    1.0 - ${VectorTextQueries.sqlCosine("v", "qv")} AS dist FROM c, q),
+              |ranked AS (SELECT query_id, label,
+              |    row_number() OVER (PARTITION BY query_id
+              |      ORDER BY dist ASC, vec_id ASC) AS rank
+              |  FROM scored),
+              |votes AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+              |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2)
+              |SELECT query_id, label AS pred_label, votes FROM votes
+              |QUALIFY row_number() OVER (PARTITION BY query_id
+              |  ORDER BY votes DESC, label ASC) = 1
+              |ORDER BY query_id""".stripMargin)),
+
+    // One Lloyd (k-means) iteration at scale: seed centroids = per-label
+    // means ROUNDED to 6 dp (rounding makes the seed bit-identical on
+    // both engines despite shuffle-order mean sums, so the argmin
+    // assignment is exact parity); every vector re-assigns to its
+    // nearest seed (broadcast join + codegen'd squared L2, ties → lower
+    // label); new per-cluster centroids come out of one aggregation.
+    Q("q120_kmeans_step",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.graft.GraftExpressions.arraySqDiff
+        val v = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("emb"))
+        val cents = v
+          .select(col("label"), posexplode(col("emb")))
+          .withColumn("pos", col("pos") + 1)
+          .groupBy("label", "pos")
+          .agg(pround(avg("col"), 6).as("cv"))
+          .groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            s => s.getField("cv")).as("c"))
+          .select(col("label").as("cl"), col("c"))
+        val w = Window.partitionBy("vec_id").orderBy(col("__d2").asc, col("cl").asc)
+        val assigned = v.crossJoin(broadcast(cents))
+          .withColumn("__d2", arraySqDiff(col("emb"), col("c")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("vec_id"), col("cl"), col("emb"))
+        assigned
+          .select(col("cl"), posexplode(col("emb")))
+          .withColumn("pos", col("pos") + 1)
+          .groupBy("cl", "pos")
+          .agg(pround(avg("col"), 6).as("centroid_val"),
+            count(lit(1)).as("n"))
+          .select(col("cl").as("cluster"), col("pos"),
+            col("centroid_val"), col("n"))
+          .orderBy("cluster", "pos")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+              |  FROM embeddings),
+              |ps AS (SELECT unnest(generate_series(1, 64)) AS pos),
+              |cp AS (SELECT label, pos, ${sqlRound("avg(emb[pos])", 6)} AS cv
+              |  FROM v, ps GROUP BY 1, 2),
+              |cent AS (SELECT label AS cl, list(cv ORDER BY pos) AS c
+              |  FROM cp GROUP BY 1),
+              |d AS (SELECT v.vec_id, cent.cl,
+              |    list_sum(list_transform(range(1, 65),
+              |      i -> (v.emb[i]-cent.c[i])*(v.emb[i]-cent.c[i]))) AS d2
+              |  FROM v, cent),
+              |asg AS (SELECT vec_id, cl FROM
+              |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+              |     ORDER BY d2 ASC, cl ASC) AS rn FROM d) WHERE rn = 1)
+              |SELECT asg.cl AS cluster, ps.pos,
+              |  ${sqlRound("avg(v.emb[ps.pos])", 6)} AS centroid_val,
+              |  CAST(count(*) AS BIGINT) AS n
+              |FROM v JOIN asg USING (vec_id), ps
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+
+  def all: Seq[Q] =
+    quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml
 }

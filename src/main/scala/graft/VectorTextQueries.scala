@@ -35,7 +35,7 @@ object VectorTextQueries {
   /** DuckDB mirror of Search.cosine (incl. the 1e-8 norm guards and the
     * sequential-sum dot products).
     */
-  private def sqlCosine(a: String, b: String): String =
+  private[graft] def sqlCosine(a: String, b: String): String =
     s"(list_dot_product($a, $b) / (greatest(sqrt(list_dot_product($a, $a)), 1e-8) * greatest(sqrt(list_dot_product($b, $b)), 1e-8)))"
 
   /** `Double.toString` round-trips the exact IEEE value; lowercase the E

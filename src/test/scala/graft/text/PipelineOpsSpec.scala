@@ -87,6 +87,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(approx(out(0).getAs[Double]("score"), expected, 1e-6))
   }
 
+  test("kNN-classify majority vote: ties break to the smaller label") {
+    // 4 corpus rows at distance ~0 from the query: labels 2,2,7,7 and a
+    // far label-9 row; k=4 → 2-vs-2 tie → pred 2.
+    val corpus = Seq(
+      (10L, 2, Seq(1.0, 0.0)), (11L, 2, Seq(1.0, 0.001)),
+      (12L, 7, Seq(1.0, -0.001)), (13L, 7, Seq(0.999, 0.0)),
+      (14L, 9, Seq(-1.0, 0.0))).toDF("vec_id", "label", "embedding")
+    val q = Seq((1L, Seq(1.0, 0.0))).toDF("query_id", "query_vec")
+    val knn = graft.ohlcv.Search.knnJoin(corpus, q, "vec_id", "embedding",
+      "query_id", "query_vec", k = 4, metricName = "cosine_dist")
+    val votes = knn.groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label").asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).collect()
+    assert(pred.length == 1 && pred(0).getAs[Int]("label") == 2)
+  }
+
   test("PQ: encode picks the nearest codeword; ADC orders by codeword distance") {
     // 4-dim vectors, m=2 subspaces of dim 2. Codebook from 2 vectors.
     val cbv = Seq(
