@@ -488,6 +488,68 @@ object PipelineQueries {
               |FROM v JOIN asg USING (vec_id), ps
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 
+  private val ordered: Seq[Q] = Seq(
+    // Backward as-of join (pandas merge_asof / DuckDB ASOF JOIN): every
+    // click joins the user's most recent view at-or-before it. The
+    // engine's union-then-window encoding is checked against DuckDB's
+    // NATIVE ASOF LEFT JOIN — two independent formulations of the
+    // semantics.
+    Q("q121_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("us"), col("event_id"), col("value"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("us"), col("event_id"), col("value"))
+        graft.operators.AsOf.asofBackward(clicks, views, "user_id", "us",
+            "event_id", leftPayload = Seq("value"),
+            rightPayload = Seq("event_id", "value"))
+          .select(col("user_id"), col("us"), col("event_id"),
+            pround(col("value"), 6).as("value"),
+            col("r_event_id"), pround(col("r_value"), 6).as("r_value"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_type,
+              |    CAST(epoch_us(ts) AS BIGINT) AS us, event_id, value FROM events),
+              |v AS (SELECT user_id, us, event_id, value FROM
+              |  (SELECT user_id, us, event_id, value,
+              |     row_number() OVER (PARTITION BY user_id, us
+              |       ORDER BY event_id DESC) AS rn
+              |   FROM e WHERE event_type = 'view') WHERE rn = 1)
+              |SELECT c.user_id, c.us, c.event_id,
+              |  ${sqlRound("c.value", 6)} AS value,
+              |  v.event_id AS r_event_id, ${sqlRound("v.value", 6)} AS r_value
+              |FROM (SELECT * FROM e WHERE event_type = 'click') c
+              |ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.us >= v.us
+              |ORDER BY c.event_id""".stripMargin)),
+
+    // Gap-based sessionization (2 h): per-session event count and span.
+    Q("q122_sessionize",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+        graft.operators.AsOf.sessionize(e, "user_id", "us", "event_id",
+            gap = 7200000000L)
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("us").as("start_us"), max("us").as("end_us"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             |    event_id FROM events),
+             |m AS (SELECT user_id, us, event_id,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |           OR us - lag(us) OVER w > 7200000000 THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |sgm AS (SELECT user_id, us,
+             |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM m)
+             |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  min(us) AS start_us, max(us) AS end_us
+             |FROM sgm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+
   def all: Seq[Q] =
-    quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml
+    quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++ ordered
 }

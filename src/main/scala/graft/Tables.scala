@@ -28,7 +28,11 @@ object Tables {
     import org.apache.spark.sql.functions._
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // Integer `div`, NOT `/`: Spark's `/` on longs is DOUBLE division,
+      // and epoch-nanos exceed 2^53 — the double round-trip lands ±1 µs
+      // off the true truncation for ~10% of rows (caught by the q121/q122
+      // oracles, which surface raw µs values).
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
