@@ -39,10 +39,19 @@ object Packing {
   def packSequences(df: DataFrame, idCol: String, tokens: Column,
       budget: Long): DataFrame = {
     val spark = df.sparkSession
+    // localCheckpoint (eager): the two passes below MUST see identical
+    // partition contents — recomputing the lineage per pass would (a) run
+    // an arbitrarily expensive upstream twice (q117 chains dedup +
+    // quality + sampling above this) and (b) trust that range
+    // re-partitioning lands every row in the same partition id both
+    // times. Materializing the tiny (id, n_tokens) frame makes the
+    // offset map correct by construction; blocks are GC-reclaimed once
+    // the result is dereferenced.
     val base = df
       .select(col(idCol).cast("long").as("id"), tokens.cast("long").as("n_tokens"))
       .repartitionByRange(col("id"))
       .sortWithinPartitions("id")
+      .localCheckpoint(true)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("n_tokens", LongType),
       StructField("cum_excl", LongType)))
