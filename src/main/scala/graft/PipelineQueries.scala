@@ -550,6 +550,99 @@ object PipelineQueries {
              |  min(us) AS start_us, max(us) AS end_us
              |FROM sgm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 
+  private val lm: Seq[Q] = Seq(
+    // Unigram-LM cross-entropy scoring (the CCNet/KenLM "perplexity
+    // filter" stage, public knowledge): p(w) = corpus count / total
+    // tokens; score(d) = −Σ ln p(w) / |d|. The LM is one aggregation
+    // (broadcast back); scoring joins tokens against it and folds per
+    // doc in POSITION order (sequential fp, oracle-mirrorable).
+    Q("q123_perplexity",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        val totals = toks.agg(count(lit(1)).as("__total"))
+        val lmT = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+        val scored = toks
+          .join(broadcast(lmT), Seq("tok"))
+          .crossJoin(broadcast(totals))
+          .withColumn("__nll", -log(col("__c").cast("double") / col("__total")))
+        scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            pround(
+              aggregate(
+                transform(array_sort(collect_list(struct(col("pos"), col("__nll")))),
+                  x => x.getField("__nll")),
+                lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6)
+              .as("cross_entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, i AS pos, w[i] AS tok FROM
+              |  (SELECT doc_id, $sqlToks AS w FROM documents),
+              |  LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tk),
+              |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+              |sc AS (SELECT tk.doc_id, tk.pos,
+              |    -ln(CAST(lm.c AS DOUBLE) / tot.total) AS nll
+              |  FROM tk JOIN lm USING (tok) CROSS JOIN tot)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |  ${sqlRound("list_sum(list(nll ORDER BY pos)) / count(*)", 6)} AS cross_entropy
+              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Streaming session windows (Spark's session_window) under the
+    // watermark cut: a session is emitted once the watermark passes its
+    // end; the oracle rebuilds the same sessions with the batch gap rule
+    // and applies the same cut. Closes SURVEY §2.9's last row ("session
+    // windows — built-in if ever needed").
+    Q("q124_stream_sessions",
+      (s, d) => {
+        import graft.streaming.StreamingIngest
+        import org.apache.spark.sql.streaming.Trigger
+        val base = java.nio.file.Files.createTempDirectory("graft_q124").toString
+        val src = base + "/src"
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(src, "events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val schema = s.read.parquet(src).schema
+        val stream = StreamingIngest.readEvents(s, src, schema)
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        val agg = stream
+          .withWatermark("ts_t", "2 days")
+          .groupBy(col("user_id"), session_window(col("ts_t"), "2 hours"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("start_t"),
+            col("session_window.end").as("end_t"), col("n_events"))
+        val qn = "graft_q124_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        q.stop()
+        s.table(qn)
+          .select(col("user_id"), unix_micros(col("start_t")).as("start_us"),
+            unix_micros(col("end_t")).as("end_us"), col("n_events"))
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             |    event_id FROM events),
+             |wm AS (SELECT (max(us) // 1000) * 1000 - 172800000000 AS wm_us FROM e),
+             |m AS (SELECT user_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |           OR us - lag(us) OVER w > 7200000000 THEN 1 ELSE 0 END AS nw
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |sgm AS (SELECT user_id, us,
+             |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+             |  FROM m),
+             |g AS (SELECT user_id, sid, min(us) AS start_us,
+             |    max(us) + 7200000000 AS end_us,
+             |    CAST(count(*) AS BIGINT) AS n_events
+             |  FROM sgm GROUP BY 1, 2)
+             |SELECT user_id, start_us, end_us, n_events
+             |FROM g, wm WHERE end_us <= wm.wm_us
+             |ORDER BY user_id, start_us""".stripMargin)))
+
   def all: Seq[Q] =
-    quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++ ordered
+    quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++ ordered ++ lm
 }
