@@ -643,6 +643,50 @@ object PipelineQueries {
              |FROM g, wm WHERE end_us <= wm.wm_us
              |ORDER BY user_id, start_us""".stripMargin)))
 
+  private val dedupApply: Seq[Q] = Seq(
+    // The APPLY step of near-dup dedup: q107 detects clusters (simhash
+    // pairs → connected components); this query emits the surviving
+    // corpus — every unclustered doc plus each cluster's min-id keeper —
+    // i.e. what a pipeline actually writes out after dedup. Non-keepers
+    // are removed by a left-anti join (no fan-out, keeps corpus order).
+    Q("q125_dedup_apply",
+      (s, d) => {
+        import graft.text.Dedup
+        val docs = Tables.documents(s, d)
+        val fps = Dedup.simhashAgg(docs, "doc_id",
+          TextOps.wordShingles(col("text"), 3), 60)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fps.count()
+        val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "simhash",
+          maxHamming = 6, bits = 60)
+        val losers = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        val out = docs.join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+        fps.unpersist()
+        out
+      },
+      Some {
+        val sub = VectorTextQueries.simhashSql(60)
+        s"""WITH RECURSIVE fps AS ($sub),
+           |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           |  FROM fps a, fps b
+           |  WHERE a.doc_id <> b.doc_id
+           |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+           |reach AS (
+           |  SELECT src, dst FROM e0
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src),
+           |losers AS (SELECT src AS doc_id FROM reach GROUP BY src
+           |  HAVING least(src, min(dst)) <> src)
+           |SELECT d.doc_id, d.lang, d.source FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+           |ORDER BY d.doc_id""".stripMargin
+      }))
+
   def all: Seq[Q] =
-    quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++ ordered ++ lm
+    quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
+      ordered ++ lm ++ dedupApply
 }

@@ -141,7 +141,7 @@ object VectorTextQueries {
   private val MinhashSeeds = 4
 
   /** Generated SQL for the 32 unrolled simhash bit terms. */
-  private def simhashSql(bits: Int): String = {
+  private[graft] def simhashSql(bits: Int): String = {
     val bitTerms = (0 until bits).map { b =>
       s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
