@@ -45,6 +45,53 @@ object Contamination {
         (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-pruned variant of [[benchmarkOverlap]] — identical output
+    * (the Bloom filter has no false negatives and an exact join verifies
+    * the survivors, so the prune is lossless), different 100 TB shape:
+    *
+    * the benchmark's distinct gram-hash set is summarized into a Bloom
+    * filter (`-n·ln(fpp)/ln²2` bits — MBs where the exact set is GBs),
+    * broadcast to every task, and applied to corpus grams BEFORE the
+    * per-doc `distinct`, so the corpus-side shuffle carries only
+    * might-contain survivors (≈ true matches + fpp of the rest) instead
+    * of every gram in the corpus. The exact equi-join then removes the
+    * false positives. This is the standard sketch-then-verify join prune
+    * (Bloom 1970; same pattern Spark's own runtime bloom-filter join
+    * pruning applies to equi-joins).
+    */
+  def bloomPrunedOverlap(docs: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, n: Int, fpp: Double = 0.03): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), benchPred.as("__bench"),
+        explode(TextOps.wordShingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), col("__bench"), TextOps.md5Hash60(col("__g")).as("__h"))
+    val bench = hashed.filter(col("__bench")).select("__h").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One pass over the (small) benchmark side sizes the sketch exactly;
+    // the build itself is a treeAggregate of mergeable filters.
+    val nBench = math.max(bench.count(), 1L)
+    val bf = bench.stat.bloomFilter("__h", nBench, fpp)
+    val spark = docs.sparkSession
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    val cand = hashed.filter(!col("__bench"))
+      .filter(mightContain(col("__h")))
+      .select(col(idCol), col("__h")).distinct()
+    val shared = cand.join(bench, "__h")
+      .groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val out = docs.filter(!benchPred).select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_shared"),
+        (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
+    // The caller's action runs with `bench` cached (it is read twice:
+    // sketch build + verify join); hand back an un-cached plan.
+    val materialized = out.localCheckpoint(true)
+    bench.unpersist()
+    bfB.unpersist()
+    materialized
+  }
+
   /** Paragraph-proxy chunk dedup: split each document into consecutive
     * non-overlapping `chunkTokens`-token chunks (ragged tail dropped),
     * hash each chunk, and report per document how many of its chunks also

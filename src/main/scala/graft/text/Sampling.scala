@@ -28,6 +28,39 @@ object Sampling {
     * broadcast back as an equi-join on the stratum key, then a codegen'd
     * hash filter — the corpus itself is scanned once and never shuffled.
     */
+  /** Temperature-based mixture reweighting (the multilingual-LM α-sampling
+    * rule: q_s ∝ p_s^α, Lample & Conneau 2019 §3.1 — α < 1 upsamples rare
+    * strata without the hard floor of [[balancedSample]]).
+    *
+    * Output: one row per stratum with its token share `p`, resampling
+    * weight `q`, and expected post-resampling token count.
+    *
+    * Determinism: the per-stratum totals are exact longs; both Σ-folds run
+    * over an ORDER BY stratum frame (Spark and an oracle fold in the same
+    * order, so the doubles agree bitwise); α = 0.5 uses `sqrt`, which IEEE
+    * requires to be correctly rounded, where `pow` is only
+    * faithfully-rounded and may differ across engines by an ulp.
+    *
+    * Shape at 100 TB: one hash aggregation to the stratum histogram (rows
+    * = #strata, tiny); the window normalizations run on that tiny frame.
+    * Applying the weights is then [[balancedSample]]'s broadcast-join
+    * pattern — the corpus is never shuffled.
+    */
+  def mixtureWeights(docs: DataFrame, stratumCol: String,
+      tokens: org.apache.spark.sql.Column, alpha: Double): DataFrame = {
+    val per = docs.groupBy(stratumCol).agg(sum(tokens).as("n_tokens"))
+    // Ordered full frame: the fold order of the double sums is the
+    // stratum order on BOTH engines (an unordered frame would sum in
+    // partition-layout order — nondeterministic across runs).
+    val full = Window.orderBy(stratumCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def powA(c: org.apache.spark.sql.Column) =
+      if (alpha == 0.5) sqrt(c) else pow(c, alpha)
+    per
+      .withColumn("p", col("n_tokens").cast("double") / sum("n_tokens").over(full))
+      .withColumn("q", powA(col("p")) / sum(powA(col("p"))).over(full))
+  }
+
   def balancedSample(df: DataFrame, idCol: String, stratumCol: String,
       salt: String): DataFrame = {
     val counts = df.groupBy(stratumCol).count()
