@@ -34,7 +34,8 @@ object Bench {
     "q75_seq_packing", "q99_psar", "q101_flagship_lsh",
     "q103_stream_upsert", "q105_winnowing", "q107_dedup_clusters",
     "q109_repetition", "q111_pq_adc", "q112_stream_ohlcv", "q116_bm25",
-    "q117_pipeline_e2e")
+    "q117_pipeline_e2e", "q126_funnel", "q127_bloom_decontam",
+    "q131_stream_join")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")
