@@ -194,5 +194,160 @@ object AnalyticsQueries {
               |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               |ORDER BY source""".stripMargin)))
 
-  def all: Seq[Q] = funnel ++ olap ++ pipeline
+  private val windowed: Seq[Q] = Seq(
+    // Exact rolling median over the hourly close (pandas
+    // rolling(5).median(), min_periods=5). Odd window → the median is a
+    // pure order statistic: no float arithmetic at all, so Spark and the
+    // oracle agree bitwise before the safety rounding.
+    Q("q132_rolling_median",
+      (s, d) => {
+        val hourly = Queries.hourlyResampled(s, d, emitEmpty = false)
+        hourly
+          .withColumn("med5", graft.ohlcv.Features.rollingMedian(
+            col("close"), col("user_id"), col("bucket_s"), 5))
+          .filter(col("med5").isNotNull)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("med5"), 6).as("med5"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH ${Queries.HourlyCloseCte}
+              |SELECT user_id, bucket_s, ${sqlRound("med5", 6)} AS med5 FROM (
+              |  SELECT user_id, bucket_s,
+              |    CASE WHEN count(close) OVER w = 5
+              |      THEN median(close) OVER w END AS med5
+              |  FROM agg
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+              |WHERE med5 IS NOT NULL ORDER BY user_id, bucket_s""".stripMargin)),
+
+    // SCD2 dimension build: each user's 'signup' events become validity
+    // intervals [valid_from, valid_to) via lead() — the standard
+    // slowly-changing-dimension type-2 history table. One window shuffle.
+    Q("q134_scd2",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        Tables.events(s, d)
+          .filter(col("event_type") === "signup")
+          .withColumn("us", unix_micros(col("ts")))
+          .select(col("user_id"), col("us"), col("event_id"), col("value"))
+          .withColumn("valid_to",
+            coalesce(lead(col("us"), 1).over(w), lit(Long.MaxValue)))
+          .select(col("user_id"), col("us").as("valid_from"),
+            col("valid_to"), col("event_id"), pround(col("value"), 6).as("value"))
+          .orderBy("user_id", "valid_from", "event_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+              |    event_id, value FROM events WHERE event_type = 'signup')
+              |SELECT user_id, us AS valid_from,
+              |  coalesce(lead(us, 1) OVER (PARTITION BY user_id
+              |    ORDER BY us, event_id), 9223372036854775807) AS valid_to,
+              |  event_id, ${sqlRound("value", 6)} AS value
+              |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
+    // Equi-depth (ntile) histogram of event values: the EXACT form — a
+    // global sort, the right tool up to the scale where q64's
+    // approx-percentile sketch takes over. Only selection/count outputs
+    // (no cross-engine float folds).
+    Q("q135_ntile_histogram",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("value", "event_id")
+        Tables.events(s, d)
+          .select(col("event_id"), col("value"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            pround(min("value"), 6).as("vmin"),
+            pround(max("value"), 6).as("vmax"))
+          .orderBy("decile")
+      },
+      Some(s"""SELECT decile, count(*) AS n,
+              |  ${sqlRound("min(value)", 6)} AS vmin,
+              |  ${sqlRound("max(value)", 6)} AS vmax
+              |FROM (SELECT event_id, value,
+              |    ntile(10) OVER (ORDER BY value, event_id) AS decile
+              |  FROM events)
+              |GROUP BY decile ORDER BY decile""".stripMargin)))
+
+  private val rangeJoin: Seq[Q] = Seq(
+    // Generic non-equi interval join via the lossless bucketed-overlap
+    // encoding (RangeJoin.pointInInterval): purchases joined to derived
+    // "incident windows" (hours with ≥ 5 errors, widened −30/+90 min so
+    // windows genuinely overlap and are not bucket-aligned). The oracle
+    // is the naive BETWEEN join.
+    Q("q133_range_join",
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+        val incidents = e.filter(col("event_type") === "error")
+          .groupBy(floor(col("us") / 3600000000L).cast("long").as("hb"))
+          .agg(count(lit(1)).as("n_err"))
+          .filter(col("n_err") >= 5)
+          .select((col("hb") * 3600000000L - 1800000000L).as("lo"),
+            (col("hb") * 3600000000L + 5400000000L).as("hi"), col("n_err"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("us"))
+        graft.operators.RangeJoin
+          .pointInInterval(purchases, "us", incidents, "lo", "hi",
+            width = 3600000000L)
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_windows"), sum("n_err").as("err_mass"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+             |inc AS (SELECT (us // 3600000000) * 3600000000 - 1800000000 AS lo,
+             |    (us // 3600000000) * 3600000000 + 5400000000 AS hi,
+             |    count(*) AS n_err
+             |  FROM e WHERE event_type = 'error'
+             |  GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT p.event_id, count(*) AS n_windows,
+             |  CAST(sum(inc.n_err) AS BIGINT) AS err_mass
+             |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+             |JOIN inc ON p.us BETWEEN inc.lo AND inc.hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+
+  private val graph: Seq[Q] = Seq(
+    // Fixed-point PageRank over the simhash near-dup graph (the q107/q125
+    // edge set): 5 power iterations entirely in 1e-9-unit integer
+    // arithmetic, so the ranks are bit-identical on any engine or
+    // aggregation order — the oracle unrolls the same recurrence as five
+    // plain GROUP BY CTEs.
+    Q("q136_pagerank",
+      (s, d) => {
+        import graft.text.{Dedup, TextOps}
+        val docs = Tables.documents(s, d)
+        val fps = Dedup.simhashAgg(docs, "doc_id",
+          TextOps.wordShingles(col("text"), 3), 60)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fps.count()
+        val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "simhash",
+          maxHamming = 6, bits = 60)
+        val pr = graft.sim.Graph.pageRankFixedPoint(pairs, "id_a", "id_b", 5)
+        fps.unpersist()
+        pr.select(col("id").as("doc_id"), col("r")).orderBy("doc_id")
+      },
+      Some {
+        val sub = VectorTextQueries.simhashSql(60)
+        val iter = (i: Int) =>
+          s"""p$i AS (SELECT e0.dst AS id,
+             |  CAST(150000000 // (SELECT n FROM nn)
+             |    + (85 * sum(p${i - 1}.r // d.deg)) // 100 AS BIGINT) AS r
+             |  FROM e0 JOIN p${i - 1} ON p${i - 1}.id = e0.src
+             |  JOIN deg d ON d.src = e0.src GROUP BY 1)"""
+        s"""WITH fps AS ($sub),
+           |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           |  FROM fps a, fps b
+           |  WHERE a.doc_id <> b.doc_id
+           |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+           |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM deg),
+           |p0 AS (SELECT src AS id,
+           |  CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS r FROM deg),
+           |${(1 to 5).map(iter).mkString(",\n|")}
+           |SELECT id AS doc_id, r FROM p5 ORDER BY doc_id""".stripMargin
+      }))
+
+  def all: Seq[Q] =
+    funnel ++ olap ++ pipeline ++ windowed ++ rangeJoin ++ graph
 }

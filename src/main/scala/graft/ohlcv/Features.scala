@@ -25,6 +25,21 @@ object Features {
     when(count(valCol).over(frame) === w, avg(valCol).over(frame))
   }
 
+  /** Exact rolling median (pandas `rolling(w).median()` with
+    * `min_periods=w`) over the trailing `w` rows. `w` must be odd so the
+    * median is the middle order statistic — pure SELECTION, no float
+    * arithmetic, so any engine computing the same window agrees bitwise.
+    * The in-memory sort is over `w` elements per row; for large `w` a
+    * two-heap mapPartitions scan would replace it, but indicator windows
+    * are tens of rows.
+    */
+  def rollingMedian(valCol: Column, keyCol: Column, ordCol: Column, w: Int): Column = {
+    require(w % 2 == 1, "odd window keeps the median a pure selection")
+    val frame = Window.partitionBy(keyCol).orderBy(ordCol).rowsBetween(-(w - 1), 0)
+    when(count(valCol).over(frame) === w,
+      element_at(array_sort(collect_list(valCol).over(frame)), (w + 1) / 2))
+  }
+
   /** Rolling population standard deviation (ddof=0, as the `ta` library
     * passes to pandas) over the trailing `w` rows, null until `w` rows.
     */

@@ -34,6 +34,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("rollingMedian: middle order statistic, null under min_periods") {
+    val df = Seq((1L, 1L, 5.0), (1L, 2L, 1.0), (1L, 3L, 9.0),
+      (1L, 4L, 3.0), (1L, 5L, 7.0), (2L, 1L, 2.0))
+      .toDF("k", "t", "v")
+    val got = df.withColumn("m",
+        graft.ohlcv.Features.rollingMedian(col("v"), col("k"), col("t"), 3))
+      .orderBy("k", "t")
+      .select("m").collect().map(r => Option(r.getAs[Any](0)))
+    // key 1: nulls until 3 rows, then median(5,1,9)=5, median(1,9,3)=3,
+    // median(9,3,7)=7; key 2: single row → null.
+    assert(got.toSeq == Seq(None, None, Some(5.0), Some(3.0), Some(7.0), None))
+  }
+
   test("mixtureWeights: q sums to 1 and compresses the distribution") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = Sampling.mixtureWeights(docs, "source",
