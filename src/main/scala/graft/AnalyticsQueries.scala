@@ -348,6 +348,59 @@ object AnalyticsQueries {
            |SELECT id AS doc_id, r FROM p5 ORDER BY doc_id""".stripMargin
       }))
 
+  private val streaming2: Seq[Q] = Seq(
+    // Stream-static enrichment join + watermarked tumbling aggregation:
+    // the streaming purchases join the (static, broadcastable) customer
+    // dimension, then daily revenue per market segment is emitted under
+    // the same watermark-cut semantics as q112. The oracle applies the
+    // identical cut (max purchase event time − delay, ms-truncated as
+    // Spark tracks watermarks) to the batch equivalent.
+    Q("q137_stream_enrich",
+      (s, d) => {
+        import graft.streaming.StreamingIngest
+        import org.apache.spark.sql.streaming.Trigger
+        val base = java.nio.file.Files.createTempDirectory("graft_q137").toString
+        val src = base + "/src"
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(src, "events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val schema = s.read.parquet(src).schema
+        val cust = Tables.customer(s, d)
+          .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))
+        val purchases = StreamingIngest.readEvents(s, src, schema)
+          .filter(col("event_type") === "purchase")
+          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .join(cust, "user_id")
+        val agg = purchases
+          .withWatermark("ts_t", "2 days")
+          .groupBy(col("c_mktsegment"), window(col("ts_t"), "1 day"))
+          .agg(count(lit(1)).as("n"), sum("value").as("__rev"))
+          .select(col("c_mktsegment"),
+            col("window.start").as("start_t"), col("n"),
+            pround(col("__rev"), 6).as("revenue"))
+        val qn = "graft_q137_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        q.stop()
+        s.table(qn)
+          .select(col("c_mktsegment"), unix_micros(col("start_t")).as("start_us"),
+            col("n"), col("revenue"))
+          .orderBy("c_mktsegment", "start_us")
+      },
+      Some(s"""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+              |    value FROM events WHERE event_type = 'purchase'),
+              |wm AS (SELECT (max(us) // 1000) * 1000 - 172800000000 AS wm_us FROM e),
+              |g AS (SELECT c.c_mktsegment,
+              |    (e.us // 86400000000) * 86400000000 AS start_us,
+              |    count(*) AS n, ${sqlRound("sum(e.value)", 6)} AS revenue
+              |  FROM e JOIN customer c ON c.c_custkey = e.user_id + 1
+              |  GROUP BY 1, 2)
+              |SELECT c_mktsegment, start_us, n, revenue
+              |FROM g, wm WHERE start_us + 86400000000 <= wm.wm_us
+              |ORDER BY c_mktsegment, start_us""".stripMargin)))
+
   def all: Seq[Q] =
-    funnel ++ olap ++ pipeline ++ windowed ++ rangeJoin ++ graph
+    funnel ++ olap ++ pipeline ++ windowed ++ rangeJoin ++ graph ++ streaming2
 }
