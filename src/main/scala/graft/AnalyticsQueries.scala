@@ -401,6 +401,69 @@ object AnalyticsQueries {
               |FROM g, wm WHERE start_us + 86400000000 <= wm.wm_us
               |ORDER BY c_mktsegment, start_us""".stripMargin)))
 
+  private val multimodal2: Seq[Q] = Seq(
+    // Image RESIZE leg of the multimodal stubs (q50 histogram = feature
+    // extract, q51 audio frames, q108 video sampling): nearest-neighbor
+    // 8-wide grid → 4×4, the exact index arithmetic of a real NN resize,
+    // run through the partition-batched decoder plumbing. ASCII guard
+    // keeps the byte/codepoint views identical (same latent as q108).
+    Q("q138_image_resize",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, d)
+          .filter(length(col("text")) >= 8 && col("text").rlike("^[\\x00-\\x7F]*$"))
+          .withColumn("payload", col("text").cast("binary"))
+        Multimodal.withDecodedFeatures(docs, "payload", "px",
+            new Multimodal.StubImageResizer(8, 4, 4))
+          .select(col("doc_id"), posexplode(col("px")))
+          .select(col("doc_id"), col("pos"),
+            col("col").cast("long").as("level"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH codes AS (SELECT doc_id,
+             |    [unicode(c) FOR c IN string_split(text, '')] AS cs,
+             |    len(text) // 8 AS h
+             |  FROM documents
+             |  WHERE len(text) >= 8 AND regexp_matches(text, '^[\x00-\x7f]*$')),
+             |g AS (SELECT doc_id, cs, h, unnest(generate_series(0, 15)) AS pos
+             |  FROM codes)
+             |SELECT doc_id, pos,
+             |  CAST(cs[((pos // 4) * h // 4) * 8 + ((pos % 4) * 8 // 4) + 1]
+             |    AS BIGINT) AS level
+             |FROM g ORDER BY doc_id, pos""".stripMargin)),
+
+    // Tokenizer APPLY: induce a top-32 vocab (freq DESC, token ASC —
+    // total order) and map every token position to its id, OOV → 0.
+    // The vocab is tiny by construction → broadcast join; the corpus
+    // explode is the only big relation and it is never shuffled (the
+    // vocab aggregation shuffles token COUNTS, not positions).
+    Q("q139_tokenize_ids",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+          .withColumn("id",
+            row_number().over(Window.orderBy(desc("freq"), asc("tok"))))
+          .filter(col("id") <= 32)
+          .select("tok", "id")
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .select(col("doc_id"), col("pos"),
+            coalesce(col("id"), lit(0)).cast("long").as("token_id"))
+          .orderBy("doc_id", "pos")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok FROM
+              |  (SELECT doc_id, $sqlToks AS w FROM documents),
+              |  LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+              |vf AS (SELECT tok, count(*) AS freq FROM tk GROUP BY 1),
+              |v AS (SELECT tok, row_number() OVER (ORDER BY freq DESC, tok) AS id
+              |  FROM vf QUALIFY id <= 32)
+              |SELECT tk.doc_id, tk.pos, coalesce(v.id, 0) AS token_id
+              |FROM tk LEFT JOIN v USING (tok)
+              |ORDER BY doc_id, pos""".stripMargin)))
+
   def all: Seq[Q] =
-    funnel ++ olap ++ pipeline ++ windowed ++ rangeJoin ++ graph ++ streaming2
+    funnel ++ olap ++ pipeline ++ windowed ++ rangeJoin ++ graph ++
+      streaming2 ++ multimodal2
 }

@@ -111,6 +111,36 @@ object Multimodal {
     }
   }
 
+  /** Deterministic stand-in for an image resizer: the payload is a
+    * `srcW`-byte-per-row grid (height = len / srcW); nearest-neighbor
+    * sample to a `dstW`×`dstH` grid — out(r,c) = px(⌊r·H/dstH⌋,
+    * ⌊c·srcW/dstW⌋), exactly the index arithmetic a real NN resize does
+    * after decode. Emits the resized grid row-major.
+    */
+  final class StubImageResizer(srcW: Int = 8, dstW: Int = 4, dstH: Int = 4)
+      extends Decoder {
+    val featureDim: Int = dstW * dstH
+    def decode(payload: Array[Byte]): Option[Array[Float]] = {
+      if (payload == null || payload.length < srcW) None
+      else {
+        val h = payload.length / srcW
+        val out = new Array[Float](featureDim)
+        var r = 0
+        while (r < dstH) {
+          val sr = (r.toLong * h / dstH).toInt
+          var c = 0
+          while (c < dstW) {
+            val sc = (c.toLong * srcW / dstW).toInt
+            out(r * dstW + c) = (payload(sr * srcW + sc) & 0xff).toFloat
+            c += 1
+          }
+          r += 1
+        }
+        Some(out)
+      }
+    }
+  }
+
   /** Append `outCol: array<float>` by running `decoder` over `payloadCol`
     * in a partition-batched pass. Rows stream through one at a time but
     * the decoder object is constructed once per partition (the expensive

@@ -76,4 +76,19 @@ class KnnMultimodalSpec extends SparkSpec {
     val f = dec.decode(Array[Byte](0, 0, 100, 100)).get
     assert(f.toSeq == Seq(0.0f, 100.0f))
   }
+
+  test("image resizer: nearest-neighbor index arithmetic") {
+    // 4-wide, 4-high grid with distinct values; resize to 2×2 picks
+    // rows {0,2} × cols {0,2}.
+    val px = Array.tabulate[Byte](16)(i => (i * 3).toByte)
+    val dec = new Multimodal.StubImageResizer(srcW = 4, dstW = 2, dstH = 2)
+    val f = dec.decode(px).get
+    // (r,c) → px[(r*4/2)*4 + (c*4/2)] = px[{0,2}*4 + {0,2}]
+    assert(f.toSeq == Seq(0f, 6f, 24f, 30f))
+    // shorter than one row → undecodable
+    assert(dec.decode(Array[Byte](1, 2)).isEmpty)
+    // height not divisible by dstH still total: h=1 → every r maps to 0
+    val one = dec.decode(Array.tabulate[Byte](4)(i => i.toByte)).get
+    assert(one.toSeq == Seq(0f, 2f, 0f, 2f))
+  }
 }
