@@ -63,12 +63,21 @@ object Bench {
     // and the min of two reps is the plan's actual cost — both spiking on
     // the same query is rare, so round-over-round comparisons stop chasing
     // noise.
+    // Between queries, drop any cached/localCheckpointed RDD blocks a
+    // query left behind (ContextCleaner reclaims them asynchronously —
+    // too late for the NEXT query's timing, which then runs under memory
+    // pressure it didn't create).
+    def dropLeakedBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sharedState.cacheManager.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, _) = time(fn)
       val (warm1, _) = time(fn)
       val (warm2, err) = time(fn)
       val warm = if (warm1 < 0) warm2 else if (warm2 < 0) warm1
         else math.min(warm1, warm2)
+      dropLeakedBlocks()
       (name, cold, warm, err)
     }
     def r2(v: Double): String = f"$v%.2f"
