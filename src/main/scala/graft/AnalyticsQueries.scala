@@ -463,7 +463,41 @@ object AnalyticsQueries {
               |FROM tk LEFT JOIN v USING (tok)
               |ORDER BY doc_id, pos""".stripMargin)))
 
+  private val stats: Seq[Q] = Seq(
+    // Grouped EXACT median (linear interpolation at rank p·(n−1) — the
+    // same formula Spark's percentile and DuckDB's quantile_cont define),
+    // the per-group companion to q64's global percentiles. At 100 TB the
+    // exact form sorts within groups; the sketch path stays q65.
+    Q("q140_grouped_median",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          pround(expr("percentile(value, 0.5)"), 6).as("median_value"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, count(*) AS n,
+              |  ${sqlRound("quantile_cont(value, 0.5)", 6)} AS median_value
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Bivariate statistical aggregates: Pearson correlation and
+    // population covariance of (value, hour-of-day) per event type —
+    // single-pass co-moment partial aggregation, one shuffle of k rows.
+    Q("q141_stats_agg",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("h", hour(col("ts")).cast("double"))
+        e.groupBy("event_type")
+          .agg(pround(corr(col("value"), col("h")), 6).as("corr_vh"),
+            pround(covar_pop(col("value"), col("h")), 6).as("covar_vh"),
+            pround(var_pop(col("value")), 6).as("var_v"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type,
+              |  ${sqlRound("corr(value, CAST(hour(ts) AS DOUBLE))", 6)} AS corr_vh,
+              |  ${sqlRound("covar_pop(value, CAST(hour(ts) AS DOUBLE))", 6)} AS covar_vh,
+              |  ${sqlRound("var_pop(value)", 6)} AS var_v
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+
   def all: Seq[Q] =
     funnel ++ olap ++ pipeline ++ windowed ++ rangeJoin ++ graph ++
-      streaming2 ++ multimodal2
+      streaming2 ++ multimodal2 ++ stats
 }
