@@ -1,0 +1,322 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.Rounding.{pround, sqlRound}
+import graft.VectorTextQueries.sqlToks
+import graft.sources.Bucketed
+import graft.text.TextOps
+
+/** Round-5 batch 5: storage-layout and incremental-pipeline operators —
+  * bucketed shuffle-free joins, delta dedup, per-group heavy hitters,
+  * robust (MAD) outlier stats, TF-IDF term ranking, JSON property
+  * extraction, dwell-time attribution, streaming dedup, grouping sets and
+  * time-range window frames. Each with a DuckDB oracle.
+  */
+object LakeQueries {
+
+  private val lake: Seq[Q] = Seq(
+    // Bucketed sort-merge join: both sides written hash-bucketed on the
+    // join key (sources.Bucketed), so the join itself plans WITHOUT an
+    // Exchange on either side (BucketedSpec asserts the plan). This is
+    // the write-once / join-shuffle-free-forever layout a 100 TB lake
+    // uses for its hottest join key; the bucket count here is 8 for the
+    // harness — at scale it's sized so a bucket ≈ one task's memory.
+    // The tiny aggregated result is localCheckpoint'ed so the temp
+    // catalog tables can be dropped eagerly.
+    Q("q142_bucketed_join",
+      (s, d) => {
+        val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        val lt = s"graft_li_$tag"; val ot = s"graft_or_$tag"
+        Bucketed.write(
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          lt, 8, "l_orderkey", Seq("l_orderkey"))
+        Bucketed.write(
+          Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          ot, 8, "o_orderkey", Seq("o_orderkey"))
+        try {
+          Bucketed.read(s, lt)
+            .join(Bucketed.read(s, ot),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+                .as("revenue"))
+            .orderBy("o_orderpriority")
+            .localCheckpoint(true)
+        } finally {
+          Bucketed.drop(s, lt); Bucketed.drop(s, ot)
+        }
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+              |  ${sqlRound("sum(l_extendedprice * (1 - l_discount))", 2)} AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Incremental (delta) dedup — the steady-state form of corpus dedup:
+    // a new batch arrives, and only content unseen in BOTH the existing
+    // corpus and the batch itself survives. Existing side reduces to a
+    // distinct-hash set (one shuffle), the batch groups to min-doc_id per
+    // hash, and a LEFT ANTI join drops the already-known content. At
+    // 100 TB the existing-hash table is the only state the pipeline keeps
+    // between runs — hashes, never text.
+    Q("q143_delta_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).withColumn("h", md5(col("text")))
+        val existing = docs.filter(col("doc_id") % 10 < 7).select("h").distinct()
+        val fresh = docs.filter(col("doc_id") % 10 >= 7)
+          .groupBy("h").agg(min("doc_id").as("doc_id"))
+        fresh.join(existing, Seq("h"), "left_anti")
+          .select("doc_id", "h").orderBy("doc_id")
+      },
+      Some("""WITH dh AS (SELECT doc_id, md5(text) AS h FROM documents),
+             |ex AS (SELECT DISTINCT h FROM dh WHERE doc_id % 10 < 7),
+             |nb AS (SELECT h, min(doc_id) AS doc_id FROM dh
+             |  WHERE doc_id % 10 >= 7 GROUP BY h)
+             |SELECT doc_id, h FROM nb WHERE h NOT IN (SELECT h FROM ex)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Exact per-group heavy hitters: top-5 tokens per language by
+    // frequency. The explode never leaves its scan partition before the
+    // (lang, tok) partial aggregation collapses it; the rank filter is
+    // the row_number()<=k pattern Spark rewrites into WindowGroupLimit,
+    // so each shuffle partition forwards at most k rows per group
+    // instead of its whole frequency table.
+    Q("q144_heavy_hitters",
+      (s, d) => {
+        val freq = Tables.documents(s, d)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+        freq.withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(desc("freq"), asc("tok"))))
+          .filter(col("rk") <= 5)
+          .orderBy("lang", "rk")
+      },
+      Some(s"""WITH tk AS (SELECT lang, unnest($sqlToks) AS tok FROM documents),
+              |f AS (SELECT lang, tok, count(*) AS freq FROM tk GROUP BY 1, 2)
+              |SELECT lang, tok, freq,
+              |  row_number() OVER (PARTITION BY lang ORDER BY freq DESC, tok) AS rk
+              |FROM f QUALIFY rk <= 5 ORDER BY lang, rk""".stripMargin)),
+
+    // Robust outlier profile per event type: median, MAD (median absolute
+    // deviation) and the count beyond the 3σ-equivalent 3·1.4826·MAD
+    // fence — the quality-scoring filter that survives heavy tails where
+    // mean/stddev fences collapse. Exact two-pass percentiles here (the
+    // stats frame is k rows, broadcast back); the 100 TB variant swaps in
+    // approx_percentile sketches with identical plumbing.
+    Q("q145_mad_outliers",
+      (s, d) => {
+        val e = Tables.events(s, d).select("event_type", "value")
+        val med = e.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val stats = e.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(max("med").as("med"),
+            expr("percentile(abs(value - med), 0.5)").as("mad"))
+        e.join(broadcast(stats), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("value") - col("med")) >
+              lit(3 * 1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+            pround(max("med"), 6).as("med"),
+            pround(max("mad"), 6).as("mad"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+              |  FROM events GROUP BY 1),
+              |md AS (SELECT e.event_type, max(m.med) AS med,
+              |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+              |  FROM events e JOIN m USING (event_type) GROUP BY e.event_type)
+              |SELECT e.event_type, count(*) AS n,
+              |  CAST(sum(CASE WHEN abs(e.value - md.med) > 3 * 1.4826 * md.mad
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              |  ${sqlRound("max(md.med)", 6)} AS med,
+              |  ${sqlRound("max(md.mad)", 6)} AS mad
+              |FROM events e JOIN md USING (event_type)
+              |GROUP BY e.event_type ORDER BY event_type""".stripMargin)),
+
+    // TF-IDF top-3 terms per document. Ranking uses the EXACT integer
+    // rational tf·10⁹ ÷ (df+1) (monotone in tf and in term rarity), so
+    // rank order is bit-independent of libm; the familiar smoothed
+    // ln-idf score is emitted alongside, rounded. df comes from one
+    // extra aggregation of the tf frame (already distinct per doc·term),
+    // and N docs rides a broadcast 1-row cross join — nothing touches
+    // the driver.
+    Q("q146_tfidf_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+          .withColumn("key", expr("tf * 1000000000 div (df + 1)"))
+          .withColumn("score", pround(
+            col("tf") * (log((col("n_docs") + 1).cast("double") /
+              (col("df") + 1)) + 1), 6))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(desc("key"), asc("tok"))))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "rk", "tok", "tf", "df", "score")
+          .orderBy("doc_id", "rk")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+              |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n_docs FROM documents)
+              |SELECT doc_id, rk, tok, tf, df, score FROM (
+              |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+              |    ${sqlRound(
+                     "tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1)",
+                     6)} AS score,
+              |    row_number() OVER (PARTITION BY tf.doc_id
+              |      ORDER BY tf.tf * 1000000000 // (df.df + 1) DESC, tf.tok) AS rk
+              |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+              |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)))
+
+  private val semiStructured: Seq[Q] = Seq(
+    // Semi-structured property extraction: events.props is a JSON blob;
+    // get_json_object pulls `$.k` inside whole-stage codegen, the cast
+    // and aggregation fold map-side. The schema-on-read path for the
+    // property bags a 100 TB event log always carries.
+    Q("q147_json_extract",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        e.groupBy("event_type")
+          .agg(count(col("k")).as("n"),
+            pround(avg(col("k")), 6).as("avg_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+            sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (SELECT event_type,
+              |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+              |  FROM events)
+              |SELECT event_type, count(k) AS n,
+              |  ${sqlRound("avg(k)", 6)} AS avg_k,
+              |  min(k) AS min_k, max(k) AS max_k,
+              |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+              |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Dwell-time attribution: each event's time-in-state is the gap to
+    // the SAME user's next event (lead over one per-user window — a
+    // single shuffle on user_id), summed per event type in exact long
+    // microseconds. Session analytics' workhorse shape.
+    Q("q148_dwell_time",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        e.withColumn("nxt", lead("us", 1).over(w))
+          .groupBy("event_type")
+          .agg(count(col("nxt")).as("n_spans"),
+            sum(col("nxt") - col("us")).as("dwell_us"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             |    event_id, event_type FROM events),
+             |sp AS (SELECT event_type,
+             |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             |      - us AS dw
+             |  FROM e)
+             |SELECT event_type, count(dw) AS n_spans,
+             |  CAST(sum(dw) AS BIGINT) AS dwell_us
+             |FROM sp GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // GROUPING SETS with explicit set list — one scan produces the
+    // returnflag rollup, the linestatus rollup, and the grand total
+    // (Spark expands to a single Expand + one aggregation; no re-scan
+    // per set). grouping_id() disambiguates the null-as-ALL rows.
+    Q("q149_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          pround(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("gid", "rf", "ls"),
+      Some(s"""SELECT grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+              |  coalesce(l_returnflag, 'ALL') AS rf,
+              |  coalesce(l_linestatus, 'ALL') AS ls,
+              |  ${sqlRound("sum(l_quantity)", 2)} AS sum_qty, count(*) AS n
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY gid, rf, ls""".stripMargin)),
+
+    // Time-RANGE window frame: per-user trailing-1-hour event count and
+    // value sum. The frame is range-based (microsecond bounds), so it is
+    // insensitive to row ties; values are quantized to exact milli-units
+    // BEFORE the windowed sum, because Spark folds the frame linearly
+    // while DuckDB uses a segment tree — long arithmetic makes both
+    // fold orders exact. One shuffle on user_id.
+    Q("q150_trailing_window",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("vq"))
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        e.withColumn("cnt_1h", count(lit(1)).over(w))
+          .withColumn("sum_milli_1h", sum(col("vq")).over(w))
+          .select("user_id", "us", "event_id", "cnt_1h", "sum_milli_1h")
+          .orderBy("user_id", "us", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             |    event_id,
+             |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vq
+             |  FROM events)
+             |SELECT user_id, us, event_id,
+             |  count(*) OVER w AS cnt_1h,
+             |  CAST(sum(vq) OVER w AS BIGINT) AS sum_milli_1h
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, us, event_id""".stripMargin)),
+
+    // Streaming exact dedup: dropDuplicates state across the replayed
+    // stream, then a per-type distinct-user count over the sink — the
+    // output is invariant to WHICH representative row survived, so the
+    // check is deterministic under any micro-batch split. Batch oracle:
+    // count(DISTINCT user_id).
+    Q("q151_stream_dedup",
+      (s, d) => {
+        import graft.streaming.StreamingIngest
+        import org.apache.spark.sql.streaming.Trigger
+        val base = java.nio.file.Files.createTempDirectory("graft_q151").toString
+        val src = base + "/src"
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(src, "events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val schema = s.read.parquet(src).schema
+        val deduped = StreamingIngest.readEvents(s, src, schema)
+          .select("user_id", "event_type")
+          .dropDuplicates("user_id", "event_type")
+        val qn = "graft_q151_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = deduped.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        q.stop()
+        s.table(qn).groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+
+  def all: Seq[Q] = lake ++ semiStructured
+}
