@@ -179,6 +179,38 @@ object LakeQueries {
               |  FROM tf JOIN df USING (tok) CROSS JOIN n)
               |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)))
 
+  private val partitioned: Seq[Q] = Seq(
+    // Hive-style partition pruning, end to end: write the event log
+    // date-partitioned (the layout a 100 TB log always has), read it back
+    // with a partition predicate, and aggregate only the first day. The
+    // scan touches ONE day directory — Catalyst resolves the predicate
+    // against partition values, not data (PartitionedScanSpec asserts the
+    // pruned file count); the oracle computes the same day from the flat
+    // table. Quantized long sum keeps the value aggregate exact.
+    Q("q157_partition_prune",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_q157").toString
+        val out = base + "/events_by_day"
+        val e = Tables.events(s, d)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        e.write.partitionBy("day").mode("overwrite").parquet(out)
+        val firstDay = e.agg(min(col("day"))).head.getString(0)
+        s.read.parquet(out)
+          .filter(col("day") === firstDay)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000 + 0.5).cast("long")).as("sum_milli"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    strftime(ts, '%Y-%m-%d') AS day,
+             |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vq
+             |  FROM events)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(vq) AS BIGINT) AS sum_milli
+             |FROM e WHERE day = (SELECT min(day) FROM e)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+
   private val semiStructured: Seq[Q] = Seq(
     // Semi-structured property extraction: events.props is a JSON blob;
     // get_json_object pulls `$.k` inside whole-stage codegen, the cast
@@ -318,5 +350,192 @@ object LakeQueries {
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
 
-  def all: Seq[Q] = lake ++ semiStructured
+  /** Morton/Z-order bit interleave of two 10-bit dims — the SAME
+    * arithmetic string compiles under Spark SQL and DuckDB, so engine and
+    * oracle share one definition by construction.
+    */
+  private def zInterleave(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})")
+      .mkString("(", " + ", ")")
+
+  private val mining: Seq[Q] = Seq(
+    // SymSpell delete-1 fuzzy join — noisy→clean vocabulary
+    // reconciliation. Candidates come from equi-joining delete-
+    // neighborhood keys (a string plus all its single-char deletions); the
+    // neighborhood intersection is a LOSSLESS generator for lev<=1
+    // (deletion/insertion/substitution all collide on a shared deletion —
+    // LakeSpec proves equality with the brute-force quadratic scan), and
+    // the verify step is exact levenshtein. The noisy side is a
+    // deterministically corrupted copy of the vocabulary (first char
+    // dropped), derived identically by engine and oracle, standing in for
+    // the OCR/typo stream a cleaning pipeline reconciles at scale. Plan:
+    // explode(len+1 keys) + equi-join + verify — never all-pairs.
+    Q("q152_symspell_join",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
+        val clean = vocab.filter(length(col("tok")) >= 3)
+        val noisy = vocab.filter(length(col("tok")) >= 4)
+          .select(expr("substring(tok, 2, length(tok))").as("noisy")).distinct()
+        def delKeys(c: String) =
+          s"concat(array($c), transform(sequence(1, length($c)), i -> " +
+            s"concat(substring($c, 1, i - 1), substring($c, i + 1, length($c)))))"
+        val ck = clean.select(col("tok"), explode(expr(delKeys("tok"))).as("key"))
+        val nk = noisy.select(col("noisy"), explode(expr(delKeys("noisy"))).as("key"))
+        nk.join(ck, "key")
+          .select("noisy", "tok").distinct()
+          .filter(levenshtein(col("noisy"), col("tok")) <= 1)
+          .orderBy("noisy", "tok")
+      },
+      Some(s"""WITH tk AS (SELECT DISTINCT unnest($sqlToks) AS tok FROM documents),
+              |cl AS (SELECT tok FROM tk WHERE len(tok) >= 3),
+              |no AS (SELECT DISTINCT tok[2:] AS noisy FROM tk WHERE len(tok) >= 4),
+              |ck AS (SELECT tok, unnest(list_append(
+              |    [tok[1:i-1] || tok[i+1:] FOR i IN range(1, len(tok) + 1)],
+              |    tok)) AS key FROM cl),
+              |nk AS (SELECT noisy, unnest(list_append(
+              |    [noisy[1:i-1] || noisy[i+1:] FOR i IN range(1, len(noisy) + 1)],
+              |    noisy)) AS key FROM no),
+              |cand AS (SELECT DISTINCT nk.noisy, ck.tok
+              |  FROM nk JOIN ck USING (key))
+              |SELECT noisy, tok FROM cand WHERE levenshtein(noisy, tok) <= 1
+              |ORDER BY noisy, tok""".stripMargin)),
+
+    // Trailing-20-event OLS slope per user: every sum the regression
+    // needs (Σx, Σy, Σxy, Σx²) is a windowed LONG sum over the quantized
+    // value and the per-user row index, so the co-moments are exact and
+    // fold-order-free in both engines; the only float op is the final
+    // division, computed once from exact integers. One shuffle (user_id).
+    Q("q153_rolling_ols",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("y"))
+        val ord = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val frame = ord.rowsBetween(-19, 0)
+        e.withColumn("i", row_number().over(ord).cast("long"))
+          .withColumn("n", count(lit(1)).over(frame))
+          .withColumn("sy", sum(col("y")).over(frame))
+          .withColumn("sx", sum(col("i")).over(frame))
+          .withColumn("sxy", sum(col("i") * col("y")).over(frame))
+          .withColumn("sxx", sum(col("i") * col("i")).over(frame))
+          .filter(col("n") === 20)
+          .withColumn("slope", pround(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .select("user_id", "us", "event_id", "slope")
+          .orderBy("user_id", "us", "event_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+              |    event_id,
+              |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y,
+              |    CAST(row_number() OVER (PARTITION BY user_id
+              |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS i
+              |  FROM events),
+              |f AS (SELECT user_id, us, event_id,
+              |    count(*) OVER w AS n,
+              |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+              |    CAST(sum(i) OVER w AS BIGINT) AS sx,
+              |    CAST(sum(i * y) OVER w AS BIGINT) AS sxy,
+              |    CAST(sum(i * i) OVER w AS BIGINT) AS sxx
+              |  FROM e
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+              |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+              |SELECT user_id, us, event_id,
+              |  ${sqlRound(
+                   "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)",
+                   6)} AS slope
+              |FROM f WHERE n = 20 ORDER BY user_id, us, event_id""".stripMargin)),
+
+    // Triangle count over the co-purchase graph (users linked when they
+    // purchased with the same props.k): the canonical two-join triangle
+    // enumeration over an ordered edge list (u<v<w counted once). Edges
+    // build from a within-key self-join — at 100 TB the per-key fan-out
+    // is the quantity to watch, and the k-grouping bounds it the same way
+    // LSH bands bound near-dup pairs.
+    Q("q154_triangle_count",
+      (s, d) => {
+        val pu = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+            col("user_id")).distinct()
+        val edges = pu.as("a")
+          .join(pu.as("b"),
+            col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("u"), col("b.user_id").as("v")).distinct()
+        edges.as("e1")
+          .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+          .join(edges.as("e3"),
+            col("e2.v") === col("e3.v") && col("e1.u") === col("e3.u"))
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some("""WITH pu AS (SELECT DISTINCT
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, user_id
+             |  FROM events WHERE event_type = 'purchase'),
+             |ed AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+             |  FROM pu a JOIN pu b ON a.k = b.k AND a.user_id < b.user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             |FROM ed e1 JOIN ed e2 ON e1.v = e2.u
+             |JOIN ed e3 ON e2.v = e3.v AND e1.u = e3.u""".stripMargin)),
+
+    // Z-order (Morton) layout audit: interleave 8 bits of two dims into
+    // one clustering key and take its TOP 4 bits as the file bucket — a
+    // pure projection (no global sort, no shuffle beyond the audit's own
+    // groupBy), which is how a writer lays out z-clustered files at
+    // scale. The per-bucket min/max of BOTH dims is the point: each
+    // z-bucket bounds BOTH coordinates at once (the output rows are
+    // disjoint x/y rectangles), which is what makes min/max file skipping
+    // work on predicates over either dimension. 8-bit dims fit this
+    // corpus's id domains; at scale the writer widens bits to the key
+    // range, same arithmetic.
+    Q("q155_zorder_layout", {
+      val z = zInterleave("x", "y", 8)
+      (s: SparkSession, d: String) => {
+        Tables.events(s, d)
+          .select(col("event_id"),
+            (col("user_id") % 256).as("x"),
+            coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+              .as("y"))
+          .withColumn("zval", expr(z))
+          .withColumn("bucket", expr("zval div 4096"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .orderBy("bucket")
+      }},
+      Some({
+        val z = zInterleave("x", "y", 8)
+        s"""WITH e AS (SELECT event_id, user_id % 256 AS x,
+           |    coalesce(CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS y
+           |  FROM events),
+           |zv AS (SELECT x, y, ($z) // 4096 AS bucket FROM e)
+           |SELECT bucket, count(*) AS n,
+           |  min(x) AS min_x, max(x) AS max_x,
+           |  min(y) AS min_y, max(y) AS max_y
+           |FROM zv GROUP BY bucket ORDER BY bucket""".stripMargin
+      })),
+
+    // percent_rank / cume_dist: the remaining rank-function family. Both
+    // are pure functions of the value ordering (ties share ranks), so the
+    // result is deterministic with no tie-break column, and the single
+    // division of exact longs is bitwise identical across engines.
+    Q("q156_value_ranks",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"))
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("event_type", "event_id")
+      },
+      Some("""SELECT event_type, event_id, value,
+             |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value)
+             |ORDER BY event_type, event_id""".stripMargin)))
+
+  def all: Seq[Q] = lake ++ partitioned ++ semiStructured ++ mining
 }
