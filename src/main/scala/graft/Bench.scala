@@ -35,7 +35,8 @@ object Bench {
     "q103_stream_upsert", "q105_winnowing", "q107_dedup_clusters",
     "q109_repetition", "q111_pq_adc", "q112_stream_ohlcv", "q116_bm25",
     "q117_pipeline_e2e", "q126_funnel", "q127_bloom_decontam",
-    "q131_stream_join")
+    "q131_stream_join", "q142_bucketed_join", "q146_tfidf_topk",
+    "q150_trailing_window", "q152_symspell_join", "q157_partition_prune")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")
