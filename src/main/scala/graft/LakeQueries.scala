@@ -450,35 +450,65 @@ object LakeQueries {
               |FROM f WHERE n = 20 ORDER BY user_id, us, event_id""".stripMargin)),
 
     // Triangle count over the co-purchase graph (users linked when they
-    // purchased with the same props.k): the canonical two-join triangle
-    // enumeration over an ordered edge list (u<v<w counted once). Edges
-    // build from a within-key self-join — at 100 TB the per-key fan-out
-    // is the quantity to watch, and the k-grouping bounds it the same way
-    // LSH bands bound near-dup pairs.
+    // purchased the same props.k on the same day). Two scale decisions:
+    // the blocking key is (k, day) so per-bucket fan-out stays bounded
+    // as the log grows (a k-only key densifies toward the complete
+    // graph — measured 32 s at sf0.1 before the fix), and the
+    // enumeration is DEGREE-ORIENTED (Suri–Vassilvitskii): each
+    // undirected edge points from its lower-(degree, id) endpoint to the
+    // higher, so every triangle is counted exactly once and the e1⋈e2
+    // wedge join's fan-out is bounded by the max OUT-degree (~√2m)
+    // instead of the max raw degree.
     Q("q154_triangle_count",
       (s, d) => {
         val pu = Tables.events(s, d)
           .filter(col("event_type") === "purchase")
           .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
             col("user_id")).distinct()
-        val edges = pu.as("a")
-          .join(pu.as("b"),
-            col("a.k") === col("b.k") && col("a.user_id") < col("b.user_id"))
+        val und = pu.as("a")
+          .join(pu.as("b"), col("a.k") === col("b.k") &&
+            col("a.day") === col("b.day") &&
+            col("a.user_id") < col("b.user_id"))
           .select(col("a.user_id").as("u"), col("b.user_id").as("v")).distinct()
-        edges.as("e1")
-          .join(edges.as("e2"), col("e1.v") === col("e2.u"))
-          .join(edges.as("e3"),
-            col("e2.v") === col("e3.v") && col("e1.u") === col("e3.u"))
+        val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val withDeg = und
+          .join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+          .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+        val oriented = withDeg.select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("dst"))
+        oriented.as("e1")
+          .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+          .join(oriented.as("e3"),
+            col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
           .agg(count(lit(1)).as("n_triangles"))
       },
       Some("""WITH pu AS (SELECT DISTINCT
-             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, user_id
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |    strftime(ts, '%Y-%m-%d') AS day, user_id
              |  FROM events WHERE event_type = 'purchase'),
-             |ed AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
-             |  FROM pu a JOIN pu b ON a.k = b.k AND a.user_id < b.user_id)
+             |und AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+             |  FROM pu a JOIN pu b
+             |  ON a.k = b.k AND a.day = b.day AND a.user_id < b.user_id),
+             |deg AS (SELECT n, count(*) AS deg FROM
+             |  (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+             |  GROUP BY n),
+             |ori AS (SELECT
+             |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+             |      THEN u ELSE v END AS src,
+             |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+             |      THEN v ELSE u END AS dst
+             |  FROM und JOIN deg du ON und.u = du.n
+             |  JOIN deg dv ON und.v = dv.n)
              |SELECT CAST(count(*) AS BIGINT) AS n_triangles
-             |FROM ed e1 JOIN ed e2 ON e1.v = e2.u
-             |JOIN ed e3 ON e2.v = e3.v AND e1.u = e3.u""".stripMargin)),
+             |FROM ori e1 JOIN ori e2 ON e1.dst = e2.src
+             |JOIN ori e3 ON e1.src = e3.src AND e2.dst = e3.dst""".stripMargin)),
 
     // Z-order (Morton) layout audit: interleave 8 bits of two dims into
     // one clustering key and take its TOP 4 bits as the file bucket — a
@@ -537,5 +567,107 @@ object LakeQueries {
              |WINDOW w AS (PARTITION BY event_type ORDER BY value)
              |ORDER BY event_type, event_id""".stripMargin)))
 
-  def all: Seq[Q] = lake ++ partitioned ++ semiStructured ++ mining
+  private val evolution: Seq[Q] = Seq(
+    // Schema evolution on read: batch 1 was written BEFORE the `k` column
+    // existed, batch 2 after; `mergeSchema` reconciles the footers and
+    // old rows surface k as null — count(k) vs count(*) makes the
+    // null-fill visible. At 100 TB schema evolution happens in place
+    // (never rewrite the old petabytes); the reader owns reconciliation.
+    Q("q158_schema_evolution",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_q158").toString
+        val e = Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        e.filter(col("event_id") % 2 === 0)
+          .select("event_id", "event_type", "value")
+          .write.mode("overwrite").parquet(base + "/t/batch=1")
+        e.filter(col("event_id") % 2 === 1)
+          .select("event_id", "event_type", "value", "k")
+          .write.mode("overwrite").parquet(base + "/t/batch=2")
+        s.read.option("mergeSchema", "true").parquet(base + "/t")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events)
+             |SELECT event_type, count(*) AS n,
+             |  count(CASE WHEN event_id % 2 = 1 THEN k END) AS n_with_k,
+             |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN k END) AS BIGINT) AS sum_k
+             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // CDC MERGE (Delta-style upsert/delete apply): base ⟗ changes on the
+    // key, deletes drop, updates replace, inserts append — one full-outer
+    // equi-join, no driver involvement. Values ride as exact milli-unit
+    // longs. At scale the join shuffles once on the merge key (or rides
+    // the q142 bucketed layout shuffle-free).
+    Q("q159_cdc_merge",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+        val baseT = e.filter(col("event_id") % 3 =!= 0)
+        val changes = e.withColumn("op",
+            when(col("event_id") % 3 === 0, "I")
+              .when(col("event_id") % 3 === 1, "U").otherwise("D"))
+          .withColumn("v",
+            when(col("op") === "U", col("v") + 100000L).otherwise(col("v")))
+          .select(col("event_id"), col("event_type").as("c_type"),
+            col("v").as("c_v"), col("op"))
+        baseT.join(changes, Seq("event_id"), "full_outer")
+          .filter(coalesce(col("op"), lit("K")) =!= "D")
+          .select(col("event_id"),
+            coalesce(col("c_type"), col("event_type")).as("event_type"),
+            coalesce(col("c_v"), col("v")).as("v_milli"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v FROM events),
+             |b AS (SELECT * FROM e WHERE event_id % 3 <> 0),
+             |c AS (SELECT event_id, event_type AS c_type,
+             |    CASE WHEN event_id % 3 = 1 THEN v + 100000 ELSE v END AS c_v,
+             |    CASE WHEN event_id % 3 = 0 THEN 'I'
+             |      WHEN event_id % 3 = 1 THEN 'U' ELSE 'D' END AS op
+             |  FROM e)
+             |SELECT coalesce(b.event_id, c.event_id) AS event_id,
+             |  coalesce(c.c_type, b.event_type) AS event_type,
+             |  coalesce(c.c_v, b.v) AS v_milli
+             |FROM b FULL OUTER JOIN c ON b.event_id = c.event_id
+             |WHERE coalesce(c.op, 'K') <> 'D'
+             |ORDER BY event_id""".stripMargin)),
+
+    // Correlated scalar subqueries through the pure-SQL surface: orders
+    // priced above their priority group's average. Catalyst DECORRELATES
+    // both subqueries into aggregate+join — no per-row re-execution —
+    // and the comparison is cross-multiplied exact cents (price·n > Σ),
+    // so no float average is ever materialized.
+    Q("q160_correlated_subquery",
+      (s, d) => {
+        Tables.orders(s, d)
+          .withColumn("pc", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .createOrReplaceTempView("graft_orders_q160")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS n_above
+          FROM graft_orders_q160 o
+          WHERE o.pc * (SELECT count(*) FROM graft_orders_q160 i
+                        WHERE i.o_orderpriority = o.o_orderpriority)
+              > (SELECT sum(pc) FROM graft_orders_q160 i
+                 WHERE i.o_orderpriority = o.o_orderpriority)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc
+             |  FROM orders)
+             |SELECT o_orderpriority, count(*) AS n_above
+             |FROM o
+             |WHERE o.pc * (SELECT count(*) FROM o i
+             |    WHERE i.o_orderpriority = o.o_orderpriority)
+             |  > (SELECT sum(pc) FROM o i
+             |    WHERE i.o_orderpriority = o.o_orderpriority)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
+
+  def all: Seq[Q] = lake ++ partitioned ++ semiStructured ++ mining ++ evolution
 }
