@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graft.{AsOfJoinStrategy, FuseDotProduct}
+
+/** Session extension wiring — the `SparkSessionExtensions` entry point
+  * for the engine's Catalyst additions:
+  *
+  *  - [[org.apache.spark.sql.graft.AsOfJoinStrategy]]: plans the native
+  *    as-of join operator ([[org.apache.spark.sql.graft.AsOfJoinPlan]])
+  *    into its merge exec.
+  *  - [[org.apache.spark.sql.graft.FuseDotProduct]]: optimizer rule that
+  *    fuses the declarative `aggregate(zip_with(...))` dot product into
+  *    a codegen'd primitive loop.
+  *
+  * Installed by [[Session.builder]] via `.withExtensions`; an external
+  * application can equally set
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => FuseDotProduct)
+  }
+}
