@@ -1,0 +1,70 @@
+package graft.ohlcv
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Holt's linear-trend exponential smoothing (Holt 1957, the classical
+  * double-exponential forecaster — public knowledge; the reference's
+  * ecosystem exposes it as statsmodels `Holt`). Same distributed shape as
+  * [[Features.withEma]]: repartition by key, sort within partitions,
+  * one sequential mapPartitions scan — the recurrence is inherently
+  * ordered, exactly the case SURVEY §2.10 sanctions for a raw scan. At
+  * 100 TB this is one shuffle and a streaming pass; state is two doubles
+  * per key.
+  *
+  * Recurrence (adjust-free, fitted level/trend emitted per row):
+  * {{{
+  *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+  *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+  * }}}
+  * initialized l_1 = y_1, b_1 = 0 at each key's first non-null value.
+  * Null values carry the previous state forward and emit it unchanged.
+  *
+  * The per-step operation ORDER is part of the contract: the q163 oracle
+  * writes the identical expressions in a recursive CTE, so the smoothed
+  * path is bit-identical before rounding.
+  */
+object HoltWinters {
+
+  def withHolt(df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      alpha: Double, beta: Double, levelCol: String = "level",
+      trendCol: String = "trend"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField(levelCol, DoubleType, nullable = true),
+      StructField(trendCol, DoubleType, nullable = true)))
+    val keyIdx = inSchema.fieldIndex(keyCol)
+    val valIdx = inSchema.fieldIndex(valCol)
+    val sorted =
+      df.repartition(col(keyCol)).sortWithinPartitions(col(keyCol), col(ordCol))
+    sorted.mapPartitions { rows =>
+      var curKey: Any = null
+      var started = false
+      var has = false
+      var l = 0.0
+      var b = 0.0
+      rows.map { row =>
+        val k = row.get(keyIdx)
+        if (!started || k != curKey) {
+          started = true; curKey = k; has = false; l = 0.0; b = 0.0
+        }
+        val out = new Array[Any](outSchema.length)
+        var i = 0
+        while (i < inSchema.length) { out(i) = row.get(i); i += 1 }
+        if (!row.isNullAt(valIdx)) {
+          val y = row.getDouble(valIdx)
+          if (!has) { l = y; b = 0.0; has = true }
+          else {
+            val lNew = alpha * y + (1 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1 - beta) * b
+            l = lNew
+          }
+        }
+        out(inSchema.length) = if (has) java.lang.Double.valueOf(l) else null
+        out(inSchema.length + 1) = if (has) java.lang.Double.valueOf(b) else null
+        new org.apache.spark.sql.catalyst.expressions.GenericRow(out): Row
+      }
+    }(Encoders.row(outSchema))
+  }
+}
