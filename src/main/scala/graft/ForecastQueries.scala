@@ -161,5 +161,94 @@ object ForecastQueries {
               |FROM r WHERE r IS NOT NULL
               |GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
-  def all: Seq[Q] = forecasting
+  private val backtest: Seq[Q] = Seq(
+    // Walk-forward backtest of two leakage-free one-step forecasters —
+    // naive (last close) and SMA(5) — over every bar past the warm-up.
+    // Both predictions are strict-history window frames (1..5 PRECEDING,
+    // never CURRENT ROW), the distributed form of the reference's
+    // stride-eval loop; MAE folds per user in one aggregate.
+    Q("q169_walkforward",
+      (s, d) => {
+        val hc = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+        val hist = w.rowsBetween(-5, -1)
+        hc.withColumn("naive", lag(col("close"), 1).over(w))
+          .withColumn("sma5",
+            when(count(col("close")).over(hist) === 5,
+              avg(col("close")).over(hist)))
+          .filter(col("sma5").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_eval"),
+            pround(avg(abs(col("close") - col("naive"))), 6).as("mae_naive"),
+            pround(avg(abs(col("close") - col("sma5"))), 6).as("mae_sma5"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |p AS (SELECT user_id, close,
+              |    lag(close, 1) OVER w AS naive,
+              |    CASE WHEN count(close) OVER h = 5 THEN avg(close) OVER h END AS sma5
+              |  FROM agg
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s),
+              |    h AS (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+              |  ${sqlRound("avg(abs(close - naive))", 6)} AS mae_naive,
+              |  ${sqlRound("avg(abs(close - sma5))", 6)} AS mae_sma5
+              |FROM p WHERE sma5 IS NOT NULL
+              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Classical seasonal decomposition (decompose(model="additive")):
+    // trend = centered 24-bar moving average, seasonal = per-(user,
+    // hour-of-day) mean of the detrended series, residual = remainder.
+    // Two window passes over one user_id shuffle — the seasonal mean is
+    // a window over (user, hod), not a join.
+    Q("q170_seasonal",
+      (s, d) => {
+        val hc = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("hod", ((col("bucket_s") % 86400) / 3600).cast("long"))
+        val cw = w.rowsBetween(-12, 11)
+        val sw = Window.partitionBy("user_id", "hod")
+        // The trend is ROUNDED before detrending: the two engines'
+        // sliding-window summation strategies differ at ~1e-13, and the
+        // seasonal mean would amplify that onto rounding boundaries.
+        // Rounding first makes the detrended series bit-identical.
+        hc.withColumn("trend",
+            pround(when(count(col("close")).over(cw) === 24,
+              avg(col("close")).over(cw)), 6))
+          .filter(col("trend").isNotNull)
+          .withColumn("det", col("close") - col("trend"))
+          // Seasonal mean over integer micro-units: a BIGINT sum is
+          // order-independent, unlike a double sum, so the two engines'
+          // aggregation orders cannot produce off-by-one roundings.
+          .withColumn("det_q", floor(col("det") * 1e6 + 0.5).cast("long"))
+          .withColumn("seasonal",
+            sum(col("det_q")).over(sw).cast("double") /
+              count(lit(1)).over(sw) / 1e6)
+          .select(col("user_id"), col("bucket_s"), col("trend"),
+            pround(col("seasonal"), 6).as("seasonal"),
+            pround(col("det") - col("seasonal"), 6).as("resid"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |t AS (SELECT user_id, bucket_s, close,
+              |    (bucket_s % 86400) // 3600 AS hod,
+              |    ${sqlRound(
+                   "CASE WHEN count(close) OVER c = 24 THEN avg(close) OVER c END",
+                   6)} AS trend
+              |  FROM agg
+              |  WINDOW c AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+              |dt AS (SELECT user_id, bucket_s, hod, trend, close - trend AS det,
+              |    CAST(floor((close - trend) * 1e6 + 0.5) AS BIGINT) AS det_q
+              |  FROM t WHERE trend IS NOT NULL),
+              |sz AS (SELECT user_id, bucket_s, trend, det,
+              |    CAST(sum(det_q) OVER p AS DOUBLE) / count(*) OVER p / 1e6 AS seasonal
+              |  FROM dt WINDOW p AS (PARTITION BY user_id, hod))
+              |SELECT user_id, bucket_s, trend,
+              |  ${sqlRound("seasonal", 6)} AS seasonal,
+              |  ${sqlRound("det - seasonal", 6)} AS resid
+              |FROM sz ORDER BY user_id, bucket_s""".stripMargin)))
+
+  def all: Seq[Q] = forecasting ++ backtest
 }

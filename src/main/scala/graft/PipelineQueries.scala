@@ -686,7 +686,39 @@ object PipelineQueries {
            |ORDER BY d.doc_id""".stripMargin
       }))
 
+  private val passage: Seq[Q] = Seq(
+    // Duplicated-passage detection — the fixed-width approximation of
+    // suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better", public): 40-char
+    // shingles at stride 20, hash-grouped, keep those appearing in more
+    // than one document. Character (not byte) slicing, so semantics
+    // match on any Unicode text. At 100 TB the group-by key would be a
+    // 64-bit shingle hash rather than the raw string (same plan shape,
+    // 5× narrower shuffle); the raw string is kept here so the oracle
+    // comparison is direct.
+    Q("q168_passage_dedup",
+      (s, d) => Tables.documents(s, d)
+        .filter(length(col("text")) >= 40)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, cast(floor((length(text) - 40) / 20) as int)), " +
+            "i -> substring(text, i * 20 + 1, 40))")).as("shingle"))
+        .groupBy("shingle")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") > 1)
+        .orderBy("shingle"),
+      Some("""WITH d AS (SELECT doc_id, text,
+             |    CAST(floor((length(text) - 40) / 20) AS BIGINT) AS m
+             |  FROM documents WHERE length(text) >= 40),
+             |sh AS (SELECT doc_id,
+             |    substr(text, CAST(u * 20 + 1 AS BIGINT), 40) AS shingle
+             |  FROM d, UNNEST(range(0, m + 1)) AS t(u))
+             |SELECT shingle, count(DISTINCT doc_id) AS n_docs,
+             |  count(*) AS n_occurrences
+             |FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) > 1
+             |ORDER BY shingle""".stripMargin)))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
-      ordered ++ lm ++ dedupApply
+      ordered ++ lm ++ dedupApply ++ passage
 }
