@@ -250,5 +250,150 @@ object ForecastQueries {
               |  ${sqlRound("det - seasonal", 6)} AS resid
               |FROM sz ORDER BY user_id, bucket_s""".stripMargin)))
 
-  def all: Seq[Q] = forecasting ++ backtest
+  private val panel: Seq[Q] = Seq(
+    // Event study (MacKinlay 1997's CAR panel, public): the average
+    // hourly log return at offsets −3..+3 around each purchase event.
+    // Shape: explode 7 offsets per event, equi-join on (user, bucket) —
+    // one shuffle; the per-offset mean folds over integer micro-units so
+    // the cross-row summation order can't move a rounding boundary.
+    Q("q171_event_study",
+      (s, d) => {
+        val hc = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+          .filter(col("r").isNotNull)
+          .withColumn("r_q", floor(col("r") * 1e9 + 0.5).cast("long"))
+          .select("user_id", "bucket_s", "r_q")
+        val ev = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            (ceil(col("ts").cast("double") / 3600) * 3600).cast("long")
+              .as("ebucket"))
+        ev.withColumn("off", explode(expr("sequence(-3, 3)")))
+          .withColumn("bucket_s", col("ebucket") + col("off") * 3600L)
+          .join(hc, Seq("user_id", "bucket_s"))
+          .groupBy("off")
+          .agg(count(lit(1)).as("n_obs"),
+            pround(sum(col("r_q")).cast("double") / count(lit(1)) / 1e9, 6)
+              .as("avg_r"))
+          .orderBy("off")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |r AS (SELECT user_id, bucket_s,
+              |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
+              |      ORDER BY bucket_s))) * 1e9 + 0.5) AS BIGINT) AS r_q
+              |  FROM agg),
+              |ev AS (SELECT user_id,
+              |    CAST(ceil(epoch(ts) / 3600) * 3600 AS BIGINT) AS ebucket
+              |  FROM events WHERE event_type = 'purchase'),
+              |x AS (SELECT ev.user_id, u AS off, ev.ebucket + u * 3600 AS bucket_s
+              |  FROM ev, UNNEST(range(-3, 4)) AS t(u))
+              |SELECT x.off, CAST(count(*) AS BIGINT) AS n_obs,
+              |  ${sqlRound("CAST(sum(r.r_q) AS DOUBLE) / count(*) / 1e9", 6)} AS avg_r
+              |FROM x JOIN r ON x.user_id = r.user_id AND x.bucket_s = r.bucket_s
+              |WHERE r.r_q IS NOT NULL
+              |GROUP BY x.off ORDER BY x.off""".stripMargin)),
+
+    // Winsorized cleaning stats per event type: exact p01/p99 fences
+    // (both engines interpolate quantiles identically on identical
+    // sorted data; fences are ROUNDED before use so a 1-ulp
+    // interpolation difference cannot flip a clip decision), clipped
+    // mean over micro-units, and the clipped-row count.
+    Q("q172_winsorize",
+      (s, d) => {
+        val e = Tables.events(s, d).select("event_type", "value")
+        val fences = e.groupBy("event_type")
+          .agg(pround(expr("percentile(value, 0.01)"), 6).as("p01"),
+            pround(expr("percentile(value, 0.99)"), 6).as("p99"))
+        e.join(broadcast(fences), "event_type")
+          .withColumn("clipped",
+            least(greatest(col("value"), col("p01")), col("p99")))
+          .withColumn("c_q", floor(col("clipped") * 1e6 + 0.5).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum((col("value") < col("p01") || col("value") > col("p99"))
+              .cast("long")).as("n_clipped"),
+            first(col("p01")).as("p01"), first(col("p99")).as("p99"),
+            pround(sum(col("c_q")).cast("double") / count(lit(1)) / 1e6, 6)
+              .as("mean_winsorized"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH f AS (SELECT event_type,
+              |    ${sqlRound("quantile_cont(value, 0.01)", 6)} AS p01,
+              |    ${sqlRound("quantile_cont(value, 0.99)", 6)} AS p99
+              |  FROM events GROUP BY event_type),
+              |c AS (SELECT e.event_type, e.value, f.p01, f.p99,
+              |    least(greatest(e.value, f.p01), f.p99) AS clipped
+              |  FROM events e JOIN f USING (event_type))
+              |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(CASE WHEN value < p01 OR value > p99 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_clipped,
+              |  any_value(p01) AS p01, any_value(p99) AS p99,
+              |  ${sqlRound(
+                  "CAST(sum(CAST(floor(clipped * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1e6",
+                  6)} AS mean_winsorized
+              |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // AR(1) fit-and-forecast with a leakage-free 80/20 tail split (the
+    // reference's train/val discipline): μ and φ come from the TRAIN
+    // head only (Yule-Walker: φ = covar_pop/var_pop of consecutive
+    // returns), are rounded before use, then score the held-out tail
+    // with x̂_t = μ + φ·(x_{t−1} − μ).
+    Q("q174_ar1_forecast",
+      (s, d) => {
+        val hc = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+          .filter(col("r").isNotNull)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+          .withColumn("rprev", lag(col("r"), 1).over(w))
+          .withColumn("cut", floor(col("n") * 0.8).cast("long"))
+        val fit = hc.filter(col("rn") <= col("cut") && col("rprev").isNotNull)
+          .groupBy("user_id")
+          .agg(pround(avg(col("r")), 6).as("mu"),
+            pround(covar_pop(col("r"), col("rprev")) / var_pop(col("rprev")), 6)
+              .as("phi"))
+        hc.filter(col("rn") > col("cut") && col("rprev").isNotNull)
+          .join(fit, "user_id")
+          .withColumn("err",
+            abs(col("r") - (col("mu") + col("phi") * (col("rprev") - col("mu")))))
+          .withColumn("e_q", floor(col("err") * 1e9 + 0.5).cast("long"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_eval"), first(col("mu")).as("mu"),
+            first(col("phi")).as("phi"),
+            pround(sum(col("e_q")).cast("double") / count(lit(1)) / 1e9, 6)
+              .as("mae"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |r AS (SELECT user_id, bucket_s,
+              |    ln(close) - ln(lag(close, 1) OVER uw) AS r
+              |  FROM agg WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+              |rr AS (SELECT user_id, bucket_s, r,
+              |    row_number() OVER uw AS rn,
+              |    count(*) OVER (PARTITION BY user_id) AS n,
+              |    lag(r, 1) OVER uw AS rprev
+              |  FROM r WHERE r IS NOT NULL
+              |  WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+              |fit AS (SELECT user_id,
+              |    ${sqlRound("avg(r)", 6)} AS mu,
+              |    ${sqlRound("covar_pop(r, rprev) / var_pop(rprev)", 6)} AS phi
+              |  FROM rr
+              |  WHERE rn <= CAST(floor(n * 0.8) AS BIGINT) AND rprev IS NOT NULL
+              |  GROUP BY user_id),
+              |ev AS (SELECT rr.user_id,
+              |    abs(rr.r - (f.mu + f.phi * (rr.rprev - f.mu))) AS err,
+              |    f.mu, f.phi
+              |  FROM rr JOIN fit f USING (user_id)
+              |  WHERE rr.rn > CAST(floor(rr.n * 0.8) AS BIGINT)
+              |    AND rr.rprev IS NOT NULL)
+              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+              |  any_value(mu) AS mu, any_value(phi) AS phi,
+              |  ${sqlRound(
+                  "CAST(sum(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1e9",
+                  6)} AS mae
+              |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin)))
+
+  def all: Seq[Q] = forecasting ++ backtest ++ panel
 }

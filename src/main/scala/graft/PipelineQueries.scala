@@ -718,7 +718,44 @@ object PipelineQueries {
              |FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) > 1
              |ORDER BY shingle""".stripMargin)))
 
+  private val entropy: Seq[Q] = Seq(
+    // Character-unigram Shannon entropy per document — the cheap "is
+    // this text or noise" curation signal (gibberish and boilerplate
+    // sit at the distribution's tails). One explode + two aggregations,
+    // all on the doc_id key. Each −p·ln p term is computed identically
+    // by both engines from integer (count, length) pairs and quantized
+    // to nano-units BEFORE the per-doc sum, so summation order is moot.
+    // ASCII guard as in q108: char splitting is code-unit-based in the
+    // JVM but codepoint-based in DuckDB, identical only for ASCII.
+    Q("q173_char_entropy",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("text").rlike("^[\\x00-\\x7f]*$") && length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).as("n"),
+          explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "") // Spark split keeps a trailing ""
+        .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+        .withColumn("p", col("c").cast("double") / col("n"))
+        .withColumn("t_q",
+          floor(-(col("p") * log(col("p"))) * 1e9 + 0.5).cast("long"))
+        .groupBy("doc_id", "n")
+        .agg(count(lit(1)).as("n_distinct"),
+          pround(sum(col("t_q")).cast("double") / 1e9, 6).as("entropy"))
+        .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+          col("entropy"))
+        .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+              |  WHERE regexp_matches(text, '^[\\x00-\\x7f]*$$') AND length(text) > 0),
+              |ch AS (SELECT doc_id, n, unnest(string_split(text, '')) AS ch FROM d),
+              |cc AS (SELECT doc_id, n, ch, count(*) AS c FROM ch GROUP BY doc_id, n, ch),
+              |t AS (SELECT doc_id, n,
+              |    CAST(floor(-((c::DOUBLE / n) * ln(c::DOUBLE / n)) * 1e9 + 0.5)
+              |      AS BIGINT) AS t_q
+              |  FROM cc)
+              |SELECT doc_id, n AS n_chars, CAST(count(*) AS BIGINT) AS n_distinct,
+              |  ${sqlRound("CAST(sum(t_q) AS DOUBLE) / 1e9", 6)} AS entropy
+              |FROM t GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
-      ordered ++ lm ++ dedupApply ++ passage
+      ordered ++ lm ++ dedupApply ++ passage ++ entropy
 }
