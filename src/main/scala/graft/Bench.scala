@@ -36,7 +36,9 @@ object Bench {
     "q109_repetition", "q111_pq_adc", "q112_stream_ohlcv", "q116_bm25",
     "q117_pipeline_e2e", "q126_funnel", "q127_bloom_decontam",
     "q131_stream_join", "q142_bucketed_join", "q146_tfidf_topk",
-    "q150_trailing_window", "q152_symspell_join", "q157_partition_prune")
+    "q150_trailing_window", "q152_symspell_join", "q157_partition_prune",
+    "q161_asof_native", "q163_holt", "q168_passage_dedup",
+    "q170_seasonal", "q174_ar1_forecast")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")

@@ -115,7 +115,14 @@ object ForecastQueries {
       (s, d) => {
         val hc = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
-        val mkt = hc.groupBy("bucket_s").agg(avg(col("close")).as("mkt"))
+        // The market mean is folded over integer micro-units so both
+        // engines hand the SAME doubles to the covariance (a raw double
+        // avg differs at 1e-16 with aggregation order and can flip the
+        // rounded beta).
+        val mkt = hc
+          .withColumn("c_q", floor(col("close") * 1e6 + 0.5).cast("long"))
+          .groupBy("bucket_s")
+          .agg((sum(col("c_q")).cast("double") / count(lit(1)) / 1e6).as("mkt"))
         hc.join(broadcast(mkt), "bucket_s")
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_bars"),
@@ -124,7 +131,10 @@ object ForecastQueries {
           .orderBy("user_id")
       },
       Some(s"""WITH $HourlyCloseCte,
-              |mkt AS (SELECT bucket_s, avg(close) AS mkt FROM agg GROUP BY bucket_s)
+              |mkt AS (SELECT bucket_s,
+              |    CAST(sum(CAST(floor(close * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+              |      / count(*) / 1e6 AS mkt
+              |  FROM agg GROUP BY bucket_s)
               |SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_bars,
               |  ${sqlRound("covar_pop(a.close, m.mkt) / var_pop(m.mkt)", 6)} AS beta
               |FROM agg a JOIN mkt m USING (bucket_s)
@@ -171,29 +181,47 @@ object ForecastQueries {
       (s, d) => {
         val hc = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+        // All cross-row folds run over integer micro-units (exact, so
+        // the engines' different summation orders cannot move a rounding
+        // boundary): the SMA is an integer sum / 5, and both MAEs sum
+        // quantized absolute errors.
         val hist = w.rowsBetween(-5, -1)
-        hc.withColumn("naive", lag(col("close"), 1).over(w))
+        hc.withColumn("c_q", floor(col("close") * 1e6 + 0.5).cast("long"))
+          .withColumn("naive", lag(col("close"), 1).over(w))
           .withColumn("sma5",
             when(count(col("close")).over(hist) === 5,
-              avg(col("close")).over(hist)))
+              sum(col("c_q")).over(hist).cast("double") / 5 / 1e6))
           .filter(col("sma5").isNotNull)
+          .withColumn("en_q",
+            floor(abs(col("close") - col("naive")) * 1e6 + 0.5).cast("long"))
+          .withColumn("es_q",
+            floor(abs(col("close") - col("sma5")) * 1e6 + 0.5).cast("long"))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_eval"),
-            pround(avg(abs(col("close") - col("naive"))), 6).as("mae_naive"),
-            pround(avg(abs(col("close") - col("sma5"))), 6).as("mae_sma5"))
+            pround(sum(col("en_q")).cast("double") / count(lit(1)) / 1e6, 6)
+              .as("mae_naive"),
+            pround(sum(col("es_q")).cast("double") / count(lit(1)) / 1e6, 6)
+              .as("mae_sma5"))
           .orderBy("user_id")
       },
       Some(s"""WITH $HourlyCloseCte,
+              |q AS (SELECT user_id, bucket_s, close,
+              |    CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS c_q FROM agg),
               |p AS (SELECT user_id, close,
               |    lag(close, 1) OVER w AS naive,
-              |    CASE WHEN count(close) OVER h = 5 THEN avg(close) OVER h END AS sma5
-              |  FROM agg
+              |    CASE WHEN count(close) OVER h = 5
+              |      THEN CAST(sum(c_q) OVER h AS DOUBLE) / 5 / 1e6 END AS sma5
+              |  FROM q
               |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s),
               |    h AS (PARTITION BY user_id ORDER BY bucket_s
               |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
               |SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
-              |  ${sqlRound("avg(abs(close - naive))", 6)} AS mae_naive,
-              |  ${sqlRound("avg(abs(close - sma5))", 6)} AS mae_sma5
+              |  ${sqlRound(
+                  "CAST(sum(CAST(floor(abs(close - naive) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1e6",
+                  6)} AS mae_naive,
+              |  ${sqlRound(
+                  "CAST(sum(CAST(floor(abs(close - sma5) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1e6",
+                  6)} AS mae_sma5
               |FROM p WHERE sma5 IS NOT NULL
               |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
