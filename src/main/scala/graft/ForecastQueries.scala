@@ -423,5 +423,55 @@ object ForecastQueries {
                   6)} AS mae
               |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
-  def all: Seq[Q] = forecasting ++ backtest ++ panel
+  private val streamed: Seq[Q] = Seq(
+    // Streaming Holt: the q163 recurrence running INSIDE Structured
+    // Streaming with (level, trend, n) state across micro-batches
+    // (flatMapGroupsWithState), one AvailableNow pass over the raw event
+    // stream — checked against the same recursive-CTE formulation the
+    // batch operator passes. Same µs-truncation-before-fold discipline
+    // as q106 (the oracle orders by µs-resolution TIMESTAMP).
+    Q("q175_stream_holt",
+      (s, d) => {
+        import graft.streaming.StreamingIngest
+        import org.apache.spark.sql.streaming.Trigger
+        val base = java.nio.file.Files.createTempDirectory("graft_q175").toString
+        val src = base + "/src"
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(src, "events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val schema = s.read.parquet(src).schema
+        val stream = StreamingIngest.readEvents(s, src, schema)
+          .withColumn("ts_us", expr("ts div 1000"))
+        val holt = StreamingIngest.streamingHolt(stream, "user_id", "ts_us",
+          "event_id", "value", alpha = 0.5, beta = 0.25, minPeriods = 10)
+        val qn = "graft_q175_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = holt.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        q.stop()
+        s.table(qn).filter(col("level").isNotNull)
+          .select(col("key").as("user_id"), col("ts").as("ts_us"),
+            pround(col("level"), 6).as("level"),
+            pround(col("trend"), 6).as("trend"))
+          .orderBy("user_id", "ts_us")
+      },
+      Some(s"""WITH RECURSIVE ord AS (
+              |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+              |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              |  FROM events),
+              |rec AS (
+              |  SELECT user_id, ts_us, value, rn,
+              |    value AS l, CAST(0 AS DOUBLE) AS b FROM ord WHERE rn = 1
+              |  UNION ALL
+              |  SELECT o.user_id, o.ts_us, o.value, o.rn,
+              |    0.5 * o.value + (1 - 0.5) * (r.l + r.b),
+              |    0.25 * ((0.5 * o.value + (1 - 0.5) * (r.l + r.b)) - r.l)
+              |      + (1 - 0.25) * r.b
+              |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+              |SELECT user_id, ts_us, ${sqlRound("l", 6)} AS level,
+              |  ${sqlRound("b", 6)} AS trend
+              |FROM rec WHERE rn >= 10 ORDER BY user_id, ts_us""".stripMargin)))
+
+  def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed
 }

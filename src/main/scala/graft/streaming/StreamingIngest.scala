@@ -143,6 +143,73 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming Holt linear-trend smoothing: the q163 batch recurrence
+    * (ohlcv.HoltWinters) carried as (level, trend, n) state across
+    * micro-batches via `flatMapGroupsWithState` — same per-step operation
+    * order, so one AvailableNow pass over a parquet stream equals the
+    * batch scan bit-for-bit (oracle q175). Same long key/tie contract as
+    * [[streamingEma]].
+    */
+  final case class HoltState(l: Double, b: Double, n: Long)
+
+  def streamingHolt(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, alpha: Double, beta: Double,
+      minPeriods: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tsLong = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    {
+      import org.apache.spark.sql.types._
+      val integral: Set[org.apache.spark.sql.types.DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
+      Seq(keyCol, tieCol).foreach { c =>
+        require(integral(events.schema(c).dataType),
+          s"streamingHolt: column '$c' must be integral (got " +
+            s"${events.schema(c).dataType.simpleString}); long keys are the " +
+            "plumbed contract")
+      }
+    }
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("level",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("trend",
+        org.apache.spark.sql.types.DoubleType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    events
+      .select(col(keyCol).cast("long").as("key"), tsLong.as("ts"),
+        col(tieCol).cast("long").as("tie"), col(valCol).cast("double").as("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[HoltState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var (l, b, n) = state.getOption.map(s => (s.l, s.b, s.n))
+            .getOrElse((0.0, 0.0, 0L))
+          val out = sorted.map { case (_, ts, _, v) =>
+            if (n == 0L) { l = v; b = 0.0 }
+            else {
+              val lNew = alpha * v + (1 - alpha) * (l + b)
+              b = beta * (lNew - l) + (1 - beta) * b
+              l = lNew
+            }
+            n += 1
+            if (n >= minPeriods) Row(key, ts, l, b) else Row(key, ts, null, null)
+          }
+          state.update(HoltState(l, b, n))
+          out.iterator
+      }
+  }
+
   /** The reference's cache-merge upsert (`cdd.py:108-110`): each
     * micro-batch unions with the sink table and keeps the newest row per
     * key — batch A2 applied inside `foreachBatch`, giving exactly-once
