@@ -473,5 +473,147 @@ object ForecastQueries {
               |  ${sqlRound("b", 6)} AS trend
               |FROM rec WHERE rn >= 10 ORDER BY user_id, ts_us""".stripMargin)))
 
-  def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed
+  private val crossSection: Seq[Q] = Seq(
+    // Most-correlated user pairs: Pearson corr of hourly log returns on
+    // shared hours, computed from EXACT integer co-moments (quantized
+    // returns; the five sums are BIGINTs, the corr formula is the only
+    // float math) — deterministic on any engine or aggregation order.
+    // Shape: self-equi-join on bucket_s (the cross-sectional blocking
+    // key), pair aggregation, top-20 TakeOrdered. The pair space is
+    // inherently quadratic in users-per-bucket; at 100 TB the blocking
+    // key gains a coarse user-cohort component to bound fan-out.
+    Q("q177_pair_corr",
+      (s, d) => {
+        val r = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+          .filter(col("r").isNotNull)
+          .withColumn("r_q", floor(col("r") * 1e6 + 0.5).cast("long"))
+          .select("user_id", "bucket_s", "r_q")
+        val pairs = r.as("a").join(r.as("b"),
+            col("a.bucket_s") === col("b.bucket_s") &&
+              col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("u"), col("b.user_id").as("v"),
+            col("a.r_q").as("x"), col("b.r_q").as("y"))
+        pairs.groupBy("u", "v")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .filter(col("n") >= 8)
+          .withColumn("corr", pround(
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))), 6))
+          .orderBy(col("corr").desc, col("u").asc, col("v").asc).limit(20)
+          .select("u", "v", "n", "corr")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |r AS (SELECT user_id, bucket_s,
+              |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
+              |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS r_q
+              |  FROM agg),
+              |rr AS (SELECT user_id, bucket_s, r_q FROM r WHERE r_q IS NOT NULL),
+              |p AS (SELECT a.user_id AS u, b.user_id AS v,
+              |    a.r_q AS x, b.r_q AS y
+              |  FROM rr a JOIN rr b
+              |  ON a.bucket_s = b.bucket_s AND a.user_id < b.user_id),
+              |m AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              |    CAST(sum(x * y) AS BIGINT) AS sxy,
+              |    CAST(sum(x * x) AS BIGINT) AS sxx,
+              |    CAST(sum(y * y) AS BIGINT) AS syy
+              |  FROM p GROUP BY u, v HAVING count(*) >= 8)
+              |SELECT u, v, n, ${sqlRound(
+                 """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""",
+                 6)} AS corr
+              |FROM m ORDER BY corr DESC, u ASC, v ASC LIMIT 20""".stripMargin)),
+
+    // Lo–MacKinlay variance-ratio test statistic VR(q) = var(q-period
+    // returns)/(q·var(1-period)) per user for q ∈ {2, 4} — the classic
+    // random-walk diagnostic. Both variances come from exact integer
+    // sums of quantized returns (population form), so VR is
+    // order-independent; the q-period return is a strict window sum of
+    // the SAME quanta, never a recomputed float.
+    Q("q178_variance_ratio",
+      (s, d) => {
+        val r = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+          .filter(col("r").isNotNull)
+          .withColumn("r_q", floor(col("r") * 1e6 + 0.5).cast("long"))
+        def varExact(sumC: org.apache.spark.sql.Column,
+            sumSq: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          (n.cast("double") * sumSq.cast("double") -
+            sumC.cast("double") * sumC.cast("double")) /
+            (n.cast("double") * n.cast("double"))
+        val agg1 = r.groupBy("user_id")
+          .agg(count(lit(1)).as("n1"), sum(col("r_q")).as("s1"),
+            sum(col("r_q") * col("r_q")).as("ss1"))
+        def aggQ(q: Int) = {
+          val frame = w.rowsBetween(-(q - 1), 0)
+          r.withColumn("cnt", count(col("r_q")).over(frame))
+            .withColumn("rq", sum(col("r_q")).over(frame))
+            .filter(col("cnt") === q)
+            .groupBy("user_id")
+            .agg(count(lit(1)).as(s"n$q"), sum(col("rq")).as(s"s$q"),
+              sum(col("rq") * col("rq")).as(s"ss$q"))
+        }
+        agg1.join(aggQ(2), "user_id").join(aggQ(4), "user_id")
+          .select(col("user_id"), col("n1"),
+            pround(varExact(col("s2"), col("ss2"), col("n2")) /
+              (lit(2.0) * varExact(col("s1"), col("ss1"), col("n1"))) / 1.0, 6)
+              .as("vr2"),
+            pround(varExact(col("s4"), col("ss4"), col("n4")) /
+              (lit(4.0) * varExact(col("s1"), col("ss1"), col("n1"))) / 1.0, 6)
+              .as("vr4"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |r AS (SELECT user_id, bucket_s,
+              |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
+              |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS r_q
+              |  FROM agg),
+              |rr AS (SELECT user_id, bucket_s, r_q FROM r WHERE r_q IS NOT NULL),
+              |win AS (SELECT user_id, bucket_s, r_q,
+              |    count(r_q) OVER f2 AS c2, CAST(sum(r_q) OVER f2 AS BIGINT) AS q2,
+              |    count(r_q) OVER f4 AS c4, CAST(sum(r_q) OVER f4 AS BIGINT) AS q4
+              |  FROM rr
+              |  WINDOW f2 AS (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+              |    f4 AS (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)),
+              |a1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n1,
+              |    CAST(sum(r_q) AS BIGINT) AS s1,
+              |    CAST(sum(r_q * r_q) AS BIGINT) AS ss1
+              |  FROM rr GROUP BY user_id),
+              |a2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n2,
+              |    CAST(sum(q2) AS BIGINT) AS s2, CAST(sum(q2 * q2) AS BIGINT) AS ss2
+              |  FROM win WHERE c2 = 2 GROUP BY user_id),
+              |a4 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n4,
+              |    CAST(sum(q4) AS BIGINT) AS s4, CAST(sum(q4 * q4) AS BIGINT) AS ss4
+              |  FROM win WHERE c4 = 4 GROUP BY user_id)
+              |SELECT a1.user_id, n1,
+              |  ${sqlRound(
+                 """((CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) /
+                     (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE))) /
+                    (2.0 * ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+                     (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)))) / 1.0""",
+                 6)} AS vr2,
+              |  ${sqlRound(
+                 """((CAST(n4 AS DOUBLE) * CAST(ss4 AS DOUBLE) - CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE)) /
+                     (CAST(n4 AS DOUBLE) * CAST(n4 AS DOUBLE))) /
+                    (4.0 * ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+                     (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)))) / 1.0""",
+                 6)} AS vr4
+              |FROM a1 JOIN a2 USING (user_id) JOIN a4 USING (user_id)
+              |ORDER BY a1.user_id""".stripMargin)))
+
+  def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed ++ crossSection
 }

@@ -755,7 +755,83 @@ object PipelineQueries {
               |  ${sqlRound("CAST(sum(t_q) AS DOUBLE) / 1e9", 6)} AS entropy
               |FROM t GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)))
 
+  private val fusion: Seq[Q] = Seq(
+    // Reciprocal-rank fusion (Cormack et al. 2009, public) of the two
+    // retrieval modes a hybrid search runs per query: the BM25 lexical
+    // leg (q116's operator, fixed term bag) and the dense leg (cosine to
+    // a probe embedding; vec_id ≡ doc_id in this corpus). Each leg ranks
+    // top-20 on its own 6-decimal-rounded score; RRF k=60 fuses ranks —
+    // integer arithmetic, so the fused score is engine-exact. Both legs
+    // are TakeOrdered-sized (top-k), never a global sort of the corpus.
+    Q("q176_rrf_fusion",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bm = graft.text.Relevance.bm25TopK(docs, "doc_id", "text",
+            terms = Seq("table", "scan", "merge", "spark"), topK = 20)
+          .select(col("doc_id"), col("rank").as("rank_bm"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
+        val probe = emb.filter(col("vec_id") === 0)
+          .select(col("ev").as("pv"))
+        val cos = emb.filter(col("vec_id") > 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id").as("doc_id"),
+            pround(org.apache.spark.sql.graft.GraftExpressions.arrayDot(
+                col("ev"), col("pv")) /
+              (greatest(sqrt(org.apache.spark.sql.graft.GraftExpressions.arrayDot(
+                  col("ev"), col("ev"))), lit(1e-8)) *
+                greatest(sqrt(org.apache.spark.sql.graft.GraftExpressions.arrayDot(
+                  col("pv"), col("pv"))), lit(1e-8))), 6).as("sim"))
+          .orderBy(col("sim").desc, col("doc_id").asc).limit(20)
+          .withColumn("rank_cos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("sim").desc, col("doc_id").asc)))
+          .select("doc_id", "rank_cos")
+        bm.join(cos, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            pround(coalesce(lit(1.0) / (lit(60) + col("rank_bm")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_cos")), lit(0.0)), 6))
+          .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+          .select(col("doc_id"), col("rank_bm"), col("rank_cos"), col("rrf"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+              |tl AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM t),
+              |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sdl FROM tl),
+              |e AS (SELECT doc_id, dl, unnest(w) AS tok FROM tl),
+              |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM e WHERE tok IN ('table', 'scan', 'merge', 'spark')
+              |  GROUP BY 1, 2, 3),
+              |dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              |  FROM tf GROUP BY 1),
+              |sc AS (SELECT tf.doc_id, tf.tok,
+              |    ln(1.0 + (st.n - dft.df + 0.5) / (dft.df + 0.5)) *
+              |      (tf.tf * (1.2 + 1.0)) /
+              |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (CAST(st.sdl AS DOUBLE) / st.n))) AS part
+              |  FROM tf JOIN dft USING (tok) CROSS JOIN st),
+              |bm AS (SELECT doc_id,
+              |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_bm
+              |  FROM (SELECT doc_id,
+              |      ${sqlRound("list_sum(list(part ORDER BY tok))", 6)} AS score
+              |    FROM sc GROUP BY 1)
+              |  QUALIFY rank_bm <= 20),
+              |emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+              |pv AS (SELECT ev AS pv FROM emb WHERE vec_id = 0),
+              |cs AS (SELECT vec_id AS doc_id,
+              |    ${sqlRound(VectorTextQueries.sqlCosine("ev", "pv"), 6)} AS sim
+              |  FROM emb, pv WHERE vec_id > 0),
+              |cosr AS (SELECT doc_id,
+              |    row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rank_cos
+              |  FROM cs QUALIFY rank_cos <= 20),
+              |fused AS (SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
+              |    bm.rank_bm, cosr.rank_cos,
+              |    ${sqlRound(
+                   "coalesce(1.0 / (60 + bm.rank_bm), 0.0) + coalesce(1.0 / (60 + cosr.rank_cos), 0.0)",
+                   6)} AS rrf
+              |  FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id)
+              |SELECT doc_id, rank_bm, rank_cos, rrf FROM fused
+              |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin)))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
-      ordered ++ lm ++ dedupApply ++ passage ++ entropy
+      ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion
 }
