@@ -74,5 +74,29 @@ object ExtensionQueries {
               |FROM emb e, p WHERE e.vec_id >= 3
               |ORDER BY e.vec_id, p.probe_id""".stripMargin)))
 
-  def all: Seq[Q] = extension
+  private val sources: Seq[Q] = Seq(
+    // DataSource V2 paginated scan (SURVEY §2.1 S1): every page is an
+    // independent InputPartition, so the backfill parallelizes instead
+    // of walking one cursor. The oracle pins exactly what pagination
+    // gets wrong — duplicated or dropped rows at page boundaries — via
+    // the closed-form index stats of [0, total); bar VALUES are pinned
+    // by ExchangeSourceSpec against the driver-side cursor loop (the
+    // generator is Scala, not SQL).
+    Q("q179_paged_source",
+      (s, d) => s.read.format("graft.sources.ExchangeSource")
+        .option("symbol", "BTC-USD").option("start_ms", 0L)
+        .option("interval_ms", 3600000L).option("total", 5000L)
+        .option("page", 1000).load()
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("ts_ms")).as("n_distinct_ts"),
+          min(col("ts_ms")).as("min_ts_ms"), max(col("ts_ms")).as("max_ts_ms"),
+          sum(col("ts_ms")).as("sum_ts_ms")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT i) AS BIGINT) AS n_distinct_ts,
+             |  CAST(min(i * 3600000) AS BIGINT) AS min_ts_ms,
+             |  CAST(max(i * 3600000) AS BIGINT) AS max_ts_ms,
+             |  CAST(sum(i * 3600000) AS BIGINT) AS sum_ts_ms
+             |FROM (SELECT unnest(range(5000)) AS i)""".stripMargin)))
+
+  def all: Seq[Q] = extension ++ sources
 }

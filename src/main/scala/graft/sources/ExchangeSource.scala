@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic synthetic "exchange feed": the stand-in for the
+  * reference's rate-limited REST endpoint (`cdd.py:54-64`) in a
+  * zero-egress sandbox. Bar `i` of a symbol is a pure function of
+  * (symbol, i) — a splitmix-style hash drives a bounded random walk — so
+  * ANY reader (driver cursor loop, DSv2 partition, test oracle) computes
+  * identical pages.
+  */
+object ExchangeFeed {
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def u01(z: Long): Double =
+    (mix(z) >>> 11).toDouble / (1L << 53).toDouble
+
+  /** `[ts_ms, open, high, low, close, volume]` for bar `i`. */
+  def bar(symbol: String, i: Long, startMs: Long, intervalMs: Long)
+      : (Long, Double, Double, Double, Double, Double) = {
+    val seed = symbol.hashCode.toLong << 32
+    val base = 100.0 + 50.0 * u01(seed) +
+      10.0 * math.sin(i / 37.0) + 4.0 * (u01(seed + i) - 0.5)
+    val open = base + (u01(seed + 7 * i + 1) - 0.5)
+    val close = base + (u01(seed + 7 * i + 2) - 0.5)
+    val high = math.max(open, close) + u01(seed + 7 * i + 3)
+    val low = math.min(open, close) - u01(seed + 7 * i + 4)
+    val volume = 1000.0 * u01(seed + 7 * i + 5)
+    (startMs + i * intervalMs, open, high, low, close, volume)
+  }
+
+  /** Page of at most `limit` bars from the epoch-ms `cursor` — the exact
+    * callback shape `Ingest.fetchPaginated` consumes, bounded by `total`
+    * bars overall.
+    */
+  def page(symbol: String, startMs: Long, intervalMs: Long, total: Long)(
+      cursorMs: Long, limit: Int)
+      : Seq[(Long, Double, Double, Double, Double, Double)] = {
+    val first = math.max(0L, (cursorMs - startMs + intervalMs - 1) / intervalMs)
+    val last = math.min(total, first + limit)
+    (first until last).map(i => bar(symbol, i, startMs, intervalMs))
+  }
+}
+
+/** DataSource V2 paginated scan — SURVEY §2.1 S1's "custom DSv2
+  * TableProvider with offset pagination" mapping, made concrete. The
+  * reference fetches pages SEQUENTIALLY because a cursor loop is all a
+  * REST client offers; a Spark-first source instead plans each page as an
+  * independent `InputPartition` (page k = bars [k·pageSize, …)), so a
+  * 1000-page backfill runs on 1000 tasks with no shared cursor state, no
+  * driver bottleneck, and deterministic page boundaries. Usage:
+  *
+  * {{{
+  * spark.read.format("graft.sources.ExchangeSource")
+  *   .option("symbol", "BTC-USD").option("start_ms", 0L)
+  *   .option("interval_ms", 3600000L).option("total", 5000L)
+  *   .option("page", 1000).load()
+  * }}}
+  */
+class ExchangeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExchangeSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ExchangeTable(new CaseInsensitiveStringMap(properties))
+}
+
+object ExchangeSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("open", DoubleType, nullable = false),
+    StructField("high", DoubleType, nullable = false),
+    StructField("low", DoubleType, nullable = false),
+    StructField("close", DoubleType, nullable = false),
+    StructField("volume", DoubleType, nullable = false)))
+
+  final case class PageParams(symbol: String, startMs: Long, intervalMs: Long,
+      total: Long, pageSize: Int)
+
+  def params(o: CaseInsensitiveStringMap): PageParams = PageParams(
+    o.getOrDefault("symbol", "BTC-USD"),
+    o.getLong("start_ms", 0L),
+    o.getLong("interval_ms", 3600000L),
+    o.getLong("total", 1000L),
+    math.max(1, o.getInt("page", 1000)))
+}
+
+private[sources] class ExchangeTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val p = ExchangeSource.params(options)
+
+  override def name(): String = s"exchange(${p.symbol})"
+  override def schema(): StructType = ExchangeSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = ExchangeSource.Schema
+      override def toBatch: Batch = this
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val nPages = ((p.total + p.pageSize - 1) / p.pageSize).toInt
+        (0 until nPages).map { k =>
+          ExchangePage(p.symbol, p.startMs, p.intervalMs,
+            k.toLong * p.pageSize,
+            math.min(p.total, (k.toLong + 1) * p.pageSize))
+            : InputPartition
+        }.toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+            val pg = partition.asInstanceOf[ExchangePage]
+            new PartitionReader[InternalRow] {
+              private var i = pg.first - 1
+              private val sym = UTF8String.fromString(pg.symbol)
+              override def next(): Boolean = { i += 1; i < pg.until }
+              override def get(): InternalRow = {
+                val (ts, o2, h, l, c, v) =
+                  ExchangeFeed.bar(pg.symbol, i, pg.startMs, pg.intervalMs)
+                InternalRow(sym, ts, o2, h, l, c, v)
+              }
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+/** One page = one independent task: bars [first, until). */
+final case class ExchangePage(symbol: String, startMs: Long, intervalMs: Long,
+    first: Long, until: Long) extends InputPartition

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ohlcv.Ingest
+
+class ExchangeSourceSpec extends SparkSpec {
+
+  private def read(total: Long, page: Int) =
+    spark.read.format("graft.sources.ExchangeSource")
+      .option("symbol", "BTC-USD").option("start_ms", 1000L)
+      .option("interval_ms", 60000L).option("total", total)
+      .option("page", page).load()
+
+  test("DSv2 pages equal the driver-side cursor loop over the same feed") {
+    val dsv2 = read(total = 2500, page = 1000)
+      .orderBy("ts_ms")
+      .select("ts_ms", "open", "high", "low", "close", "volume")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val cursorLoop = Ingest.fetchPaginated(
+      ExchangeFeed.page("BTC-USD", 1000L, 60000L, total = 2500),
+      startMs = 1000L, stopLimit = 2500, maxPerPage = 1000)
+    assert(dsv2.length == 2500)
+    assert(dsv2.toSeq == cursorLoop)
+  }
+
+  test("each page plans as its own partition") {
+    val df = read(total = 2500, page = 1000)
+    assert(df.rdd.getNumPartitions == 3) // ceil(2500/1000)
+    // Short final page carries the remainder.
+    assert(df.count() == 2500)
+  }
+
+  test("cursor loop stops on the empty page past the feed's end") {
+    val rows = Ingest.fetchPaginated(
+      ExchangeFeed.page("ETH-USD", 0L, 1000L, total = 150),
+      startMs = 0L, stopLimit = 999, maxPerPage = 100)
+    assert(rows.length == 150) // feed exhausted before stopLimit
+    assert(rows.map(_._1) == (0L until 150L).map(_ * 1000L))
+  }
+}
