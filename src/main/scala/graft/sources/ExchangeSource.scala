@@ -112,17 +112,58 @@ private[sources] class ExchangeTable(options: CaseInsensitiveStringMap)
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       override def build(): Scan = this
       override def readSchema(): StructType = ExchangeSource.Schema
       override def toBatch: Batch = this
 
+      // Cursor-catch-up pushdown: `ts_ms >= X` / `> X` narrows the FIRST
+      // bar index, `<= X` / `< X` the last, so an incremental reader
+      // plans only the pages past its watermark — page pruning at plan
+      // time, the DSv2 analog of the reference's `cursor = last_ts + 1`.
+      // Bounds only tighten ([lo, hi) stays within [0, total)), and the
+      // filters are also kept (returned from pushedFilters, re-evaluated
+      // by Spark) so pruning can never change results, only skip pages.
+      private var lo = 0L
+      private var hi = p.total
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+      private def barsAtOrAfter(tsMs: Long): Long =
+        math.max(0L, (tsMs - p.startMs + p.intervalMs - 1) / p.intervalMs)
+      private def barsAfter(tsMs: Long): Long =
+        math.max(0L, (tsMs - p.startMs) / p.intervalMs + 1)
+
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        import org.apache.spark.sql.sources._
+        filters.foreach {
+          case GreaterThanOrEqual("ts_ms", v: Long) => lo = math.max(lo, barsAtOrAfter(v))
+          case GreaterThan("ts_ms", v: Long) => lo = math.max(lo, barsAfter(v))
+          case LessThan("ts_ms", v: Long) => hi = math.min(hi, barsAtOrAfter(v))
+          case LessThanOrEqual("ts_ms", v: Long) => hi = math.min(hi, barsAfter(v))
+          case _ => ()
+        }
+        pushed = filters.filter {
+          case GreaterThanOrEqual("ts_ms", _: Long) | GreaterThan("ts_ms", _: Long) |
+               LessThan("ts_ms", _: Long) | LessThanOrEqual("ts_ms", _: Long) => true
+          case _ => false
+        }
+        // Everything is handed back as residual: the source prunes pages,
+        // Spark still applies the exact predicate row-wise.
+        filters
+      }
+
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
       override def planInputPartitions(): Array[InputPartition] = {
-        val nPages = ((p.total + p.pageSize - 1) / p.pageSize).toInt
-        (0 until nPages).map { k =>
+        val first = math.min(lo, hi)
+        val firstPage = (first / p.pageSize).toInt
+        val lastPage = (((hi - 1) / p.pageSize) + 1).toInt
+        (firstPage until math.max(firstPage, lastPage)).map { k =>
           ExchangePage(p.symbol, p.startMs, p.intervalMs,
-            k.toLong * p.pageSize,
-            math.min(p.total, (k.toLong + 1) * p.pageSize))
+            math.max(first, k.toLong * p.pageSize),
+            math.min(hi, (k.toLong + 1) * p.pageSize))
             : InputPartition
         }.toArray
       }

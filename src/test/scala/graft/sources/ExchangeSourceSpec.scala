@@ -33,6 +33,23 @@ class ExchangeSourceSpec extends SparkSpec {
     assert(df.count() == 2500)
   }
 
+  test("ts_ms predicate prunes pages at plan time without changing results") {
+    val df = read(total = 2500, page = 1000)
+    // Watermark at bar 2000 → only the third page should plan.
+    val caught = df.filter(col("ts_ms") >= lit(1000L + 2000L * 60000L))
+    assert(caught.rdd.getNumPartitions == 1, "expected 1 surviving page")
+    assert(caught.count() == 500)
+    // Unpruned evaluation agrees (pushdown is an optimization, not a filter).
+    val expected = read(total = 2500, page = 1000).collect()
+      .filter(_.getAs[Long]("ts_ms") >= 1000L + 2000L * 60000L).length
+    assert(expected == 500)
+    // Range predicate prunes both ends: bars [1000, 2000) → one page.
+    val mid = df.filter(col("ts_ms") >= lit(1000L + 1000L * 60000L) &&
+      col("ts_ms") < lit(1000L + 2000L * 60000L))
+    assert(mid.rdd.getNumPartitions == 1)
+    assert(mid.count() == 1000)
+  }
+
   test("cursor loop stops on the empty page past the feed's end") {
     val rows = Ingest.fetchPaginated(
       ExchangeFeed.page("ETH-USD", 0L, 1000L, total = 150),
