@@ -615,5 +615,80 @@ object ForecastQueries {
               |FROM a1 JOIN a2 USING (user_id) JOIN a4 USING (user_id)
               |ORDER BY a1.user_id""".stripMargin)))
 
-  def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed ++ crossSection
+  private val stateSpace: Seq[Q] = Seq(
+    // Holt–Winters additive seasonal (period 24h). The seasonal ring's
+    // zero seed IS the warm-up rule, and the oracle reproduces the ring
+    // as a fixed-length list sliding through the recursive CTE — so the
+    // smoothed path (level, trend, seasonal) is bit-identical before
+    // rounding. α/β/γ are binary-exact.
+    Q("q180_holt_winters",
+      (s, d) => {
+        val hc = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+        HoltWinters.withHoltWintersSeasonal(hc, "user_id", "bucket_s", "close",
+            alpha = 0.5, beta = 0.25, gamma = 0.25, m = 24)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("level"), 4).as("level"),
+            pround(col("trend"), 4).as("trend"),
+            pround(col("seasonal"), 4).as("seasonal"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some {
+        val lNew = "0.5 * (o.close - r.slist[1]) + (1 - 0.5) * (r.l + r.b)"
+        s"""WITH RECURSIVE $HourlyCloseCte,
+           |ord AS (SELECT user_id, bucket_s, close,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+           |  FROM agg),
+           |rec AS (
+           |  SELECT user_id, bucket_s, close, rn, close AS l,
+           |    CAST(0 AS DOUBLE) AS b,
+           |    [CAST(0 AS DOUBLE) FOR x IN range(24)] AS slist
+           |  FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.user_id, o.bucket_s, o.close, o.rn,
+           |    $lNew,
+           |    0.25 * (($lNew) - r.l) + (1 - 0.25) * r.b,
+           |    r.slist[2:] ||
+           |      [0.25 * (o.close - ($lNew)) + (1 - 0.25) * r.slist[1]]
+           |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+           |SELECT user_id, bucket_s, ${sqlRound("l", 4)} AS level,
+           |  ${sqlRound("b", 4)} AS trend,
+           |  ${sqlRound("slist[24]", 4)} AS seasonal
+           |FROM rec ORDER BY user_id, bucket_s""".stripMargin
+      }),
+
+    // Kalman filter, local-level model: filtered level and posterior
+    // variance per bar, (x, P) carried through the recursive CTE with
+    // the identical gain/update operation order.
+    Q("q181_kalman",
+      (s, d) => {
+        val hc = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+        HoltWinters.withKalmanLevel(hc, "user_id", "bucket_s", "close",
+            qVar = 0.01, rVar = 1.0)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("x"), 6).as("x"), pround(col("p"), 6).as("p"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some {
+        val k = "((r.p + CAST(0.01 AS DOUBLE)) / ((r.p + CAST(0.01 AS DOUBLE)) + CAST(1 AS DOUBLE)))"
+        s"""WITH RECURSIVE $HourlyCloseCte,
+           |ord AS (SELECT user_id, bucket_s, close,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+           |  FROM agg),
+           |rec AS (
+           |  SELECT user_id, bucket_s, close, rn,
+           |    close AS x, CAST(1 AS DOUBLE) AS p FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.user_id, o.bucket_s, o.close, o.rn,
+           |    r.x + $k * (o.close - r.x),
+           |    (1 - $k) * (r.p + CAST(0.01 AS DOUBLE))
+           |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+           |SELECT user_id, bucket_s, ${sqlRound("x", 6)} AS x,
+           |  ${sqlRound("p", 6)} AS p
+           |FROM rec ORDER BY user_id, bucket_s""".stripMargin
+      }))
+
+  def all: Seq[Q] =
+    forecasting ++ backtest ++ panel ++ streamed ++ crossSection ++ stateSpace
 }
