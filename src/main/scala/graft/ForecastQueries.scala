@@ -689,6 +689,117 @@ object ForecastQueries {
            |FROM rec ORDER BY user_id, bucket_s""".stripMargin
       }))
 
-  def all: Seq[Q] =
-    forecasting ++ backtest ++ panel ++ streamed ++ crossSection ++ stateSpace
+  private val detection: Seq[Q] = Seq(
+    // One-sided CUSUM changepoint scores (Page 1954) on standardized
+    // hourly returns. The textbook recurrence S_t = max(0, S_{t−1} + z_t
+    // − k) has the closed form S_t = C_t − min(0, min_{j≤t} C_j) with
+    // C_t = Σ(z_i − k) — so the whole detector is a running sum + running
+    // min, pure window frames, NO sequential scan. All folds are over
+    // exact integer micro-units (z quantized, k=0.5 exactly 500000), so
+    // both engines see identical scores. μ/σ come from the 80% train
+    // head, rounded before use (leakage-free).
+    Q("q182_cusum",
+      (s, d) => {
+        val r = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+          .filter(col("r").isNotNull)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        val fit = r.filter(col("rn") <= floor(col("n") * 0.8).cast("long"))
+          .groupBy("user_id")
+          .agg(pround(avg(col("r")), 6).as("mu"),
+            pround(stddev_pop(col("r")), 6).as("sigma"))
+          .filter(col("sigma") > 0)
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        r.join(broadcast(fit), "user_id")
+          .withColumn("z_q",
+            floor((col("r") - col("mu")) / col("sigma") * 1e6 + 0.5).cast("long"))
+          .withColumn("c", sum(col("z_q") - 500000L).over(cum))
+          .withColumn("s_pos",
+            (col("c") - least(lit(0L), min(col("c")).over(cum))).cast("double") / 1e6)
+          .filter(col("s_pos") > 5.0)
+          .select(col("user_id"), col("bucket_s"),
+            pround(col("s_pos"), 6).as("s_pos"))
+          .orderBy("user_id", "bucket_s")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |r AS (SELECT user_id, bucket_s,
+              |    ln(close) - ln(lag(close, 1) OVER uw) AS r
+              |  FROM agg WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+              |rr AS (SELECT user_id, bucket_s, r,
+              |    row_number() OVER uw AS rn,
+              |    count(*) OVER (PARTITION BY user_id) AS n
+              |  FROM r WHERE r IS NOT NULL
+              |  WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+              |fit AS (SELECT user_id, ${sqlRound("avg(r)", 6)} AS mu,
+              |    ${sqlRound("stddev_pop(r)", 6)} AS sigma
+              |  FROM rr WHERE rn <= CAST(floor(n * 0.8) AS BIGINT)
+              |  GROUP BY user_id HAVING ${sqlRound("stddev_pop(r)", 6)} > 0),
+              |zz AS (SELECT rr.user_id, rr.bucket_s,
+              |    CAST(floor((rr.r - f.mu) / f.sigma * 1e6 + 0.5) AS BIGINT) AS z_q
+              |  FROM rr JOIN fit f USING (user_id)),
+              |c1 AS (SELECT user_id, bucket_s,
+              |    CAST(sum(z_q - 500000) OVER (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+              |  FROM zz),
+              |cc AS (SELECT user_id, bucket_s, c,
+              |    CAST(min(c) OVER (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cmin
+              |  FROM c1)
+              |SELECT user_id, bucket_s,
+              |  ${sqlRound("CAST(c - least(CAST(0 AS BIGINT), cmin) AS DOUBLE) / 1e6", 6)} AS s_pos
+              |FROM cc WHERE CAST(c - least(CAST(0 AS BIGINT), cmin) AS DOUBLE) / 1e6 > 5.0
+              |ORDER BY user_id, bucket_s""".stripMargin)),
+
+    // Kalman innovation anomalies: the normalized innovation squared
+    // (NIS) of each bar under the q181 filter; NIS > 9 (3σ) flags the
+    // bar. Every input is a bit-identical Kalman output or an exact lag,
+    // so the flag set is deterministic.
+    Q("q183_kalman_anomaly",
+      (s, d) => {
+        val hc = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+        HoltWinters.withKalmanLevel(hc, "user_id", "bucket_s", "close",
+            qVar = 0.01, rVar = 1.0)
+          .withColumn("x_prev", lag(col("x"), 1).over(w))
+          .withColumn("p_prev", lag(col("p"), 1).over(w))
+          .filter(col("x_prev").isNotNull)
+          .withColumn("nis",
+            (col("close") - col("x_prev")) * (col("close") - col("x_prev")) /
+              (col("p_prev") + 0.01 + 1.0))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_bars"),
+            sum((col("nis") > 9.0).cast("long")).as("n_anomalies"),
+            pround(max(col("nis")), 6).as("max_nis"))
+          .orderBy("user_id")
+      },
+      Some {
+        val k = "((r.p + CAST(0.01 AS DOUBLE)) / ((r.p + CAST(0.01 AS DOUBLE)) + CAST(1 AS DOUBLE)))"
+        s"""WITH RECURSIVE $HourlyCloseCte,
+           |ord AS (SELECT user_id, bucket_s, close,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s) AS rn
+           |  FROM agg),
+           |rec AS (
+           |  SELECT user_id, bucket_s, close, rn,
+           |    close AS x, CAST(1 AS DOUBLE) AS p FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.user_id, o.bucket_s, o.close, o.rn,
+           |    r.x + $k * (o.close - r.x),
+           |    (1 - $k) * (r.p + CAST(0.01 AS DOUBLE))
+           |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1),
+           |inn AS (SELECT user_id, bucket_s, close,
+           |    lag(x, 1) OVER uw AS x_prev, lag(p, 1) OVER uw AS p_prev
+           |  FROM rec WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+           |nis AS (SELECT user_id,
+           |    (close - x_prev) * (close - x_prev) / (p_prev + 0.01 + 1.0) AS nis
+           |  FROM inn WHERE x_prev IS NOT NULL)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_bars,
+           |  CAST(sum(CASE WHEN nis > 9.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           |  ${sqlRound("max(nis)", 6)} AS max_nis
+           |FROM nis GROUP BY user_id ORDER BY user_id""".stripMargin
+      }))
+
+  def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed ++
+    crossSection ++ stateSpace ++ detection
 }

@@ -831,7 +831,131 @@ object PipelineQueries {
               |SELECT doc_id, rank_bm, rank_cos, rrf FROM fused
               |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin)))
 
+  private val retrievalEval: Seq[Q] = Seq(
+    // Retrieval evaluation harness: recall@10, MRR and nDCG@10 of one
+    // ranker against another's top-10 as ground truth (here: L2 ranking
+    // scored against cosine truth, probes 0–2 — the same machinery
+    // scores an ANN tier against the exact scan in production). Ranks
+    // are integers and every DCG term is quantized before the fold, so
+    // the metric values are engine-exact.
+    Q("q184_retrieval_metrics",
+      (s, d) => {
+        import org.apache.spark.sql.graft.GraftExpressions.{arrayDot, arraySqDiff}
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"))
+        val probes = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("probe_id"), col("ev").as("pv"))
+        val cand = emb.filter(col("vec_id") >= 3).crossJoin(broadcast(probes))
+        def top10(scored: org.apache.spark.sql.DataFrame, asc: Boolean,
+            rankCol: String) = {
+          val ord = if (asc) Seq(col("score").asc, col("vec_id").asc)
+            else Seq(col("score").desc, col("vec_id").asc)
+          val pw = org.apache.spark.sql.expressions.Window
+            .partitionBy("probe_id").orderBy(ord: _*)
+          scored.withColumn(rankCol, row_number().over(pw))
+            .filter(col(rankCol) <= 10)
+            .select(col("probe_id"), col("vec_id"), col(rankCol))
+        }
+        val truth = top10(cand.select(col("probe_id"), col("vec_id"),
+          pround(arrayDot(col("ev"), col("pv")) /
+            (greatest(sqrt(arrayDot(col("ev"), col("ev"))), lit(1e-8)) *
+              greatest(sqrt(arrayDot(col("pv"), col("pv"))), lit(1e-8))), 6)
+            .as("score")), asc = false, "rank_t")
+        val sys = top10(cand.select(col("probe_id"), col("vec_id"),
+          pround(sqrt(arraySqDiff(col("ev"), col("pv"))), 6).as("score")),
+          asc = true, "rank_s")
+        val hits = sys.join(truth, Seq("probe_id", "vec_id"))
+          .withColumn("dcg_q",
+            floor(lit(1e9) / log(col("rank_s") + 1) + 0.5).cast("long"))
+        val idcgQ = (1 to 10).map(i =>
+          math.floor(1e9 / math.log(i + 1.0) + 0.5).toLong).sum
+        probes.select("probe_id").join(
+            hits.groupBy("probe_id")
+              .agg(count(lit(1)).as("n_hits"),
+                min(col("rank_s")).as("first_hit"),
+                sum(col("dcg_q")).as("dcgq")),
+            Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            pround(coalesce(col("n_hits"), lit(0L)).cast("double") / 10, 6)
+              .as("recall_at_10"),
+            pround(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"),
+            pround(coalesce(col("dcgq"), lit(0L)).cast("double") / idcgQ, 6)
+              .as("ndcg_at_10"))
+          .orderBy("probe_id")
+      },
+      Some {
+        val cos = VectorTextQueries.sqlCosine("c.ev", "p.pv")
+        s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+           |p AS (SELECT vec_id AS probe_id, ev AS pv FROM emb WHERE vec_id < 3),
+           |c AS (SELECT vec_id, ev FROM emb WHERE vec_id >= 3),
+           |truth AS (SELECT probe_id, vec_id FROM (
+           |    SELECT p.probe_id, c.vec_id,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${sqlRound(cos, 6)} DESC, c.vec_id ASC) AS rank_t
+           |    FROM c, p) WHERE rank_t <= 10),
+           |sys AS (SELECT probe_id, vec_id, rank_s FROM (
+           |    SELECT p.probe_id, c.vec_id,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${sqlRound("list_distance(c.ev, p.pv)", 6)} ASC,
+           |          c.vec_id ASC) AS rank_s
+           |    FROM c, p) WHERE rank_s <= 10),
+           |hits AS (SELECT s.probe_id, s.rank_s,
+           |    CAST(floor(1e9 / ln(s.rank_s + 1) + 0.5) AS BIGINT) AS dcg_q
+           |  FROM sys s JOIN truth t ON s.probe_id = t.probe_id AND s.vec_id = t.vec_id),
+           |idcg AS (SELECT CAST(sum(CAST(floor(1e9 / ln(i + 1 + 1) + 0.5) AS BIGINT))
+           |    AS BIGINT) AS idcg_q
+           |  FROM (SELECT unnest(range(10)) AS i)),
+           |ag AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hits,
+           |    min(rank_s) AS first_hit, CAST(sum(dcg_q) AS BIGINT) AS dcgq
+           |  FROM hits GROUP BY probe_id)
+           |SELECT p.probe_id, coalesce(ag.n_hits, 0) AS n_hits,
+           |  ${sqlRound("coalesce(CAST(ag.n_hits AS DOUBLE), 0.0) / 10", 6)} AS recall_at_10,
+           |  ${sqlRound("coalesce(1.0 / ag.first_hit, 0.0)", 6)} AS mrr,
+           |  ${sqlRound(
+               "coalesce(CAST(ag.dcgq AS DOUBLE), 0.0) / (SELECT idcg_q FROM idcg)",
+               6)} AS ndcg_at_10
+           |FROM p LEFT JOIN ag USING (probe_id)
+           |ORDER BY p.probe_id""".stripMargin
+      }),
+
+    // Per-dimension embedding statistics — the normalization-stats pass
+    // a whitening/standardization step reads. One posexplode + one
+    // aggregation keyed by dimension; mean and variance from exact
+    // integer co-moments of micro-unit quanta.
+    Q("q185_embed_dim_stats",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .withColumn("v_q", floor(col("v") * 1e6 + 0.5).cast("long"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"),
+          pround(sum(col("v_q")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_v"),
+          pround((count(lit(1)).cast("double") *
+            sum(col("v_q") * col("v_q")).cast("double") -
+            sum(col("v_q")).cast("double") * sum(col("v_q")).cast("double")) /
+            (count(lit(1)).cast("double") * count(lit(1)).cast("double")) / 1e12, 6)
+            .as("var_v"))
+        .select(col("pos").cast("long").as("pos"), col("n"), col("mean_v"),
+          col("var_v"))
+        .orderBy("pos"),
+      Some(s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+              |dims AS (SELECT CAST(len(ev) AS BIGINT) AS dim FROM emb LIMIT 1),
+              |g AS (SELECT unnest(range((SELECT dim FROM dims))) AS pos),
+              |x AS (SELECT g.pos, CAST(floor(e.ev[g.pos + 1] * 1e6 + 0.5) AS BIGINT) AS v_q
+              |  FROM emb e, g)
+              |SELECT pos, CAST(count(*) AS BIGINT) AS n,
+              |  ${sqlRound("CAST(sum(v_q) AS DOUBLE) / count(*) / 1e6", 6)} AS mean_v,
+              |  ${sqlRound(
+                  """(CAST(count(*) AS DOUBLE) * CAST(sum(v_q * v_q) AS DOUBLE) -
+                     CAST(sum(v_q) AS DOUBLE) * CAST(sum(v_q) AS DOUBLE)) /
+                    (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) / 1e12""",
+                  6)} AS var_v
+              |FROM x GROUP BY pos ORDER BY pos""".stripMargin)))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
-      ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion
+      ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
+      retrievalEval
 }
