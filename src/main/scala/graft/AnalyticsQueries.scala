@@ -497,7 +497,44 @@ object AnalyticsQueries {
               |  ${sqlRound("var_pop(value)", 6)} AS var_v
               |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
 
+  private val udafs: Seq[Q] = Seq(
+    // Typed Aggregator UDAF (functions.HistQuantile): histogram-sketch
+    // quantiles whose merge is a vector ADD — order-free, so the sketch
+    // answers identically on any partitioning AND is exactly mirrorable
+    // in SQL (not merely tolerance-checkable like t-digest). Bucket
+    // geometry is binary-exact (width 512/1024 = 0.5), so every float op
+    // on both engines is exact.
+    Q("q186_hist_quantile",
+      (s, d) => {
+        import graft.functions.HistQuantile
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            pround(HistQuantile(0.0, 512.0, 1024, 0.5)(col("value")), 6).as("p50"),
+            pround(HistQuantile(0.0, 512.0, 1024, 0.9)(col("value")), 6).as("p90"))
+          .orderBy("event_type")
+      },
+      Some {
+        def pick(p: String, out: String) =
+          s"""(SELECT ${sqlRound("(min(idx) + 0.5) * 0.5", 6)}
+             |  FROM cum c2 WHERE c2.event_type = g.event_type
+             |    AND c2.cum > CAST(floor($p * (c2.n - 1) + 0.5) AS BIGINT)) AS $out"""
+        s"""WITH b AS (SELECT event_type,
+           |    least(greatest(CAST(floor((value - 0) / 0.5) AS BIGINT), 0), 1023) AS idx
+           |  FROM events),
+           |c AS (SELECT event_type, idx, count(*) AS cnt FROM b GROUP BY 1, 2),
+           |cum AS (SELECT event_type, idx, cnt,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS BIGINT) AS cum,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM c),
+           |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+           |SELECT g.event_type, g.n,
+           |  ${pick("0.5", "p50")},
+           |  ${pick("0.9", "p90")}
+           |FROM g ORDER BY g.event_type""".stripMargin
+      }))
+
   def all: Seq[Q] =
     funnel ++ olap ++ pipeline ++ windowed ++ rangeJoin ++ graph ++
-      streaming2 ++ multimodal2 ++ stats
+      streaming2 ++ multimodal2 ++ stats ++ udafs
 }
