@@ -113,9 +113,18 @@ private[sources] class ExchangeTable(options: CaseInsensitiveStringMap)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
-        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       override def build(): Scan = this
-      override def readSchema(): StructType = ExchangeSource.Schema
+
+      // Column pruning: the reader materializes ONLY the projected
+      // fields — at scale the generator (or a real REST payload parse)
+      // skips whole columns, and `.explain` shows the narrowed
+      // ReadSchema exactly like a parquet scan would.
+      private var required: StructType = ExchangeSource.Schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
       // Cursor-catch-up pushdown: `ts_ms >= X` / `> X` narrows the FIRST
@@ -168,7 +177,8 @@ private[sources] class ExchangeTable(options: CaseInsensitiveStringMap)
         }.toArray
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val fieldNames = required.fieldNames
         new PartitionReaderFactory {
           override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
             val pg = partition.asInstanceOf[ExchangePage]
@@ -179,12 +189,21 @@ private[sources] class ExchangeTable(options: CaseInsensitiveStringMap)
               override def get(): InternalRow = {
                 val (ts, o2, h, l, c, v) =
                   ExchangeFeed.bar(pg.symbol, i, pg.startMs, pg.intervalMs)
-                InternalRow(sym, ts, o2, h, l, c, v)
+                InternalRow(fieldNames.map {
+                  case "symbol" => sym
+                  case "ts_ms" => ts
+                  case "open" => o2
+                  case "high" => h
+                  case "low" => l
+                  case "close" => c
+                  case "volume" => v
+                }: _*)
               }
               override def close(): Unit = ()
             }
           }
         }
+      }
     }
 }
 

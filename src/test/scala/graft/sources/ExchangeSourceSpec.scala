@@ -50,6 +50,21 @@ class ExchangeSourceSpec extends SparkSpec {
     assert(mid.count() == 1000)
   }
 
+  test("column pruning narrows the scan's ReadSchema") {
+    val df = read(total = 100, page = 50).select("ts_ms", "close")
+    // The BatchScan's output column list is the DSv2 ReadSchema; a
+    // pruned scan lists only the projected fields (no symbol/open/...).
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan exchange(BTC-USD)[ts_ms#") &&
+      plan.contains(", close#") && !plan.contains("volume#"),
+      s"expected pruned BatchScan output in:\n$plan")
+    // Pruned read returns the same values as the full read's projection.
+    val full = read(total = 100, page = 50).collect()
+      .map(r => (r.getAs[Long]("ts_ms"), r.getAs[Double]("close"))).toSeq
+    val pruned = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned.sorted == full.sorted)
+  }
+
   test("cursor loop stops on the empty page past the feed's end") {
     val rows = Ingest.fetchPaginated(
       ExchangeFeed.page("ETH-USD", 0L, 1000L, total = 150),
