@@ -954,8 +954,113 @@ object PipelineQueries {
                   6)} AS var_v
               |FROM x GROUP BY pos ORDER BY pos""".stripMargin)))
 
+  private val lm2: Seq[Q] = Seq(
+    // Bigram LM with add-one smoothing, trained on sources ≠ src0 and
+    // scored on the held-out src0 slice — the conditional-probability
+    // upgrade of q123's unigram filter: P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V).
+    // Probabilities are ratios of exact integers, each −ln p term is
+    // quantized to nano-units before the per-doc fold, and the bigram
+    // join keys are "w1 w2" strings so engine and oracle share one
+    // representation. Shape: two train aggregates (broadcastable), one
+    // explode + left join on the eval side.
+    Q("q187_bigram_lm",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+        def bigrams(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("doc_id"),
+          explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bg"))
+        val train = toks.filter(col("source") =!= "src0")
+        val c2 = bigrams(train).groupBy("bg").agg(count(lit(1)).as("c12"))
+        val c1 = train.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val vocab = train.select(explode(col("toks")).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        bigrams(toks.filter(col("source") === "src0"))
+          .join(broadcast(c2), Seq("bg"), "left")
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .join(broadcast(c1.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .withColumn("p",
+            (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+          .withColumn("t_q", floor(-log(col("p")) * 1e9 + 0.5).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            pround(sum(col("t_q")).cast("double") / count(lit(1)) / 1e9, 6)
+              .as("xent"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks FROM documents),
+              |tt AS (SELECT doc_id, source, toks FROM t WHERE len(toks) >= 2),
+              |trainbg AS (SELECT unnest([toks[i] || ' ' || toks[i + 1]
+              |      FOR i IN range(1, len(toks))]) AS bg
+              |  FROM tt WHERE source <> 'src0'),
+              |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM trainbg GROUP BY bg),
+              |trainw AS (SELECT unnest(toks) AS w FROM tt WHERE source <> 'src0'),
+              |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM trainw GROUP BY w),
+              |vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM trainw),
+              |ev AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1]
+              |      FOR i IN range(1, len(toks))]) AS bg
+              |  FROM tt WHERE source = 'src0'),
+              |scored AS (SELECT e.doc_id,
+              |    CAST(floor(-ln(CAST(coalesce(c2.c12, 0) + 1 AS DOUBLE) /
+              |      CAST(coalesce(c1.c1, 0) + vv.v AS DOUBLE)) * 1e9 + 0.5)
+              |      AS BIGINT) AS t_q
+              |  FROM ev e
+              |  LEFT JOIN c2 USING (bg)
+              |  LEFT JOIN c1 ON c1.w = string_split(e.bg, ' ')[1]
+              |  CROSS JOIN vv)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |  ${sqlRound("CAST(sum(t_q) AS DOUBLE) / count(*) / 1e9", 6)} AS xent
+              |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the top-100
+    // corpus tokens — the one-number corpus-health diagnostic (natural
+    // text ≈ −1). Both logs are quantized to micro-units and the four
+    // regression sums are exact BIGINTs, so the slope is engine-exact.
+    Q("q188_zipf",
+      (s, d) => {
+        val freq = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("w").asc).limit(100)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("f").desc, col("w").asc)))
+        freq
+          .withColumn("x_q", floor(log(col("rank").cast("double")) * 1e6 + 0.5).cast("long"))
+          .withColumn("y_q", floor(log(col("f").cast("double")) * 1e6 + 0.5).cast("long"))
+          .agg(count(lit(1)).as("n_tokens"),
+            pround(
+              (count(lit(1)).cast("double") * sum(col("x_q") * col("y_q")).cast("double") -
+                sum(col("x_q")).cast("double") * sum(col("y_q")).cast("double")) /
+                (count(lit(1)).cast("double") * sum(col("x_q") * col("x_q")).cast("double") -
+                  sum(col("x_q")).cast("double") * sum(col("x_q")).cast("double")), 6)
+              .as("zipf_slope"))
+      },
+      Some(s"""WITH w AS (SELECT unnest($sqlToks) AS w FROM documents),
+              |f AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w GROUP BY w
+              |  ORDER BY f DESC, w ASC LIMIT 100),
+              |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS rank FROM f),
+              |q AS (SELECT
+              |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x_q,
+              |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y_q
+              |  FROM r)
+              |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+              |  ${sqlRound(
+                  """(CAST(count(*) AS DOUBLE) * CAST(sum(x_q * y_q) AS DOUBLE) -
+                     CAST(sum(x_q) AS DOUBLE) * CAST(sum(y_q) AS DOUBLE)) /
+                    (CAST(count(*) AS DOUBLE) * CAST(sum(x_q * x_q) AS DOUBLE) -
+                     CAST(sum(x_q) AS DOUBLE) * CAST(sum(x_q) AS DOUBLE))""",
+                  6)} AS zipf_slope
+              |FROM q""".stripMargin)))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
       ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
-      retrievalEval
+      retrievalEval ++ lm2
 }
