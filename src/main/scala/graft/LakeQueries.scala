@@ -669,5 +669,71 @@ object LakeQueries {
              |    WHERE i.o_orderpriority = o.o_orderpriority)
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
 
-  def all: Seq[Q] = lake ++ partitioned ++ semiStructured ++ mining ++ evolution
+  private val maintenance: Seq[Q] = Seq(
+    // Incremental rollup maintenance: the monthly answer is assembled
+    // from REAGGREGATED daily partials (sum-of-sums over integer quanta
+    // — lossless, unlike re-averaged floats), the materialized-view
+    // pattern that turns a 100 TB backfill scan into a tiny
+    // partial-merge. The oracle computes the same months DIRECTLY from
+    // raw events; equality is the reaggregability proof.
+    Q("q189_rollup_maintain",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .withColumn("v_q", floor(col("value") * 1e6 + 0.5).cast("long"))
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n"), sum(col("v_q")).as("s_q"))
+        daily
+          .withColumn("month", substring(col("day"), 1, 7))
+          .groupBy("user_id", "month")
+          .agg(sum(col("n")).as("n"),
+            pround(sum(col("s_q")).cast("double") / sum(col("n")) / 1e6, 6)
+              .as("mean_value"))
+          .orderBy("user_id", "month")
+      },
+      Some(s"""SELECT user_id, strftime(ts, '%Y-%m') AS month,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  ${sqlRound(
+                  "CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1e6",
+                  6)} AS mean_value
+              |FROM events GROUP BY user_id, month
+              |ORDER BY user_id, month""".stripMargin)),
+
+    // Watermark tuning diagnostics: how many events would a 10-minute
+    // watermark drop? An event is late when its timestamp trails the
+    // running per-user max event time (in ARRIVAL order = event_id) by
+    // more than the watermark delay — the batch mirror of Structured
+    // Streaming's dropped-late counter, runnable BEFORE committing to a
+    // delay. Window shuffles once on user_id.
+    Q("q190_late_data",
+      (s, d) => {
+        val aw = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("wm", max(col("us")).over(aw) - 600000000L)
+          .withColumn("late", (col("us") < col("wm")).cast("long"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(coalesce(col("late"), lit(0L))).as("n_late"),
+            pround(sum(coalesce(col("late"), lit(0L))).cast("double") /
+              count(lit(1)), 6).as("late_frac"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+              |    CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+              |m AS (SELECT user_id, us,
+              |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      - 600000000 AS wm
+              |  FROM e)
+              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              |  CAST(sum(CASE WHEN us < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+              |  ${sqlRound(
+                  "CAST(sum(CASE WHEN us < wm THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+                  6)} AS late_frac
+              |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)))
+
+  def all: Seq[Q] =
+    lake ++ partitioned ++ semiStructured ++ mining ++ evolution ++ maintenance
 }
