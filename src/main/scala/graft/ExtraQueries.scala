@@ -325,6 +325,95 @@ object ExtraQueries {
              |  FROM j)
              |SELECT query_id, rank, vec_id, ${sqlRound("dist", 6)} AS dist
              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+        }),
+
+      // The COMPLETE production ANN tier in one plan: IVF coarse
+      // quantizer (8 centroid literals, nprobe=2) prunes the corpus to
+      // the probed lists → PQ/ADC scans the survivors in the
+      // compressed domain (m=4 × 16-dim codebooks) → the ADC top-10 is
+      // re-ranked by TRUE L2 for the final top-5. At 100 TB: the coarse
+      // assignment is a pure codegen projection, the candidate filter
+      // drops ~6/8 of the corpus before any distance math, the ADC join
+      // touches only (id, sub, code) triples, and the exact re-rank
+      // reads just 10 full vectors.
+      Q("q191_ivfpq_rerank",
+        (s, d) => {
+          import graft.sim.Pq
+          val emb = Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+          val corpus = emb.filter(col("vec_id") >= 5)
+            .withColumn("list", Lsh.ivfAssign(col("embedding"), centroids))
+          val query = emb.filter(col("vec_id") === 4)
+            .select(col("embedding").as("query_vec"))
+          val probed = query.select(
+            explode(Lsh.ivfProbe(col("query_vec"), centroids, nprobe = 2))
+              .as("list"))
+          val cand = corpus.join(broadcast(probed), Seq("list"))
+            .select(col("vec_id"), col("embedding"))
+          val cb = Pq.codebook(emb.filter(col("vec_id") < 4), "vec_id",
+            "embedding", m = 4, subDim = 16)
+          val codes = Pq.encode(cand, "vec_id", "embedding", cb, m = 4, subDim = 16)
+          val shortlist = Pq.adcTopK(codes, "vec_id", cb, query, "query_vec",
+            m = 4, subDim = 16, k = 10)
+          shortlist.join(cand, Seq("vec_id"))
+            .crossJoin(broadcast(query))
+            .select(col("vec_id"),
+              pround(sqrt(org.apache.spark.sql.graft.GraftExpressions
+                .arraySqDiff(col("embedding"), col("query_vec"))), 6).as("dist"))
+            .orderBy(col("dist").asc, col("vec_id").asc).limit(5)
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("dist").asc, col("vec_id").asc)))
+            .select(col("rank"), col("vec_id"), col("dist"))
+        },
+        Some {
+          val second = (0 until 8).map(i => s"CASE WHEN $i = i1 THEN NULL ELSE d$i END")
+            .mkString("least(", ", ", ")")
+          val i2Case = (0 until 8).map(i => s"WHEN d$i = second AND i1 <> $i THEN $i")
+            .mkString("CASE ", " ", " END")
+          s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cs AS (SELECT vec_id, v, $dExprs FROM e WHERE vec_id >= 5),
+             |cbst AS (SELECT *, $best AS best FROM cs),
+             |corpl AS (SELECT vec_id, v, $ivfCase AS list FROM cbst),
+             |qs AS (SELECT v AS qv, $dExprs FROM e WHERE vec_id = 4),
+             |qb AS (SELECT *, $best AS best FROM qs),
+             |q1 AS (SELECT *, $ivfCase AS i1 FROM qb),
+             |q2 AS (SELECT *, $second AS second FROM q1),
+             |q AS (SELECT qv, i1, $i2Case AS i2 FROM q2),
+             |cand AS (SELECT c.vec_id, c.v FROM corpl c, q
+             |  WHERE c.list = q.i1 OR c.list = q.i2),
+             |subs AS (SELECT unnest(range(0, 4)) AS sub),
+             |cbv AS (SELECT vec_id AS code, v FROM e WHERE vec_id < 4),
+             |cb AS (SELECT sub, code, v[(sub*16+1):(sub*16+16)] AS sv FROM cbv, subs),
+             |csx AS (SELECT vec_id, sub, v[(sub*16+1):(sub*16+16)] AS sv
+             |  FROM cand, subs),
+             |dd AS (SELECT csx.vec_id, csx.sub, cb.code,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> (csx.sv[i]-cb.sv[i])*(csx.sv[i]-cb.sv[i]))) AS d2
+             |  FROM csx JOIN cb ON csx.sub = cb.sub),
+             |codes AS (SELECT vec_id, sub, code FROM
+             |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+             |     ORDER BY d2 ASC, code ASC) AS rn FROM dd)
+             |  WHERE rn = 1),
+             |qsx AS (SELECT sub, qv[(sub*16+1):(sub*16+16)] AS qsv FROM q, subs),
+             |lut AS (SELECT cb.sub, cb.code,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> (qsx.qsv[i]-cb.sv[i])*(qsx.qsv[i]-cb.sv[i]))) AS d2
+             |  FROM cb JOIN qsx ON cb.sub = qsx.sub),
+             |adc AS (SELECT c.vec_id, list_sum(list(l.d2 ORDER BY c.sub)) AS adc
+             |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+             |  GROUP BY 1),
+             |short AS (SELECT vec_id FROM
+             |  (SELECT vec_id, row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS r
+             |   FROM adc) WHERE r <= 10),
+             |rr AS (SELECT cand.vec_id,
+             |    ${sqlRound("list_distance(cand.v, q.qv)", 6)} AS dist
+             |  FROM cand JOIN short USING (vec_id), q)
+             |SELECT row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rank,
+             |  vec_id, dist
+             |FROM rr
+             |QUALIFY rank <= 5
+             |ORDER BY rank""".stripMargin
         }))
   }
 
