@@ -800,6 +800,118 @@ object ForecastQueries {
            |FROM nis GROUP BY user_id ORDER BY user_id""".stripMargin
       }))
 
+  private val mining2: Seq[Q] = Seq(
+    // Market-basket pair mining (Agrawal–Srikant A-priori, level 2):
+    // baskets are (user, day) event-type sets; emit co-occurring pairs
+    // with support ≥ 20 and their lift. Counts are exact integers and
+    // lift is one double formula over them, so the panel is
+    // engine-exact. Shape: distinct → self-equi-join on the basket key
+    // (bounded fan-out: ≤ |types|² per basket) → pair aggregate.
+    Q("q192_basket_pairs",
+      (s, d) => {
+        val b = Tables.events(s, d)
+          .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type")).distinct()
+        val nb = b.select("user_id", "day").distinct().agg(count(lit(1)).as("nb"))
+        val singles = b.groupBy("event_type").agg(count(lit(1)).as("c1"))
+        val pairs = b.as("x").join(b.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.day") === col("y.day") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 20)
+        pairs
+          .join(broadcast(singles.select(col("event_type").as("a"),
+            col("c1").as("ca"))), "a")
+          .join(broadcast(singles.select(col("event_type").as("b"),
+            col("c1").as("cb"))), "b")
+          .crossJoin(broadcast(nb))
+          .select(col("a"), col("b"), col("support"),
+            pround(col("support").cast("double") * col("nb") /
+              (col("ca").cast("double") * col("cb")), 6).as("lift"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH b AS (SELECT DISTINCT user_id,
+              |    strftime(ts, '%Y-%m-%d') AS day, event_type FROM events),
+              |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM
+              |  (SELECT DISTINCT user_id, day FROM b)),
+              |s1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c1
+              |  FROM b GROUP BY event_type),
+              |p AS (SELECT x.event_type AS a, y.event_type AS b,
+              |    CAST(count(*) AS BIGINT) AS support
+              |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+              |    AND x.event_type < y.event_type
+              |  GROUP BY 1, 2 HAVING count(*) >= 20)
+              |SELECT p.a, p.b, p.support,
+              |  ${sqlRound(
+                  "CAST(p.support AS DOUBLE) * nb.nb / (CAST(sa.c1 AS DOUBLE) * CAST(sb.c1 AS DOUBLE))",
+                  6)} AS lift
+              |FROM p JOIN s1 sa ON sa.event_type = p.a
+              |JOIN s1 sb ON sb.event_type = p.b
+              |CROSS JOIN nb
+              |ORDER BY p.a, p.b""".stripMargin)),
+
+    // Wald–Wolfowitz runs test on return signs — is the sign sequence
+    // random? R, n₊, n₋ are exact integer counts; E[R], Var[R] and z are
+    // one double formula over them (identical literals both sides).
+    // Zero returns are excluded on both sides.
+    Q("q193_runs_test",
+      (s, d) => {
+        val r = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+          .filter(col("r").isNotNull && col("r") =!= 0.0)
+          .withColumn("sgn", (col("r") > 0).cast("int"))
+          .withColumn("chg",
+            (col("sgn") =!= lag(col("sgn"), 1).over(w)).cast("long"))
+        r.groupBy("user_id")
+          .agg(sum(col("sgn").cast("long")).as("n_pos"),
+            sum((lit(1) - col("sgn")).cast("long")).as("n_neg"),
+            (sum(coalesce(col("chg"), lit(0L))) + 1).as("runs"))
+          .filter(col("n_pos") > 0 && col("n_neg") > 0)
+          .withColumn("e_runs",
+            lit(1.0) + lit(2.0) * col("n_pos") * col("n_neg") /
+              (col("n_pos") + col("n_neg")).cast("double"))
+          .withColumn("v_runs",
+            (lit(2.0) * col("n_pos") * col("n_neg") *
+              (lit(2.0) * col("n_pos") * col("n_neg") - col("n_pos") - col("n_neg"))) /
+              ((col("n_pos") + col("n_neg")).cast("double") *
+                (col("n_pos") + col("n_neg")).cast("double") *
+                (col("n_pos") + col("n_neg") - 1).cast("double")))
+          .filter(col("v_runs") > 0)
+          .select(col("user_id"), col("n_pos"), col("n_neg"), col("runs"),
+            pround((col("runs").cast("double") - col("e_runs")) /
+              sqrt(col("v_runs")), 6).as("z"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |r AS (SELECT user_id, bucket_s,
+              |    ln(close) - ln(lag(close, 1) OVER uw) AS r
+              |  FROM agg WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+              |sg AS (SELECT user_id, bucket_s,
+              |    CASE WHEN r > 0 THEN 1 ELSE 0 END AS sgn
+              |  FROM r WHERE r IS NOT NULL AND r <> 0),
+              |ch AS (SELECT user_id, sgn,
+              |    CASE WHEN sgn <> lag(sgn, 1) OVER (PARTITION BY user_id
+              |      ORDER BY bucket_s) THEN 1 ELSE 0 END AS chg
+              |  FROM sg),
+              |ag AS (SELECT user_id,
+              |    CAST(sum(sgn) AS BIGINT) AS n_pos,
+              |    CAST(sum(1 - sgn) AS BIGINT) AS n_neg,
+              |    CAST(sum(coalesce(chg, 0)) + 1 AS BIGINT) AS runs
+              |  FROM ch GROUP BY user_id
+              |  HAVING sum(sgn) > 0 AND sum(1 - sgn) > 0),
+              |st AS (SELECT user_id, n_pos, n_neg, runs,
+              |    1.0 + 2.0 * n_pos * n_neg / CAST(n_pos + n_neg AS DOUBLE) AS e_runs,
+              |    (2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)) /
+              |      (CAST(n_pos + n_neg AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE) *
+              |       CAST(n_pos + n_neg - 1 AS DOUBLE)) AS v_runs
+              |  FROM ag)
+              |SELECT user_id, n_pos, n_neg, runs,
+              |  ${sqlRound("(CAST(runs AS DOUBLE) - e_runs) / sqrt(v_runs)", 6)} AS z
+              |FROM st WHERE v_runs > 0 ORDER BY user_id""".stripMargin)))
+
   def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed ++
-    crossSection ++ stateSpace ++ detection
+    crossSection ++ stateSpace ++ detection ++ mining2
 }
