@@ -414,7 +414,63 @@ object ExtraQueries {
              |FROM rr
              |QUALIFY rank <= 5
              |ORDER BY rank""".stripMargin
-        }))
+        }),
+
+      // Label-noise screening via neighborhood label agreement
+      // (confident-learning flavored, public): each vector's 5 nearest
+      // SAME-BUCKET neighbors (hyperplane LSH — the scale path; exact
+      // all-pairs would be quadratic) vote with their labels; a label's
+      // health is the POOLED agreement Σsame/Σneighbors and the count of
+      // vectors where under half the neighbors agree. Every metric is a
+      // ratio/compare of exact integers — engine-exact.
+      Q("q195_label_agreement",
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+            .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+          val b = Lsh.withBucket(emb, "v", LshPlanes, 64, LshSeed)
+          val nb = b.as("a").join(b.as("n"),
+              col("a.lsh_bucket") === col("n.lsh_bucket") &&
+                col("a.vec_id") =!= col("n.vec_id"))
+            .select(col("a.vec_id").as("vid"), col("a.label").as("la"),
+              col("n.vec_id").as("nid"), col("n.label").as("ln"),
+              pround(org.apache.spark.sql.graft.GraftExpressions.arrayDot(col("a.v"), col("n.v")) /
+                (greatest(sqrt(org.apache.spark.sql.graft.GraftExpressions.arrayDot(col("a.v"), col("a.v"))), lit(1e-8)) *
+                  greatest(sqrt(org.apache.spark.sql.graft.GraftExpressions.arrayDot(col("n.v"), col("n.v"))), lit(1e-8))), 6)
+                .as("sim"))
+          val w5 = Window.partitionBy("vid")
+            .orderBy(col("sim").desc, col("nid").asc)
+          val votes = nb.withColumn("rk", row_number().over(w5))
+            .filter(col("rk") <= 5)
+            .groupBy("vid", "la")
+            .agg(count(lit(1)).as("n_nb"),
+              sum((col("ln") === col("la")).cast("long")).as("n_same"))
+          votes.groupBy(col("la").as("label"))
+            .agg(count(lit(1)).as("n_vecs"),
+              pround(sum(col("n_same")).cast("double") / sum(col("n_nb")), 6)
+                .as("pooled_agreement"),
+              sum((col("n_same") * 2 < col("n_nb")).cast("long")).as("n_suspect"))
+            .orderBy("label")
+        },
+        Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               |  FROM embeddings),
+               |b AS (SELECT vec_id, label, v, ${sigSql("v")} AS bkt FROM e),
+               |nb AS (SELECT a.vec_id AS vid, a.label AS la,
+               |    n.vec_id AS nid, n.label AS ln,
+               |    ${sqlRound(VectorTextQueries.sqlCosine("a.v", "n.v"), 6)} AS sim
+               |  FROM b a JOIN b n ON a.bkt = n.bkt AND a.vec_id <> n.vec_id),
+               |top5 AS (SELECT vid, la, ln FROM (
+               |    SELECT vid, la, ln,
+               |      row_number() OVER (PARTITION BY vid
+               |        ORDER BY sim DESC, nid ASC) AS rk
+               |    FROM nb) WHERE rk <= 5),
+               |votes AS (SELECT vid, la, CAST(count(*) AS BIGINT) AS n_nb,
+               |    CAST(sum(CASE WHEN ln = la THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+               |  FROM top5 GROUP BY vid, la)
+               |SELECT la AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+               |  ${sqlRound("CAST(sum(n_same) AS DOUBLE) / sum(n_nb)", 6)} AS pooled_agreement,
+               |  CAST(sum(CASE WHEN n_same * 2 < n_nb THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+               |FROM votes GROUP BY la ORDER BY label""".stripMargin)))
   }
 
   // ------------------------------------------------------------------

@@ -912,6 +912,46 @@ object ForecastQueries {
               |  ${sqlRound("(CAST(runs AS DOUBLE) - e_runs) / sqrt(v_runs)", 6)} AS z
               |FROM st WHERE v_runs > 0 ORDER BY user_id""".stripMargin)))
 
+  private val cv: Seq[Q] = Seq(
+    // GROUPED 5-fold cross-validation assignment + per-fold scoring: the
+    // fold is a pure integer hash of the GROUP key (user), so all of a
+    // user's rows land in one fold — the leakage rule time-series CV
+    // must obey — and the assignment reproduces on any cluster layout.
+    // Scored metric: the naive forecaster's MAE per fold, folded over
+    // exact micro-unit quanta.
+    Q("q194_group_kfold",
+      (s, d) => {
+        import graft.text.TextOps
+        hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("naive", lag(col("close"), 1).over(w))
+          .filter(col("naive").isNotNull)
+          .withColumn("fold",
+            TextOps.md5Hash60(concat(lit("fold:"),
+              col("user_id").cast("string"))) % 5)
+          .withColumn("e_q",
+            floor(abs(col("close") - col("naive")) * 1e6 + 0.5).cast("long"))
+          .groupBy("fold")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_obs"),
+            pround(sum(col("e_q")).cast("double") / count(lit(1)) / 1e6, 6)
+              .as("mae_naive"))
+          .orderBy("fold")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |p AS (SELECT user_id, close,
+              |    lag(close, 1) OVER (PARTITION BY user_id ORDER BY bucket_s) AS naive
+              |  FROM agg),
+              |f AS (SELECT user_id, close, naive,
+              |    ${graft.VectorTextQueries.sqlHash60("'fold:' || CAST(user_id AS VARCHAR)")} % 5 AS fold
+              |  FROM p WHERE naive IS NOT NULL)
+              |SELECT fold, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              |  CAST(count(*) AS BIGINT) AS n_obs,
+              |  ${sqlRound(
+                  "CAST(sum(CAST(floor(abs(close - naive) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1e6",
+                  6)} AS mae_naive
+              |FROM f GROUP BY fold ORDER BY fold""".stripMargin)))
+
   def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed ++
-    crossSection ++ stateSpace ++ detection ++ mining2
+    crossSection ++ stateSpace ++ detection ++ mining2 ++ cv
 }
