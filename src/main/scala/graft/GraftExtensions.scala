@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{AsOfJoinStrategy, FuseDotProduct}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{ArrayDotStrict, AsOfJoinStrategy, FuseDotProduct}
 
 /** Session extension wiring — the `SparkSessionExtensions` entry point
   * for the engine's Catalyst additions:
@@ -21,5 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => FuseDotProduct)
+    // SQL-visible registration of the fused kernel (the third injection
+    // surface): `SELECT graft_dot_strict(a, b)` plans the codegen'd loop
+    // directly, without waiting for the rewrite rule to match.
+    e.injectFunction((FunctionIdentifier("graft_dot_strict"),
+      new ExpressionInfo(classOf[ArrayDotStrict].getName, "graft_dot_strict"),
+      (children: Seq[Expression]) => ArrayDotStrict(children(0), children(1))))
   }
 }

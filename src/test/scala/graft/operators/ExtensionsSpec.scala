@@ -81,6 +81,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.collect().head.getDouble(0) == 1.0 * 4 + 2 * 5 + 3 * 6)
   }
 
+  test("graft_dot_strict is registered as a SQL function via injectFunction") {
+    val r = spark.sql(
+      "SELECT graft_dot_strict(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head.getDouble(0)
+    assert(r == 11.0)
+    assert(spark.sql(
+      "SELECT graft_dot_strict(array(1.0D), array(1.0D, 2.0D)) AS d")
+      .head.isNullAt(0)) // length mismatch → NULL, same as the HOF chain
+  }
+
   test("ArrayDotStrict preserves the declarative null semantics exactly") {
     val rows = Seq(
       (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0)), // clean
