@@ -952,6 +952,177 @@ object ForecastQueries {
                   6)} AS mae_naive
               |FROM f GROUP BY fold ORDER BY fold""".stripMargin)))
 
+  private val strategy: Seq[Q] = Seq(
+    // Vectorized long/flat SMA-crossover backtest WITH transaction
+    // costs — the whole strategy loop as window frames: the signal is an
+    // INTEGER cross-multiplication (4·Σ₃c_q > Σ₁₂c_q ⇔ SMA3 > SMA12, no
+    // float division anywhere), positions shift one bar forward
+    // (leakage-free), trades are |Δposition| counts, and PnL folds
+    // position-gated quantized returns. Gross/net/turnover are all
+    // ratios and products of exact integers.
+    Q("q196_sma_backtest",
+      (s, d) => {
+        val hc = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("c_q", floor(col("close") * 1e6 + 0.5).cast("long"))
+          .withColumn("r_q",
+            floor((log(col("close")) - log(lag(col("close"), 1).over(w))) * 1e9 + 0.5)
+              .cast("long"))
+        val f3 = w.rowsBetween(-2, 0)
+        val f12 = w.rowsBetween(-11, 0)
+        hc.withColumn("pos",
+            when(count(col("c_q")).over(f12) === 12 &&
+              sum(col("c_q")).over(f3) * 4 > sum(col("c_q")).over(f12), 1L)
+              .otherwise(0L))
+          .withColumn("pos_prev", lag(col("pos"), 1, 0L).over(w))
+          .withColumn("trade", abs(col("pos") - col("pos_prev")))
+          .withColumn("pnl_q",
+            when(col("pos_prev") === 1 && col("r_q").isNotNull, col("r_q"))
+              .otherwise(lit(0L)))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_bars"),
+            sum(col("trade")).as("n_trades"),
+            pround(sum(col("pnl_q")).cast("double") / 1e9, 6).as("gross_ret"),
+            pround(sum(col("pnl_q")).cast("double") / 1e9 -
+              sum(col("trade")).cast("double") * 0.001, 6).as("net_ret"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |q AS (SELECT user_id, bucket_s, close,
+              |    CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS c_q,
+              |    CAST(floor((ln(close) - ln(lag(close, 1) OVER uw)) * 1e9 + 0.5)
+              |      AS BIGINT) AS r_q
+              |  FROM agg WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+              |sg AS (SELECT user_id, bucket_s, r_q,
+              |    CASE WHEN count(c_q) OVER f12 = 12
+              |      AND CAST(sum(c_q) OVER f3 AS BIGINT) * 4 >
+              |          CAST(sum(c_q) OVER f12 AS BIGINT)
+              |      THEN 1 ELSE 0 END AS pos
+              |  FROM q
+              |  WINDOW f3 AS (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+              |    f12 AS (PARTITION BY user_id ORDER BY bucket_s
+              |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+              |tr AS (SELECT user_id, r_q, pos,
+              |    coalesce(lag(pos, 1) OVER (PARTITION BY user_id
+              |      ORDER BY bucket_s), 0) AS pos_prev
+              |  FROM sg)
+              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_bars,
+              |  CAST(sum(abs(pos - pos_prev)) AS BIGINT) AS n_trades,
+              |  ${sqlRound(
+                  "CAST(sum(CASE WHEN pos_prev = 1 AND r_q IS NOT NULL THEN r_q ELSE 0 END) AS DOUBLE) / 1e9",
+                  6)} AS gross_ret,
+              |  ${sqlRound(
+                  "CAST(sum(CASE WHEN pos_prev = 1 AND r_q IS NOT NULL THEN r_q ELSE 0 END) AS DOUBLE) / 1e9" +
+                  " - CAST(sum(abs(pos - pos_prev)) AS DOUBLE) * 0.001",
+                  6)} AS net_ret
+              |FROM tr GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Calendar-effect panel: pooled mean hourly return by day-of-week
+    // (the "Monday effect" diagnostic). Day-of-week from epoch-day
+    // integer arithmetic (day 0 = Thursday → +4 mod 7 puts Monday=0,
+    // matching the engine's F4 convention), mean over exact nano-quanta.
+    Q("q197_calendar_effect",
+      (s, d) => {
+        val r = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r_q",
+            floor((log(col("close")) - log(lag(col("close"), 1).over(w))) * 1e9 + 0.5)
+              .cast("long"))
+          .filter(col("r_q").isNotNull)
+        r.withColumn("dow", ((floor(col("bucket_s") / 86400) + 3) % 7).cast("long"))
+          .groupBy("dow")
+          .agg(count(lit(1)).as("n_obs"),
+            pround(sum(col("r_q")).cast("double") / count(lit(1)) / 1e9, 6)
+              .as("mean_r"))
+          .orderBy("dow")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |r AS (SELECT user_id, bucket_s,
+              |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
+              |      ORDER BY bucket_s))) * 1e9 + 0.5) AS BIGINT) AS r_q
+              |  FROM agg),
+              |x AS (SELECT (CAST(floor(bucket_s / 86400) AS BIGINT) + 3) % 7 AS dow,
+              |    r_q FROM r WHERE r_q IS NOT NULL)
+              |SELECT dow, CAST(count(*) AS BIGINT) AS n_obs,
+              |  ${sqlRound("CAST(sum(r_q) AS DOUBLE) / count(*) / 1e9", 6)} AS mean_r
+              |FROM x GROUP BY dow ORDER BY dow""".stripMargin)),
+
+    // Population-stability-index drift monitor: value distribution of
+    // each event type, first half of the span vs second (split at the
+    // integer midpoint day), 10 equi-width buckets with Laplace
+    // smoothing so empty buckets are defined — PSI = Σ (p−q)·ln(p/q)
+    // where p, q are ratios of exact integers and each term is
+    // quantized before the fold. The 100 TB shape: one scan, one
+    // (type, period, bucket) aggregate; the dense grid join is
+    // |types|·20 rows.
+    Q("q198_psi_drift",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("day", floor(unix_micros(col("ts")) / 86400e6).cast("long"))
+        // floor() explicitly: a bare DOUBLE→BIGINT cast truncates in Spark
+        // but rounds in DuckDB, so x.5 midpoints would split differently.
+        val span = e.agg(floor((min(col("day")) + max(col("day"))) / 2)
+          .cast("long").as("mid"))
+        val counted = e.crossJoin(broadcast(span))
+          .withColumn("period",
+            when(col("day") < col("mid"), "ref").otherwise(lit("cur")))
+          .withColumn("bucket",
+            least(greatest(floor(col("value") / 50).cast("long"), lit(0L)), lit(9L)))
+          .groupBy("event_type", "period", "bucket")
+          .agg(count(lit(1)).as("c"))
+        val grid = e.select("event_type").distinct()
+          .withColumn("period", explode(array(lit("ref"), lit("cur"))))
+          .withColumn("bucket", explode(expr("sequence(0L, 9L)")))
+        val filled = grid.join(counted, Seq("event_type", "period", "bucket"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val tot = filled.groupBy("event_type", "period").agg(sum(col("c")).as("n"))
+        filled.join(tot, Seq("event_type", "period"))
+          .withColumn("p",
+            (col("c") + 1).cast("double") / (col("n") + 10).cast("double"))
+          .groupBy("event_type", "bucket")
+          .agg(max(when(col("period") === "ref", col("p"))).as("pr"),
+            max(when(col("period") === "cur", col("p"))).as("qr"))
+          .withColumn("t_q",
+            floor((col("pr") - col("qr")) * log(col("pr") / col("qr")) * 1e9 + 0.5)
+              .cast("long"))
+          .groupBy("event_type")
+          .agg(pround(sum(col("t_q")).cast("double") / 1e9, 6).as("psi"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (SELECT event_type, value,
+              |    CAST(floor(epoch_us(ts) / 86400e6) AS BIGINT) AS day FROM events),
+              |m AS (SELECT CAST(floor((min(day) + max(day)) / 2) AS BIGINT) AS mid FROM e),
+              |lab AS (SELECT event_type,
+              |    CASE WHEN day < (SELECT mid FROM m) THEN 'ref' ELSE 'cur' END AS period,
+              |    least(greatest(CAST(floor(value / 50) AS BIGINT), 0), 9) AS bucket
+              |  FROM e),
+              |cnt AS (SELECT event_type, period, bucket,
+              |    CAST(count(*) AS BIGINT) AS c FROM lab GROUP BY 1, 2, 3),
+              |grid AS (SELECT et.event_type, pp.period, bb.bucket
+              |  FROM (SELECT DISTINCT event_type FROM e) et,
+              |    (SELECT unnest(['ref', 'cur']) AS period) pp,
+              |    (SELECT unnest(range(10)) AS bucket) bb),
+              |f AS (SELECT g.event_type, g.period, g.bucket,
+              |    coalesce(cnt.c, 0) AS c
+              |  FROM grid g LEFT JOIN cnt
+              |    ON cnt.event_type = g.event_type AND cnt.period = g.period
+              |    AND cnt.bucket = g.bucket),
+              |t AS (SELECT event_type, period, CAST(sum(c) AS BIGINT) AS n
+              |  FROM f GROUP BY 1, 2),
+              |pr AS (SELECT f.event_type, f.bucket, f.period,
+              |    CAST(f.c + 1 AS DOUBLE) / CAST(t.n + 10 AS DOUBLE) AS p
+              |  FROM f JOIN t ON t.event_type = f.event_type AND t.period = f.period),
+              |wide AS (SELECT event_type, bucket,
+              |    max(CASE WHEN period = 'ref' THEN p END) AS pr,
+              |    max(CASE WHEN period = 'cur' THEN p END) AS qr
+              |  FROM pr GROUP BY 1, 2),
+              |tq AS (SELECT event_type,
+              |    CAST(floor((pr - qr) * ln(pr / qr) * 1e9 + 0.5) AS BIGINT) AS t_q
+              |  FROM wide)
+              |SELECT event_type, ${sqlRound("CAST(sum(t_q) AS DOUBLE) / 1e9", 6)} AS psi
+              |FROM tq GROUP BY event_type ORDER BY event_type""".stripMargin)))
+
   def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed ++
-    crossSection ++ stateSpace ++ detection ++ mining2 ++ cv
+    crossSection ++ stateSpace ++ detection ++ mining2 ++ cv ++ strategy
 }
