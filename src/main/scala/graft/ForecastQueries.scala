@@ -1123,6 +1123,96 @@ object ForecastQueries {
               |SELECT event_type, ${sqlRound("CAST(sum(t_q) AS DOUBLE) / 1e9", 6)} AS psi
               |FROM tq GROUP BY event_type ORDER BY event_type""".stripMargin)))
 
+  private val portfolio: Seq[Q] = Seq(
+    // Inverse-volatility portfolio: weights 1/σ from each user's
+    // (rounded) vol, hourly portfolio return = Σwᵢrᵢ/Σwᵢ over the users
+    // present that hour. Both numerator terms and weights are quantized
+    // before the cross-user fold, so the weighted mean is order-proof.
+    Q("q199_ivol_portfolio",
+      (s, d) => {
+        val r = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+          .filter(col("r").isNotNull)
+        val vols = r.groupBy("user_id")
+          .agg(pround(stddev_pop(col("r")), 6).as("vol"))
+          .filter(col("vol") > 0)
+          .withColumn("w", lit(1.0) / col("vol"))
+        r.join(broadcast(vols), "user_id")
+          .withColumn("wr_q", floor(col("w") * col("r") * 1e9 + 0.5).cast("long"))
+          .withColumn("w_q", floor(col("w") * 1e6 + 0.5).cast("long"))
+          .groupBy("bucket_s")
+          .agg(count(lit(1)).as("n_users"),
+            pround((sum(col("wr_q")).cast("double") / 1e9) /
+              (sum(col("w_q")).cast("double") / 1e6), 6).as("port_r"))
+          .orderBy("bucket_s")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |r AS (SELECT user_id, bucket_s,
+              |    ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
+              |      ORDER BY bucket_s)) AS r
+              |  FROM agg),
+              |rr AS (SELECT user_id, bucket_s, r FROM r WHERE r IS NOT NULL),
+              |v AS (SELECT user_id, ${sqlRound("stddev_pop(r)", 6)} AS vol
+              |  FROM rr GROUP BY user_id HAVING ${sqlRound("stddev_pop(r)", 6)} > 0),
+              |x AS (SELECT rr.bucket_s,
+              |    CAST(floor((1.0 / v.vol) * rr.r * 1e9 + 0.5) AS BIGINT) AS wr_q,
+              |    CAST(floor((1.0 / v.vol) * 1e6 + 0.5) AS BIGINT) AS w_q
+              |  FROM rr JOIN v USING (user_id))
+              |SELECT bucket_s, CAST(count(*) AS BIGINT) AS n_users,
+              |  ${sqlRound(
+                  "(CAST(sum(wr_q) AS DOUBLE) / 1e9) / (CAST(sum(w_q) AS DOUBLE) / 1e6)",
+                  6)} AS port_r
+              |FROM x GROUP BY bucket_s ORDER BY bucket_s""".stripMargin)),
+
+    // Drawdown duration: the longest underwater streak (bars below the
+    // running peak) per user, plus the number of new peaks — pure
+    // integer window machinery (streak id = running count of peak
+    // events), zero fp anywhere.
+    Q("q200_underwater",
+      (s, d) => {
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val hc = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("runmax", max(col("close")).over(cum))
+          .withColumn("uw", (col("close") < col("runmax")).cast("long"))
+          .withColumn("sid", sum(lit(1L) - col("uw")).over(cum))
+        val streaks = hc.filter(col("uw") === 1)
+          .groupBy("user_id", "sid").agg(count(lit(1)).as("len"))
+        hc.groupBy("user_id")
+          .agg(count(lit(1)).as("n_bars"),
+            sum(lit(1L) - col("uw")).as("n_peaks"))
+          .join(streaks.groupBy("user_id")
+            .agg(max(col("len")).as("max_underwater_bars")), Seq("user_id"), "left")
+          .withColumn("max_underwater_bars",
+            coalesce(col("max_underwater_bars"), lit(0L)))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |m AS (SELECT user_id, bucket_s, close,
+              |    max(close) OVER cw AS runmax
+              |  FROM agg WINDOW cw AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |u AS (SELECT user_id, bucket_s,
+              |    CASE WHEN close < runmax THEN 1 ELSE 0 END AS uw
+              |  FROM m),
+              |sid AS (SELECT user_id, bucket_s, uw,
+              |    CAST(sum(1 - uw) OVER cw AS BIGINT) AS sid
+              |  FROM u WINDOW cw AS (PARTITION BY user_id ORDER BY bucket_s
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |st AS (SELECT user_id, sid.sid, CAST(count(*) AS BIGINT) AS len
+              |  FROM sid WHERE uw = 1 GROUP BY user_id, sid.sid),
+              |agg2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_bars,
+              |    CAST(sum(1 - uw) AS BIGINT) AS n_peaks
+              |  FROM sid GROUP BY user_id),
+              |mx AS (SELECT user_id, CAST(max(len) AS BIGINT) AS max_underwater_bars
+              |  FROM st GROUP BY user_id)
+              |SELECT a.user_id, a.n_bars, a.n_peaks,
+              |  coalesce(mx.max_underwater_bars, 0) AS max_underwater_bars
+              |FROM agg2 a LEFT JOIN mx USING (user_id)
+              |ORDER BY a.user_id""".stripMargin)))
+
   def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed ++
-    crossSection ++ stateSpace ++ detection ++ mining2 ++ cv ++ strategy
+    crossSection ++ stateSpace ++ detection ++ mining2 ++ cv ++ strategy ++
+    portfolio
 }
