@@ -38,7 +38,9 @@ object Bench {
     "q131_stream_join", "q142_bucketed_join", "q146_tfidf_topk",
     "q150_trailing_window", "q152_symspell_join", "q157_partition_prune",
     "q161_asof_native", "q163_holt", "q168_passage_dedup",
-    "q170_seasonal", "q174_ar1_forecast")
+    "q170_seasonal", "q174_ar1_forecast", "q180_holt_winters",
+    "q186_hist_quantile", "q191_ivfpq_rerank", "q196_sma_backtest",
+    "q199_ivol_portfolio")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")

@@ -23,13 +23,23 @@ import org.apache.spark.sql.functions.udaf
   * Values outside [lo, hi) clamp to the edge buckets.
   */
 class HistQuantile(lo: Double, hi: Double, buckets: Int, p: Double)
-    extends Aggregator[Double, Array[Long], Double] {
+    extends Aggregator[java.lang.Double, Array[Long], Double] {
+
+  require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
+  require(hi > lo, s"need hi > lo (got [$lo, $hi))")
 
   private val width = (hi - lo) / buckets
 
   override def zero: Array[Long] = new Array[Long](buckets)
 
-  override def reduce(b: Array[Long], x: Double): Array[Long] = {
+  // Boxed input so NULLs reach us (a primitive-Double Aggregator fails in
+  // the deserializer on a nullable column); NULL and NaN are SKIPPED,
+  // matching every builtin aggregate's treatment of NULL and keeping the
+  // [lo, hi) clamp contract honest (NaN would otherwise floor to 0).
+  override def reduce(b: Array[Long], boxed: java.lang.Double): Array[Long] = {
+    if (boxed == null) return b
+    val x = boxed.doubleValue()
+    if (x.isNaN) return b
     val raw = math.floor((x - lo) / width).toInt
     val idx = if (raw < 0) 0 else if (raw >= buckets) buckets - 1 else raw
     b(idx) += 1
@@ -61,10 +71,13 @@ class HistQuantile(lo: Double, hi: Double, buckets: Int, p: Double)
   override def bufferEncoder: Encoder[Array[Long]] =
     Encoders.javaSerialization(classOf[Array[Long]])
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  def inputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }
 
 object HistQuantile {
   /** Column form: `histQuantile(0, 500, 1024, 0.5)(col("value"))`. */
-  def apply(lo: Double, hi: Double, buckets: Int, p: Double): Column => Column =
-    c => udaf(new HistQuantile(lo, hi, buckets, p)).apply(c)
+  def apply(lo: Double, hi: Double, buckets: Int, p: Double): Column => Column = {
+    val agg = new HistQuantile(lo, hi, buckets, p)
+    c => udaf(agg, agg.inputEncoder).apply(c)
+  }
 }

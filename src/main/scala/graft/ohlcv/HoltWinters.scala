@@ -84,6 +84,7 @@ object HoltWinters {
   def withHoltWintersSeasonal(df: DataFrame, keyCol: String, ordCol: String,
       valCol: String, alpha: Double, beta: Double, gamma: Double,
       m: Int): DataFrame = {
+    require(m >= 1, s"seasonal period m must be >= 1 (got $m)")
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
       StructField("level", DoubleType, nullable = true),

@@ -138,10 +138,14 @@ private[sources] class ExchangeTable(options: CaseInsensitiveStringMap)
       private var hi = p.total
       private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
+      // floorDiv, NOT `/`: Java's `/` truncates toward zero, so a cursor
+      // value just BELOW startMs would compute bar index 0 instead of −1
+      // and prune page 0 — silently dropping a qualifying row (pruning
+      // removes pages entirely; the residual filter can't restore them).
       private def barsAtOrAfter(tsMs: Long): Long =
-        math.max(0L, (tsMs - p.startMs + p.intervalMs - 1) / p.intervalMs)
+        math.max(0L, -Math.floorDiv(p.startMs - tsMs, p.intervalMs))
       private def barsAfter(tsMs: Long): Long =
-        math.max(0L, (tsMs - p.startMs) / p.intervalMs + 1)
+        math.max(0L, Math.floorDiv(tsMs - p.startMs, p.intervalMs) + 1)
 
       override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
@@ -178,26 +182,30 @@ private[sources] class ExchangeTable(options: CaseInsensitiveStringMap)
       }
 
       override def createReaderFactory(): PartitionReaderFactory = {
-        val fieldNames = required.fieldNames
+        // Resolve the projected fields to canonical ordinals ONCE — the
+        // per-row loop below is then a branch-free int-indexed fill, not
+        // a per-field string match.
+        val ordinals = required.fieldNames.map(
+          ExchangeSource.Schema.fieldNames.indexOf(_))
         new PartitionReaderFactory {
           override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
             val pg = partition.asInstanceOf[ExchangePage]
             new PartitionReader[InternalRow] {
               private var i = pg.first - 1
               private val sym = UTF8String.fromString(pg.symbol)
+              private val full = new Array[Any](7)
+              full(0) = sym
               override def next(): Boolean = { i += 1; i < pg.until }
               override def get(): InternalRow = {
                 val (ts, o2, h, l, c, v) =
                   ExchangeFeed.bar(pg.symbol, i, pg.startMs, pg.intervalMs)
-                InternalRow(fieldNames.map {
-                  case "symbol" => sym
-                  case "ts_ms" => ts
-                  case "open" => o2
-                  case "high" => h
-                  case "low" => l
-                  case "close" => c
-                  case "volume" => v
-                }: _*)
+                full(1) = ts; full(2) = o2; full(3) = h
+                full(4) = l; full(5) = c; full(6) = v
+                val out = new Array[Any](ordinals.length)
+                var j = 0
+                while (j < ordinals.length) { out(j) = full(ordinals(j)); j += 1 }
+                InternalRow.fromSeq(scala.collection.immutable.ArraySeq
+                  .unsafeWrapArray(out))
               }
               override def close(): Unit = ()
             }

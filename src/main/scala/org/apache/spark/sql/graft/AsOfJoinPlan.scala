@@ -133,22 +133,37 @@ case class AsOfJoinExec(
         private var candKey: InternalRow = _
         advanceRight()
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rRow = rIter.next()
-            rKey = rKeyProj(rRow).copy()
-            rTs = rTsProj(rRow).copy()
-          } else { rRow = null; rKey = null; rTs = null }
+        // SQL comparison semantics: a NULL key or NULL ts never matches
+        // (pandas merge_asof and DuckDB ASOF agree, as does the q121
+        // window encoding where `ts <= lts` evaluates to NULL). The
+        // natural ordering sorts NULLs FIRST, so null-keyed/null-ts right
+        // rows are skipped on load and null-keyed/null-ts left rows
+        // short-circuit to the null pad.
+        private def advanceRight(): Unit = {
+          rRow = null; rKey = null; rTs = null
+          while (rRow == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyProj(r)
+            if (!k.isNullAt(0)) {
+              val t = rTsProj(r)
+              if (!t.isNullAt(0)) {
+                rRow = r; rKey = k.copy(); rTs = t.copy()
+              }
+            }
+          }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
+          if (lk.isNullAt(0)) return outProj(joined(l, nullPay))
           // lk's buffer is reused by the NEXT left row, not during the
           // right-side advance below (different projection instances).
           while (rRow != null && keyOrd.compare(rKey, lk) < 0) advanceRight()
           val lts = lTsProj(l)
+          if (lts.isNullAt(0)) return outProj(joined(l, nullPay))
           while (rRow != null && keyOrd.compare(rKey, lk) == 0 &&
               tsOrd.compare(rTs, lts) <= 0) {
             candPay = rPayProj(rRow).copy()

@@ -57,6 +57,27 @@ class ForecastPropertySpec extends SparkSpec {
     assert(vr2 > 0.5 && vr2 < 1.5, s"white-noise VR(2) should be near 1, got $vr2")
   }
 
+  test("native as-of join never matches NULL keys or NULL timestamps") {
+    val left = Seq(
+      (Some(1L), Some(10L), 1L, 1.0), // matches the non-null right row
+      (Some(1L), None, 2L, 2.0), // null ts → no match
+      (None, Some(10L), 3L, 3.0)) // null key → no match
+      .toDF("user_id", "us", "event_id", "value")
+    val right = Seq(
+      (Some(1L), Some(5L), 10L, 9.0),
+      (Some(1L), None, 11L, 8.0), // null ts right row is never a candidate
+      (None, Some(1L), 12L, 7.0)) // null key right row is never a candidate
+      .toDF("user_id", "us", "event_id", "value")
+    val out = org.apache.spark.sql.graft.AsOfNative
+      .asofBackward(left, right, "user_id", "us", "event_id",
+        rightPayload = Seq("event_id", "value"))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("r_event_id") == 10L &&
+      out(0).getAs[Double]("r_value") == 9.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("r_event_id")))
+    assert(out(2).isNullAt(out(2).fieldIndex("r_event_id")))
+  }
+
   test("native as-of join with an empty right side yields all-null payloads") {
     val left = Seq((1L, 10L, 1L, 5.0)).toDF("user_id", "us", "event_id", "value")
     val right = Seq.empty[(Long, Long, Long, Double)]

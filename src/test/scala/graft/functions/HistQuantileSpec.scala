@@ -24,6 +24,14 @@ class HistQuantileSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("NULL and NaN inputs are skipped like builtin aggregates") {
+    val df = Seq(Some(10.0), None, Some(Double.NaN), Some(20.0), Some(30.0))
+      .map(Tuple1(_)).toDF("v")
+    val got = df.agg(HistQuantile(0.0, 512.0, 1024, 0.5)(col("v"))).head.getDouble(0)
+    // Only {10, 20, 30} count: median bucket holds 20.0 → midpoint 20.25.
+    assert(got == 20.25, s"got $got")
+  }
+
   test("out-of-range values clamp to edge buckets") {
     val df = Seq(-100.0, 1.0, 10000.0).map(Tuple1(_)).toDF("v")
     val p0 = df.agg(HistQuantile(0.0, 512.0, 1024, 0.0)(col("v"))).head.getDouble(0)

@@ -65,6 +65,15 @@ class ExchangeSourceSpec extends SparkSpec {
     assert(pruned.sorted == full.sorted)
   }
 
+  test("pushdown at the start boundary keeps bar 0 (floor-div, not truncate)") {
+    // ts_ms > 999 with startMs=1000: bar 0 qualifies; truncating division
+    // would compute lo=1 and prune the page containing it.
+    val df = read(total = 100, page = 50).filter(col("ts_ms") > 999L)
+    assert(df.count() == 100)
+    val df2 = read(total = 100, page = 50).filter(col("ts_ms") >= 999L)
+    assert(df2.count() == 100)
+  }
+
   test("cursor loop stops on the empty page past the feed's end") {
     val rows = Ingest.fetchPaginated(
       ExchangeFeed.page("ETH-USD", 0L, 1000L, total = 150),
