@@ -1212,7 +1212,112 @@ object ForecastQueries {
               |FROM agg2 a LEFT JOIN mx USING (user_id)
               |ORDER BY a.user_id""".stripMargin)))
 
+  private val streamed2: Seq[Q] = Seq(
+    // Streaming Kalman: the q181 filter as cross-batch
+    // flatMapGroupsWithState state over the raw event stream, one
+    // AvailableNow pass == the recursive-CTE formulation (same harness
+    // as q106/q175: µs truncation before the fold).
+    Q("q201_stream_kalman",
+      (s, d) => {
+        import graft.streaming.StreamingIngest
+        import org.apache.spark.sql.streaming.Trigger
+        val base = java.nio.file.Files.createTempDirectory("graft_q201").toString
+        val src = base + "/src"
+        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(src, "events.parquet"),
+          java.nio.file.Paths.get(d, "events.parquet"))
+        val schema = s.read.parquet(src).schema
+        val stream = StreamingIngest.readEvents(s, src, schema)
+          .withColumn("ts_us", expr("ts div 1000"))
+        val kf = StreamingIngest.streamingKalman(stream, "user_id", "ts_us",
+          "event_id", "value", qVar = 0.01, rVar = 1.0)
+        val qn = "graft_q201_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = kf.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        q.stop()
+        s.table(qn)
+          .select(col("key").as("user_id"), col("ts").as("ts_us"),
+            pround(col("x"), 6).as("x"), pround(col("p"), 6).as("p"))
+          .orderBy("user_id", "ts_us")
+      },
+      Some {
+        val k = "((r.p + CAST(0.01 AS DOUBLE)) / ((r.p + CAST(0.01 AS DOUBLE)) + CAST(1 AS DOUBLE)))"
+        s"""WITH RECURSIVE ord AS (
+           |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events),
+           |rec AS (
+           |  SELECT user_id, ts_us, value, rn,
+           |    value AS x, CAST(1 AS DOUBLE) AS p FROM ord WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.user_id, o.ts_us, o.value, o.rn,
+           |    r.x + $k * (o.value - r.x),
+           |    (1 - $k) * (r.p + CAST(0.01 AS DOUBLE))
+           |  FROM ord o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+           |SELECT user_id, ts_us, ${sqlRound("x", 6)} AS x, ${sqlRound("p", 6)} AS p
+           |FROM rec ORDER BY user_id, ts_us""".stripMargin
+      }),
+
+    // Event impact on volatility: mean |hourly return| in the hour AFTER
+    // a purchase vs each user's baseline mean |return| — the
+    // event-study companion measuring second-moment impact. Exact
+    // micro-unit folds throughout; impact_ratio is one division of two
+    // order-free means.
+    Q("q202_event_vol_impact",
+      (s, d) => {
+        val r = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+          .filter(col("r").isNotNull)
+          .withColumn("a_q", floor(abs(col("r")) * 1e9 + 0.5).cast("long"))
+          .select("user_id", "bucket_s", "a_q")
+        val ev = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            ((ceil(col("ts").cast("double") / 3600) * 3600).cast("long") + 3600L)
+              .as("bucket_s"))
+          .distinct()
+        val base = r.groupBy("user_id")
+          .agg(count(lit(1)).as("n_all"), sum(col("a_q")).as("s_all"))
+        val after = r.join(ev, Seq("user_id", "bucket_s"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_after"), sum(col("a_q")).as("s_after"))
+        after.join(base, "user_id")
+          .select(col("user_id"), col("n_after"),
+            pround(col("s_after").cast("double") / col("n_after") / 1e9, 6)
+              .as("mean_abs_after"),
+            pround(col("s_all").cast("double") / col("n_all") / 1e9, 6)
+              .as("mean_abs_base"),
+            pround((col("s_after").cast("double") / col("n_after")) /
+              (col("s_all").cast("double") / col("n_all")), 6).as("impact_ratio"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH $HourlyCloseCte,
+              |r AS (SELECT user_id, bucket_s,
+              |    CAST(floor(abs(ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
+              |      ORDER BY bucket_s))) * 1e9 + 0.5) AS BIGINT) AS a_q
+              |  FROM agg),
+              |rr AS (SELECT user_id, bucket_s, a_q FROM r WHERE a_q IS NOT NULL),
+              |ev AS (SELECT DISTINCT user_id,
+              |    CAST(ceil(epoch(ts) / 3600) * 3600 AS BIGINT) + 3600 AS bucket_s
+              |  FROM events WHERE event_type = 'purchase'),
+              |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_all,
+              |    CAST(sum(a_q) AS BIGINT) AS s_all FROM rr GROUP BY user_id),
+              |af AS (SELECT rr.user_id, CAST(count(*) AS BIGINT) AS n_after,
+              |    CAST(sum(rr.a_q) AS BIGINT) AS s_after
+              |  FROM rr JOIN ev ON rr.user_id = ev.user_id AND rr.bucket_s = ev.bucket_s
+              |  GROUP BY rr.user_id)
+              |SELECT af.user_id, af.n_after,
+              |  ${sqlRound("CAST(s_after AS DOUBLE) / n_after / 1e9", 6)} AS mean_abs_after,
+              |  ${sqlRound("CAST(s_all AS DOUBLE) / n_all / 1e9", 6)} AS mean_abs_base,
+              |  ${sqlRound(
+                  "(CAST(s_after AS DOUBLE) / n_after) / (CAST(s_all AS DOUBLE) / n_all)",
+                  6)} AS impact_ratio
+              |FROM af JOIN b USING (user_id) ORDER BY af.user_id""".stripMargin)))
+
   def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed ++
     crossSection ++ stateSpace ++ detection ++ mining2 ++ cv ++ strategy ++
-    portfolio
+    portfolio ++ streamed2
 }

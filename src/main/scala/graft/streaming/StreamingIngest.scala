@@ -210,6 +210,60 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming Kalman local-level filter: the q181 recurrence with
+    * (x, P, n) state across micro-batches — same operation order as
+    * ohlcv.HoltWinters.withKalmanLevel, so an AvailableNow pass equals
+    * the batch scan bit-for-bit (oracle q201).
+    */
+  final case class KalmanState(x: Double, p: Double, n: Long)
+
+  def streamingKalman(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, qVar: Double, rVar: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tsLong = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.DoubleType)))
+    implicit val rowEnc = Encoders.row(outSchema)
+    events
+      .select(col(keyCol).cast("long").as("key"), tsLong.as("ts"),
+        col(tieCol).cast("long").as("tie"), col(valCol).cast("double").as("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[KalmanState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var (x, p, n) = state.getOption.map(s => (s.x, s.p, s.n))
+            .getOrElse((0.0, 0.0, 0L))
+          val out = sorted.map { case (_, ts, _, v) =>
+            if (n == 0L) { x = v; p = 1.0 }
+            else {
+              val pPred = p + qVar
+              val kGain = pPred / (pPred + rVar)
+              x = x + kGain * (v - x)
+              p = (1 - kGain) * pPred
+            }
+            n += 1
+            Row(key, ts, x, p)
+          }
+          state.update(KalmanState(x, p, n))
+          out.iterator
+      }
+  }
+
   /** The reference's cache-merge upsert (`cdd.py:108-110`): each
     * micro-batch unions with the sink table and keeps the newest row per
     * key — batch A2 applied inside `foreachBatch`, giving exactly-once
