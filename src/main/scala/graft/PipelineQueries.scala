@@ -1059,8 +1059,73 @@ object PipelineQueries {
                   6)} AS zipf_slope
               |FROM q""".stripMargin)))
 
+  private val whiten: Seq[Q] = Seq(
+    // Per-dimension standardization APPLIED and AUDITED in one plan —
+    // the feature-store transform q185's stats exist for: fit
+    // (mean/var from exact quanta, rounded before use), transform
+    // (z = (v−μ)/σ, identical doubles on both engines), audit (re-fold
+    // the standardized values through exact quanta: mean≈0, var≈1).
+    // Stats are a 64-row broadcast; the transform is one projection.
+    Q("q203_embed_whiten",
+      (s, d) => {
+        val x = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+          .withColumn("v_q", floor(col("v") * 1e6 + 0.5).cast("long"))
+        val stats = x.groupBy("pos")
+          .agg(count(lit(1)).as("n"),
+            pround(sum(col("v_q")).cast("double") / count(lit(1)) / 1e6, 6)
+              .as("mu"),
+            pround((count(lit(1)).cast("double") *
+              sum(col("v_q") * col("v_q")).cast("double") -
+              sum(col("v_q")).cast("double") * sum(col("v_q")).cast("double")) /
+              (count(lit(1)).cast("double") * count(lit(1)).cast("double")) / 1e12, 6)
+              .as("varv"))
+          .filter(col("varv") > 0)
+        x.join(broadcast(stats), "pos")
+          .withColumn("z", (col("v") - col("mu")) / sqrt(col("varv")))
+          .withColumn("z_q", floor(col("z") * 1e6 + 0.5).cast("long"))
+          .groupBy("pos")
+          .agg(count(lit(1)).as("n"),
+            pround(sum(col("z_q")).cast("double") / count(lit(1)) / 1e6, 6)
+              .as("mean_z"),
+            pround((count(lit(1)).cast("double") *
+              sum(col("z_q") * col("z_q")).cast("double") -
+              sum(col("z_q")).cast("double") * sum(col("z_q")).cast("double")) /
+              (count(lit(1)).cast("double") * count(lit(1)).cast("double")) / 1e12, 6)
+              .as("var_z"))
+          .select(col("pos").cast("long").as("pos"), col("n"), col("mean_z"),
+            col("var_z"))
+          .orderBy("pos")
+      },
+      Some(s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+              |dims AS (SELECT CAST(len(ev) AS BIGINT) AS dim FROM emb LIMIT 1),
+              |g AS (SELECT unnest(range((SELECT dim FROM dims))) AS pos),
+              |x AS (SELECT e.vec_id, g.pos, e.ev[g.pos + 1] AS v,
+              |    CAST(floor(e.ev[g.pos + 1] * 1e6 + 0.5) AS BIGINT) AS v_q
+              |  FROM emb e, g),
+              |st AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+              |    ${sqlRound("CAST(sum(v_q) AS DOUBLE) / count(*) / 1e6", 6)} AS mu,
+              |    ${sqlRound(
+                   """(CAST(count(*) AS DOUBLE) * CAST(sum(v_q * v_q) AS DOUBLE) -
+                      CAST(sum(v_q) AS DOUBLE) * CAST(sum(v_q) AS DOUBLE)) /
+                     (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) / 1e12""",
+                   6)} AS varv
+              |  FROM x GROUP BY pos),
+              |z AS (SELECT x.pos,
+              |    CAST(floor(((x.v - st.mu) / sqrt(st.varv)) * 1e6 + 0.5) AS BIGINT) AS z_q
+              |  FROM x JOIN st USING (pos) WHERE st.varv > 0)
+              |SELECT pos, CAST(count(*) AS BIGINT) AS n,
+              |  ${sqlRound("CAST(sum(z_q) AS DOUBLE) / count(*) / 1e6", 6)} AS mean_z,
+              |  ${sqlRound(
+                  """(CAST(count(*) AS DOUBLE) * CAST(sum(z_q * z_q) AS DOUBLE) -
+                     CAST(sum(z_q) AS DOUBLE) * CAST(sum(z_q) AS DOUBLE)) /
+                    (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) / 1e12""",
+                  6)} AS var_z
+              |FROM z GROUP BY pos ORDER BY pos""".stripMargin)))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
       ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
-      retrievalEval ++ lm2
+      retrievalEval ++ lm2 ++ whiten
 }
