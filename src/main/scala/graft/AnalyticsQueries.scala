@@ -71,16 +71,8 @@ object AnalyticsQueries {
     // join's pairs — which is what the oracle computes.
     Q("q131_stream_join",
       (s, d) => {
-        import graft.streaming.StreamingIngest
-        import org.apache.spark.sql.streaming.Trigger
-        val base = java.nio.file.Files.createTempDirectory("graft_q131").toString
-        val src = base + "/src"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(src, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet"))
-        val schema = s.read.parquet(src).schema
-        val ev = StreamingIngest.readEvents(s, src, schema)
+        import graft.streaming.StreamHarness
+        val ev = StreamHarness.eventStream(s, d)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id").as("c_user"),
             timestamp_micros(expr("ts div 1000")).as("c_ts"),
@@ -95,15 +87,11 @@ object AnalyticsQueries {
           col("c_user") === col("e_user") &&
             col("e_ts") >= col("c_ts") &&
             col("e_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
-        val qn = "graft_q131_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = joined.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-        q.stop()
-        s.table(qn)
-          .select(col("c_id"), col("e_id"), col("c_user").as("user_id"),
+        StreamHarness.runMemory(joined, "q131") { t =>
+          t.select(col("c_id"), col("e_id"), col("c_user").as("user_id"),
             (unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).as("delta_us"))
-          .orderBy("c_id", "e_id")
+            .orderBy("c_id", "e_id")
+        }
       },
       Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
              |    event_id, event_type FROM events)
@@ -357,18 +345,10 @@ object AnalyticsQueries {
     // Spark tracks watermarks) to the batch equivalent.
     Q("q137_stream_enrich",
       (s, d) => {
-        import graft.streaming.StreamingIngest
-        import org.apache.spark.sql.streaming.Trigger
-        val base = java.nio.file.Files.createTempDirectory("graft_q137").toString
-        val src = base + "/src"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(src, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet"))
-        val schema = s.read.parquet(src).schema
+        import graft.streaming.StreamHarness
         val cust = Tables.customer(s, d)
           .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))
-        val purchases = StreamingIngest.readEvents(s, src, schema)
+        val purchases = StreamHarness.eventStream(s, d)
           .filter(col("event_type") === "purchase")
           .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
           .join(cust, "user_id")
@@ -379,15 +359,11 @@ object AnalyticsQueries {
           .select(col("c_mktsegment"),
             col("window.start").as("start_t"), col("n"),
             pround(col("__rev"), 6).as("revenue"))
-        val qn = "graft_q137_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = agg.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-        q.stop()
-        s.table(qn)
-          .select(col("c_mktsegment"), unix_micros(col("start_t")).as("start_us"),
+        StreamHarness.runMemory(agg, "q137") { t =>
+          t.select(col("c_mktsegment"), unix_micros(col("start_t")).as("start_us"),
             col("n"), col("revenue"))
-          .orderBy("c_mktsegment", "start_us")
+            .orderBy("c_mktsegment", "start_us")
+        }
       },
       Some(s"""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
               |    value FROM events WHERE event_type = 'purchase'),
@@ -519,9 +495,14 @@ object AnalyticsQueries {
           s"""(SELECT ${sqlRound("(min(idx) + 0.5) * 0.5", 6)}
              |  FROM cum c2 WHERE c2.event_type = g.event_type
              |    AND c2.cum > CAST(floor($p * (c2.n - 1) + 0.5) AS BIGINT)) AS $out"""
+        // WHERE value IS NOT NULL mirrors the UDAF's skip-NULL contract
+        // (HistQuantile excludes NULLs from n); without it a NULL value
+        // would land in a bucket via least/greatest and inflate the
+        // window n. The synthetic events table happens to be NULL-free,
+        // but the mirror should not depend on that invariant.
         s"""WITH b AS (SELECT event_type,
            |    least(greatest(CAST(floor((value - 0) / 0.5) AS BIGINT), 0), 1023) AS idx
-           |  FROM events),
+           |  FROM events WHERE value IS NOT NULL),
            |c AS (SELECT event_type, idx, count(*) AS cnt FROM b GROUP BY 1, 2),
            |cum AS (SELECT event_type, idx, cnt,
            |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS BIGINT) AS cum,

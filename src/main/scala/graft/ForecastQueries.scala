@@ -432,29 +432,18 @@ object ForecastQueries {
     // as q106 (the oracle orders by µs-resolution TIMESTAMP).
     Q("q175_stream_holt",
       (s, d) => {
-        import graft.streaming.StreamingIngest
-        import org.apache.spark.sql.streaming.Trigger
-        val base = java.nio.file.Files.createTempDirectory("graft_q175").toString
-        val src = base + "/src"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(src, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet"))
-        val schema = s.read.parquet(src).schema
-        val stream = StreamingIngest.readEvents(s, src, schema)
+        import graft.streaming.{StreamHarness, StreamingIngest}
+        val stream = StreamHarness.eventStream(s, d)
           .withColumn("ts_us", expr("ts div 1000"))
         val holt = StreamingIngest.streamingHolt(stream, "user_id", "ts_us",
           "event_id", "value", alpha = 0.5, beta = 0.25, minPeriods = 10)
-        val qn = "graft_q175_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = holt.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-        q.stop()
-        s.table(qn).filter(col("level").isNotNull)
-          .select(col("key").as("user_id"), col("ts").as("ts_us"),
-            pround(col("level"), 6).as("level"),
-            pround(col("trend"), 6).as("trend"))
-          .orderBy("user_id", "ts_us")
+        StreamHarness.runMemory(holt, "q175") { t =>
+          t.filter(col("level").isNotNull)
+            .select(col("key").as("user_id"), col("ts").as("ts_us"),
+              pround(col("level"), 6).as("level"),
+              pround(col("trend"), 6).as("trend"))
+            .orderBy("user_id", "ts_us")
+        }
       },
       Some(s"""WITH RECURSIVE ord AS (
               |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
@@ -1219,28 +1208,16 @@ object ForecastQueries {
     // as q106/q175: µs truncation before the fold).
     Q("q201_stream_kalman",
       (s, d) => {
-        import graft.streaming.StreamingIngest
-        import org.apache.spark.sql.streaming.Trigger
-        val base = java.nio.file.Files.createTempDirectory("graft_q201").toString
-        val src = base + "/src"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(src, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet"))
-        val schema = s.read.parquet(src).schema
-        val stream = StreamingIngest.readEvents(s, src, schema)
+        import graft.streaming.{StreamHarness, StreamingIngest}
+        val stream = StreamHarness.eventStream(s, d)
           .withColumn("ts_us", expr("ts div 1000"))
         val kf = StreamingIngest.streamingKalman(stream, "user_id", "ts_us",
           "event_id", "value", qVar = 0.01, rVar = 1.0)
-        val qn = "graft_q201_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = kf.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-        q.stop()
-        s.table(qn)
-          .select(col("key").as("user_id"), col("ts").as("ts_us"),
+        StreamHarness.runMemory(kf, "q201") { t =>
+          t.select(col("key").as("user_id"), col("ts").as("ts_us"),
             pround(col("x"), 6).as("x"), pround(col("p"), 6).as("p"))
-          .orderBy("user_id", "ts_us")
+            .orderBy("user_id", "ts_us")
+        }
       },
       Some {
         val k = "((r.p + CAST(0.01 AS DOUBLE)) / ((r.p + CAST(0.01 AS DOUBLE)) + CAST(1 AS DOUBLE)))"

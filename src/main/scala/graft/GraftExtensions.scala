@@ -28,6 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // directly, without waiting for the rewrite rule to match.
     e.injectFunction((FunctionIdentifier("graft_dot_strict"),
       new ExpressionInfo(classOf[ArrayDotStrict].getName, "graft_dot_strict"),
-      (children: Seq[Expression]) => ArrayDotStrict(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        if (children.length != 2) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_dot_strict`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        ArrayDotStrict(children(0), children(1))
+      }))
   }
 }

@@ -326,26 +326,15 @@ object LakeQueries {
     // count(DISTINCT user_id).
     Q("q151_stream_dedup",
       (s, d) => {
-        import graft.streaming.StreamingIngest
-        import org.apache.spark.sql.streaming.Trigger
-        val base = java.nio.file.Files.createTempDirectory("graft_q151").toString
-        val src = base + "/src"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(src, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet"))
-        val schema = s.read.parquet(src).schema
-        val deduped = StreamingIngest.readEvents(s, src, schema)
+        import graft.streaming.StreamHarness
+        val deduped = StreamHarness.eventStream(s, d)
           .select("user_id", "event_type")
           .dropDuplicates("user_id", "event_type")
-        val qn = "graft_q151_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = deduped.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-        q.stop()
-        s.table(qn).groupBy("event_type")
-          .agg(count(lit(1)).as("n_users"))
-          .orderBy("event_type")
+        StreamHarness.runMemory(deduped, "q151") { t =>
+          t.groupBy("event_type")
+            .agg(count(lit(1)).as("n_users"))
+            .orderBy("event_type")
+        }
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))

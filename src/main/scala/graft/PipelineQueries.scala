@@ -227,31 +227,19 @@ object PipelineQueries {
     // batch aggregation.
     Q("q112_stream_ohlcv",
       (s, d) => {
-        import graft.streaming.StreamingIngest
-        import org.apache.spark.sql.streaming.Trigger
-        val base = java.nio.file.Files.createTempDirectory("graft_q112").toString
-        val src = base + "/src"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(src, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet"))
-        val schema = s.read.parquet(src).schema
-        val stream = StreamingIngest.readEvents(s, src, schema)
+        import graft.streaming.{StreamHarness, StreamingIngest}
+        val stream = StreamHarness.eventStream(s, d)
           .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
         val agg = StreamingIngest.tumblingOhlcv(stream, "ts_t", "value",
           "event_type", "1 day", "2 days", tieCol = Some("event_id"))
-        val qn = "graft_q112_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = agg.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-        q.stop()
-        s.table(qn)
-          .select(col("event_type"),
+        StreamHarness.runMemory(agg, "q112") { t =>
+          t.select(col("event_type"),
             col("bucket_start").cast("long").as("bucket_s"),
             pround(col("open"), 6).as("open"), pround(col("high"), 6).as("high"),
             pround(col("low"), 6).as("low"), pround(col("close"), 6).as("close"),
             pround(col("volume"), 6).as("volume"), col("n_events"))
-          .orderBy("event_type", "bucket_s")
+            .orderBy("event_type", "bucket_s")
+        }
       },
       Some(s"""WITH e AS (SELECT event_type, event_id,
               |    CAST(epoch_us(ts) AS BIGINT) AS us, value FROM events),
@@ -350,29 +338,17 @@ object PipelineQueries {
     // recurrence (q106), tumbling agg (q112), sliding agg (here).
     Q("q118_stream_sliding",
       (s, d) => {
-        import graft.streaming.StreamingIngest
-        import org.apache.spark.sql.streaming.Trigger
-        val base = java.nio.file.Files.createTempDirectory("graft_q118").toString
-        val src = base + "/src"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(src, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet"))
-        val schema = s.read.parquet(src).schema
-        val stream = StreamingIngest.readEvents(s, src, schema)
+        import graft.streaming.{StreamHarness, StreamingIngest}
+        val stream = StreamHarness.eventStream(s, d)
           .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
         val agg = StreamingIngest.slidingMean(stream, "ts_t", "value",
           "event_type", "4 hours", "1 hour", "2 days")
-        val qn = "graft_q118_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = agg.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-        q.stop()
-        s.table(qn)
-          .select(col("event_type"),
+        StreamHarness.runMemory(agg, "q118") { t =>
+          t.select(col("event_type"),
             col("bucket_start").cast("long").as("bucket_s"),
             pround(col("mean_value"), 6).as("mean_value"), col("n_events"))
-          .orderBy("event_type", "bucket_s")
+            .orderBy("event_type", "bucket_s")
+        }
       },
       Some(s"""WITH e AS (SELECT event_type,
               |    CAST(epoch_us(ts) AS BIGINT) AS us, value FROM events),
@@ -596,16 +572,8 @@ object PipelineQueries {
     // windows — built-in if ever needed").
     Q("q124_stream_sessions",
       (s, d) => {
-        import graft.streaming.StreamingIngest
-        import org.apache.spark.sql.streaming.Trigger
-        val base = java.nio.file.Files.createTempDirectory("graft_q124").toString
-        val src = base + "/src"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(src, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet"))
-        val schema = s.read.parquet(src).schema
-        val stream = StreamingIngest.readEvents(s, src, schema)
+        import graft.streaming.StreamHarness
+        val stream = StreamHarness.eventStream(s, d)
           .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
         val agg = stream
           .withWatermark("ts_t", "2 days")
@@ -614,15 +582,11 @@ object PipelineQueries {
           .select(col("user_id"),
             col("session_window.start").as("start_t"),
             col("session_window.end").as("end_t"), col("n_events"))
-        val qn = "graft_q124_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = agg.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-        q.stop()
-        s.table(qn)
-          .select(col("user_id"), unix_micros(col("start_t")).as("start_us"),
+        StreamHarness.runMemory(agg, "q124") { t =>
+          t.select(col("user_id"), unix_micros(col("start_t")).as("start_us"),
             unix_micros(col("end_t")).as("end_us"), col("n_events"))
-          .orderBy("user_id", "start_us")
+            .orderBy("user_id", "start_us")
+        }
       },
       Some("""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
              |    event_id FROM events),

@@ -607,27 +607,26 @@ object TaQueries {
   private val streamingChecked: Seq[Q] = Seq(
     Q("q103_stream_upsert",
       (s, d) => {
-        import graft.streaming.StreamingIngest
+        import graft.streaming.{StreamHarness, StreamingIngest}
         val base = java.nio.file.Files.createTempDirectory("graft_q103").toString
         val sink = base + "/table"
         val ckpt = base + "/ckpt"
-        // The file stream source needs a DIRECTORY; expose the single
-        // events parquet through a symlinked source dir.
-        val src = base + "/src"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(src, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet"))
-        val schema = s.read.parquet(src).schema
-        val stream = StreamingIngest.readEvents(s, src, schema)
+        val stream = StreamHarness.eventStream(s, d)
           .withColumn("__arr", struct(col("ts"), col("event_id")))
         val q = StreamingIngest.foreachBatchUpsert(stream, sink,
           Seq("user_id", "event_type"), "__arr", ckpt).start()
-        q.awaitTermination(300000)
-        q.stop()
-        s.read.parquet(sink)
-          .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
-          .orderBy("user_id", "event_type")
+        try require(q.awaitTermination(300000),
+          "q103: streaming query did not terminate within 300 s")
+        finally q.stop()
+        val res = StreamHarness.localize(
+          s.read.parquet(sink)
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("value"))
+            .orderBy("user_id", "event_type"))
+        // Sink + checkpoint are per-call scratch; drop them once the
+        // committed table is materialized.
+        StreamHarness.deleteRecursively(base)
+        res
       },
       Some("""SELECT user_id, event_type, event_id, value FROM events
              |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
@@ -641,33 +640,22 @@ object TaQueries {
     // oracle, the same gate the batch q27 EMA passes.
     Q("q106_stream_ema",
       (s, d) => {
-        import graft.streaming.StreamingIngest
-        import org.apache.spark.sql.streaming.Trigger
-        val base = java.nio.file.Files.createTempDirectory("graft_q106").toString
-        val src = base + "/src"
-        java.nio.file.Files.createDirectory(java.nio.file.Paths.get(src))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(src, "events.parquet"),
-          java.nio.file.Paths.get(d, "events.parquet"))
-        val schema = s.read.parquet(src).schema
+        import graft.streaming.{StreamHarness, StreamingIngest}
         // Truncate raw nanos to µs BEFORE the stateful fold: the oracle's
         // ORDER BY (DuckDB TIMESTAMP) is µs-resolution, so folding on full
         // nanos would reorder the recurrence for events sharing a µs but
         // differing in sub-µs digits (event_id breaks ties identically on
         // both sides).
-        val stream = StreamingIngest.readEvents(s, src, schema)
+        val stream = StreamHarness.eventStream(s, d)
           .withColumn("ts_us", expr("ts div 1000"))
         val ema = StreamingIngest.streamingEma(stream, "user_id", "ts_us", "event_id",
           "value", alpha = 2.0 / 11.0, minPeriods = 10)
-        val qn = "graft_q106_" + java.util.UUID.randomUUID.toString.replace("-", "")
-        val q = ema.writeStream.format("memory").queryName(qn)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(300000)
-        q.stop()
-        s.table(qn).filter(col("ema").isNotNull)
-          .select(col("key").as("user_id"), col("ts").as("ts_us"),
-            pround(col("ema"), 6).as("ema"))
-          .orderBy("user_id", "ts_us")
+        StreamHarness.runMemory(ema, "q106") { t =>
+          t.filter(col("ema").isNotNull)
+            .select(col("key").as("user_id"), col("ts").as("ts_us"),
+              pround(col("ema"), 6).as("ema"))
+            .orderBy("user_id", "ts_us")
+        }
       },
       Some(s"""WITH RECURSIVE ord AS (
               |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,

@@ -41,8 +41,15 @@ object Knn {
 
   /** All pairs (id_a < id_b) with cosine similarity ≥ threshold.
     * Output: (id_a, id_b, cos_sim) where cos = dot/(max(|a|,1e-8)·max(|b|,1e-8)).
+    *
+    * `private[graft]`: this kernel collects the WHOLE corpus to the
+    * driver for the broadcast tile, so it is only safe when the caller
+    * has already bounded the input (a test fixture, or one LSH/IVF
+    * bucket). External callers get [[cosinePairsBucketed]], whose
+    * broadcast side is a single bucket by construction — there is no
+    * public path to a whole-corpus collect.
     */
-  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(collectVecs(df, idCol, vecCol))
@@ -70,6 +77,49 @@ object Knn {
           }
       }
     }(Encoders.row(schema))
+  }
+
+  /** The scale-safe composition of the pair kernel: cosine pairs WITHIN
+    * each bucket of `bucketCol` (an LSH band, IVF cell, or any blocking
+    * key). Each bucket's members gather into one aggregation row and the
+    * tight tile loop runs inside that row — per-task memory is bounded
+    * by the largest bucket, never the corpus. A pair sharing several
+    * buckets computes the identical float (same sequential dot order),
+    * so the final `dropDuplicates` is exact, not approximate.
+    *
+    * Output: (id_a, id_b, cos_sim) with id_a < id_b, deduplicated
+    * across buckets.
+    */
+  def cosinePairsBucketed(df: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, threshold: Double): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType),
+      StructField("cos_sim", DoubleType)))
+    val grouped = df
+      .select(col(bucketCol).as("__bucket"),
+        struct(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("v")).as("__m"))
+      .groupBy("__bucket").agg(collect_list("__m").as("__ms"))
+      .select("__ms")
+    grouped.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ms = r.getSeq[Row](0).iterator.map { m =>
+          val arr = m.getSeq[Double](1).toArray
+          var s = 0.0
+          var i = 0
+          while (i < arr.length) { s += arr(i) * arr(i); i += 1 }
+          Vec(m.getLong(0), arr, math.max(math.sqrt(s), 1e-8))
+        }.toArray.sortBy(_.id)
+        for {
+          i <- ms.indices.iterator
+          j <- (i + 1 until ms.length).iterator
+          c = dot(ms(i).v, ms(j).v) / (ms(i).norm * ms(j).norm)
+          if c >= threshold
+        } yield new org.apache.spark.sql.catalyst.expressions.GenericRow(
+          Array[Any](ms(i).id, ms(j).id, c)): Row
+      }
+    }(Encoders.row(schema))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact k-NN of every query against the corpus (block-nested-loop).

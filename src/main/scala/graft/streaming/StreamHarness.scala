@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Shared fixture for the oracle-checked streaming query family
+  * (q103/q106/q112/q118/q124/q131/q137/q151/q175/q201).
+  *
+  * Each streaming query used to pay its own fixed setup: a fresh temp
+  * dir + symlink so the file source sees a directory, a parquet footer
+  * read for the schema, and a 32-partition state-store fleet per
+  * stateful stage. None of that is part of the operator under test —
+  * it's harness tax (~2-3 s per query in the sf0.1 bench). This object
+  * shares the prepared source directory and schema per (sfDir, table)
+  * across the whole family and bounds the per-query state partitioning,
+  * while making the run contract strict: termination is ASSERTED (a
+  * timeout throws instead of silently returning a partial sink) and the
+  * memory-sink table is dropped after the result is materialized, so
+  * repeated harness/bench runs don't accumulate driver memory.
+  */
+object StreamHarness {
+
+  private val srcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val srcSchemas = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  /** Directory exposing `<sfDir>/<table>.parquet` to the file stream
+    * source (which requires a directory, not a file). Created once per
+    * JVM per (sfDir, table) and reused — the symlink farm is shared by
+    * every streaming query in the suite.
+    */
+  def sourceDir(sfDir: String, table: String): String =
+    srcDirs.computeIfAbsent(s"$sfDir#$table", _ => {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_stream_$table").toString
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(base, table + ".parquet"),
+        java.nio.file.Paths.get(sfDir, table + ".parquet"))
+      base
+    })
+
+  /** Schema of the shared source — one parquet footer read per
+    * (sfDir, table) per JVM instead of one per query.
+    */
+  def sourceSchema(spark: SparkSession, sfDir: String, table: String): StructType =
+    srcSchemas.computeIfAbsent(s"$sfDir#$table",
+      _ => spark.read.parquet(sourceDir(sfDir, table)).schema)
+
+  /** The events table as a file-source stream over the shared fixture. */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame =
+    StreamingIngest.readEvents(spark, sourceDir(sfDir, "events"),
+      sourceSchema(spark, sfDir, "events"))
+
+  /** Run `out` through an AvailableNow memory sink and return
+    * `finish(sinkTable)` materialized as a local relation.
+    *
+    * - `awaitTermination`'s boolean is asserted: a 300 s timeout THROWS
+    *   rather than letting the caller read a partially-populated sink.
+    * - The UUID-named memory table is dropped before returning (the
+    *   result is collected first — a memory sink is driver-resident by
+    *   construction, so the collect adds no scale exposure beyond what
+    *   the sink already holds).
+    * - `statePartitions` pins the query's shuffle/state partitioning via
+    *   the cloned-at-start session conf. A fresh checkpoint is created
+    *   per call, so the value only sets how many state-store instances
+    *   spin up — never results. 8 keeps local-bench fixed cost low; a
+    *   production deployment would size it to the cluster instead.
+    */
+  def runMemory(out: DataFrame, tag: String, statePartitions: Int = 8)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val spark = out.sparkSession
+    val qn = "graft_" + tag + "_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // StreamExecution clones the session conf at start(), so the
+    // override is frozen into the query and restored immediately.
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try {
+      val finished = q.awaitTermination(300000L)
+      require(finished, s"$tag: streaming query did not terminate within 300 s")
+      q.stop()
+      localize(finish(spark.table(qn)))
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView(qn)
+    }
+  }
+
+  /** Collect `df` into a LocalRelation so its source (memory table,
+    * temp sink dir) can be released before the result is consumed.
+    * Row order is preserved.
+    */
+  def localize(df: DataFrame): DataFrame = {
+    val rows: java.util.List[Row] = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
+  /** Delete a per-call scratch directory (sink/checkpoint) bottom-up. */
+  def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+}

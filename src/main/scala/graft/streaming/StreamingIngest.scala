@@ -227,6 +227,17 @@ object StreamingIngest {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
       case _ => col(tsCol).cast("long")
     }
+    {
+      import org.apache.spark.sql.types._
+      val integral: Set[org.apache.spark.sql.types.DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
+      Seq(keyCol, tieCol).foreach { c =>
+        require(integral(events.schema(c).dataType),
+          s"streamingKalman: column '$c' must be integral (got " +
+            s"${events.schema(c).dataType.simpleString}); long keys are the " +
+            "plumbed contract")
+      }
+    }
     val outSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("key",
         org.apache.spark.sql.types.LongType),

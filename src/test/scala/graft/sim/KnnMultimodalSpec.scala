@@ -21,6 +21,17 @@ class KnnMultimodalSpec extends SparkSpec {
     assert(blocked == relational && blocked.nonEmpty)
   }
 
+  test("cosinePairsBucketed equals the tile kernel restricted to shared buckets") {
+    val df = randVecs(40, 8).toDF("vec_id", "embedding")
+      .withColumn("bucket", pmod(col("vec_id"), lit(3)))
+    val bucketed = Knn.cosinePairsBucketed(df, "vec_id", "embedding", "bucket", 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val allPairs: Set[(Long, Long)] = Knn.cosinePairs(df, "vec_id", "embedding", 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = allPairs.filter { case (a, b) => a % 3 == b % 3 }
+    assert(bucketed == full && bucketed.nonEmpty)
+  }
+
   test("bruteKnn matches knnJoin ranks") {
     val corpus = randVecs(50, 8).toDF("vec_id", "embedding")
     val queries = randVecs(3, 8).map { case (i, v) => (i + 100, v) }.toDF("qid", "qv")
