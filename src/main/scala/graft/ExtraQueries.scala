@@ -33,6 +33,19 @@ object ExtraQueries {
   private def arrLit(a: Array[Double]): String =
     a.map(dlit).mkString("[", ", ", "]")
 
+  /** Run-time bridge from q204's fitted PCA matrix to its dynamic oracle
+    * (see [[Queries.Q.oracleDyn]]): the query fn `put`s the matrix it
+    * actually embedded with; the oracle generator reads it back at dump
+    * time. One Verify/Bench invocation targets one sf dir, so "latest
+    * put" is unambiguous.
+    */
+  private[graft] object PcaFit {
+    private val ref = new java.util.concurrent.atomic.AtomicReference[
+      Option[Array[Array[Double]]]](None)
+    def put(dir: String, m: Array[Array[Double]]): Unit = ref.set(Some(m))
+    def latest: Option[Array[Array[Double]]] = ref.get()
+  }
+
   /** DuckDB L1 over two list expressions (numeric struct indices —
     * list_zip yields unnamed structs).
     */
@@ -567,7 +580,8 @@ object ExtraQueries {
       Some(flagshipSql(metric, rounded = true,
         lshSig = lshPlanes.map(_ => flagSigSql))))
     def flagshipSql(metric: String, rounded: Boolean,
-        lshSig: Option[String => String] = None): String =
+        lshSig: Option[String => String] = None,
+        embSql: String = meanPool): String =
       s"""WITH ${Queries.FilledCloseCte},
               |series AS (SELECT user_id, CAST(bucket_s / 3600 AS BIGINT) AS idx, close FROM filled),
               |win0 AS (SELECT user_id, idx AS start_idx,
@@ -582,7 +596,7 @@ object ExtraQueries {
               |wins AS (SELECT user_id, start_idx, vs, c, sc,
               |    [(x - c) / (sc + 1e-8) FOR x IN vs] AS z
               |  FROM win2 WHERE sc > 1e-6),
-              |emb AS (SELECT user_id, start_idx, vs, c, sc, $meanPool AS e FROM wins),
+              |emb AS (SELECT user_id, start_idx, vs, c, sc, $embSql AS e FROM wins),
               |bounds AS (SELECT user_id, min(start_idx) AS mn, max(start_idx) AS mx
               |  FROM emb GROUP BY user_id),
               |corpus AS (SELECT e.*${lshSig.map(f => ", " + f("e.e") + " AS sig").getOrElse("")}
@@ -636,7 +650,50 @@ object ExtraQueries {
         },
         Some(s"""SELECT ${sqlRound("avg(mae_err)", 6)} AS err_mean,
                 |  ${sqlRound("stddev_pop(mae_err)", 6)} AS err_std
-                |FROM (${flagshipSql("l1", rounded = false)})""".stripMargin)))
+                |FROM (${flagshipSql("l1", rounded = false)})""".stripMargin)),
+
+      // Learned-PCA encoder, end-to-end (SURVEY §7.2 step 5, the last
+      // advertised encoder without its own oracle entry): fit PCA on the
+      // corpus's z-scored windows with MLlib, round-trip the component
+      // matrix through the S5 parquet artifact, then run the FULL
+      // flagship forecast with e = z·Mᵀ. The oracle is generated at dump
+      // time (Q.oracleDyn) with the fitted matrix as list literals —
+      // the q101 plan-literal technique with runtime-learned values, so
+      // the hash check covers fit, artifact round-trip, AND the learned
+      // projection's downstream search/forecast math.
+      Q("q204_flagship_pca",
+        (s, d) => {
+          import graft.ohlcv.Windows
+          val zwins = Windows.slidingZscored(
+            Flagship.filledSeries(s, d), "user_id", "idx", "close", SeqLen)
+            .filter(col("scale") > 1e-6)
+            .select(col("zvalues").cast("array<double>").as("z"))
+          val fitted = Encode.pcaMatrix(zwins, "z", SeqLen, Dim)
+          val path = java.nio.file.Files
+            .createTempDirectory("graft_q204").toString + "/pca_matrix"
+          Encode.saveMatrix(s, fitted, path)
+          val m = Encode.loadMatrix(s, path)
+          PcaFit.put(d, m)
+          Flagship.scoredQueries(s, d, metric = "l1", seqLen = SeqLen,
+            predWindow = Pred, stride = Stride, k = 2, embedDim = Dim,
+            projection = Some(m))
+            .select(col("q_key"), col("q_start"),
+              pround(col("mae_err"), 6).as("mae_err"))
+            .orderBy("q_key", "q_start")
+        },
+        oracle = None,
+        oracleDyn = Some { () =>
+          PcaFit.latest match {
+            case Some(m) =>
+              val embSql = m.map(r => s"list_dot_product(z, ${arrLit(r)})")
+                .mkString("[", ", ", "]")
+              flagshipSql("l1", rounded = true, embSql = embSql)
+            case None =>
+              // Loud failure: dumping the oracle without having run the
+              // query means the fitted literals don't exist yet.
+              "SELECT 'q204 oracle requested before the query ran' AS err"
+          }
+        }))
   }
 
   // ------------------------------------------------------------------

@@ -42,21 +42,36 @@ object Flagship {
     * epsilon explode both search distances and MAE.
     */
   def embeddedWindows(series: DataFrame, seqLen: Int = SeqLen,
-      embedDim: Int = EmbedDim): DataFrame = {
-    require(seqLen % embedDim == 0)
-    val bucket = seqLen / embedDim
-    // Fused mean-pool: each embedding bucket sums (x−c)/(s+1e-8) straight
-    // off the raw window in one codegen'd loop — the z array is never
-    // materialized. Bit-identical to meanPool(zvalues) (same per-element
-    // formula and summation order).
-    val embedding = array((0 until embedDim).map { i =>
-      org.apache.spark.sql.graft.ArrayStatsExpressions.arrayZSliceSum(
-        col("values"), col("center"), col("scale"), i * bucket, bucket) / bucket
-    }: _*)
-    Windows.slidingZscored(series, "user_id", "idx", "close", seqLen)
-      .drop("zvalues")
-      .filter(col("scale") > 1e-6)
-      .withColumn("embedding", embedding)
+      embedDim: Int = EmbedDim,
+      projection: Option[Array[Array[Double]]] = None): DataFrame = {
+    projection match {
+      case Some(m) =>
+        // Learned linear encoder (PCA / any trained projection): e = z·Mᵀ
+        // with M broadcast as plan literals — the z array feeds a
+        // sequential dot per component, mirrored exactly by the oracle's
+        // list_dot_product over the same literals.
+        require(m.length == embedDim && m.head.length == seqLen,
+          s"projection must be $embedDim x $seqLen")
+        Windows.slidingZscored(series, "user_id", "idx", "close", seqLen)
+          .filter(col("scale") > 1e-6)
+          .withColumn("embedding", Encode.linearProject(col("zvalues"), m))
+          .drop("zvalues")
+      case None =>
+        require(seqLen % embedDim == 0)
+        val bucket = seqLen / embedDim
+        // Fused mean-pool: each embedding bucket sums (x−c)/(s+1e-8) straight
+        // off the raw window in one codegen'd loop — the z array is never
+        // materialized. Bit-identical to meanPool(zvalues) (same per-element
+        // formula and summation order).
+        val embedding = array((0 until embedDim).map { i =>
+          org.apache.spark.sql.graft.ArrayStatsExpressions.arrayZSliceSum(
+            col("values"), col("center"), col("scale"), i * bucket, bucket) / bucket
+        }: _*)
+        Windows.slidingZscored(series, "user_id", "idx", "close", seqLen)
+          .drop("zvalues")
+          .filter(col("scale") > 1e-6)
+          .withColumn("embedding", embedding)
+    }
   }
 
   /** Per-query forecast MAE (one row per evaluation query).
@@ -70,8 +85,9 @@ object Flagship {
   def scoredQueries(s: SparkSession, dir: String, metric: String = "l1",
       seqLen: Int = SeqLen, predWindow: Int = PredWindow, stride: Int = Stride,
       k: Int = TopK, embedDim: Int = EmbedDim,
-      lshPlanes: Option[Array[Array[Double]]] = None): DataFrame = {
-    val wins = embeddedWindows(filledSeries(s, dir), seqLen, embedDim)
+      lshPlanes: Option[Array[Array[Double]]] = None,
+      projection: Option[Array[Array[Double]]] = None): DataFrame = {
+    val wins = embeddedWindows(filledSeries(s, dir), seqLen, embedDim, projection)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wins.count()
     val top = Forecast.evaluate(wins, "user_id", seqLen, predWindow, stride, k, metric,

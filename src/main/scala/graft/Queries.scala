@@ -22,10 +22,19 @@ import graft.Rounding.{pround, sqlRound}
   */
 object Queries {
 
+  /** `oracle` is the usual static DuckDB mirror. `oracleDyn` exists for
+    * the fit-transform queries whose mirror must embed values LEARNED
+    * during the run (q204's PCA matrix): Verify dumps `oracle_sql.json`
+    * AFTER executing every query, so a dynamic oracle generated at dump
+    * time can carry the fitted parameters as SQL literals — the same
+    * plan-literal technique as q101, with the literals bound at run time
+    * instead of registration time.
+    */
   final case class Q(
       name: String,
       run: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
+      oracle: Option[String],
+      oracleDyn: Option[() => String] = None)
 
   // ------------------------------------------------------------------
   // Relational coverage (TPC-H-ish; SURVEY.md §2.3 note: the harness
@@ -473,5 +482,6 @@ object Queries {
     all.map(q => q.name -> q.run).toMap
 
   def oracles: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    all.flatMap(q => q.oracleDyn.map(f => q.name -> f())
+      .orElse(q.oracle.map(q.name -> _))).toMap
 }
