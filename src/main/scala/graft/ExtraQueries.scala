@@ -175,7 +175,56 @@ object ExtraQueries {
               |  FROM filled
               |  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_s))
               |WHERE ra > 10 AND rd > 10
-              |ORDER BY user_id, bucket_s""".stripMargin)))
+              |ORDER BY user_id, bucket_s""".stripMargin)),
+
+      // The mode="interp" BOUNDARY (scipy _fit_edges): the first/last
+      // half=10 rows evaluate the degree-4 polynomial fitted to the
+      // first/last 21 values. The fit-hat rows are driver-computed
+      // constants (normal-equations solve), so the oracle carries them
+      // as list literals — one list_dot_product against the per-user
+      // head/tail value lists, same sequential float order as the Spark
+      // edge expression. Closes the one W5 case q28's interior-only
+      // oracle left spec'd-but-unhashed.
+      Q("q205_savgol_edges",
+        (s, d) => {
+          val filled = TimeSeriesOps.ffill(
+            Queries.hourlyResampled(s, d, emitEmpty = true), "user_id", "bucket_s", Seq("close"))
+            .select("user_id", "bucket_s", "close")
+          val sg = Features.withSavgol(filled, "user_id", "bucket_s", "close", "sg", 21, 4)
+          val wAsc = Window.partitionBy("user_id").orderBy(col("bucket_s").asc)
+          val wDesc = Window.partitionBy("user_id").orderBy(col("bucket_s").desc)
+          sg.withColumn("__ra2", row_number().over(wAsc))
+            .withColumn("__rd2", row_number().over(wDesc))
+            .filter(col("__ra2") <= 10 || col("__rd2") <= 10) // edge rows only
+            .select(col("user_id"), col("bucket_s"), pround(col("sg"), 6).as("sg"))
+            .orderBy("user_id", "bucket_s")
+        },
+        Some {
+          def caseRows(posOf: Int => Int, rowVar: String, listVar: String) =
+            (1 to 10).map { r =>
+              s"WHEN $rowVar = $r THEN list_dot_product(${arrLit(design.weightsAt(posOf(r)))}, $listVar)"
+            }.mkString("CASE ", " ", " END")
+          s"""WITH ${Queries.FilledCloseCte},
+             |ord AS (SELECT user_id, bucket_s, close,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s ASC) AS ra,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY bucket_s DESC) AS rd
+             |  FROM filled),
+             |heads AS (SELECT user_id, list(close ORDER BY bucket_s ASC) AS hv
+             |  FROM ord WHERE ra <= 21 GROUP BY user_id),
+             |tails AS (SELECT user_id, list(close ORDER BY bucket_s ASC) AS tv
+             |  FROM ord WHERE rd <= 21 GROUP BY user_id),
+             |edge AS (
+             |  SELECT o.user_id, o.bucket_s,
+             |    ${caseRows(r => r - 1, "o.ra", "h.hv")} AS sgv
+             |  FROM ord o JOIN heads h USING (user_id) WHERE o.ra <= 10
+             |  UNION ALL
+             |  SELECT o.user_id, o.bucket_s,
+             |    ${caseRows(r => 21 - r, "o.rd", "t.tv")} AS sgv
+             |  FROM ord o JOIN tails t USING (user_id)
+             |  WHERE o.rd <= 10 AND o.ra > 10)
+             |SELECT user_id, bucket_s, ${sqlRound("sgv", 6)} AS sg
+             |FROM edge ORDER BY user_id, bucket_s""".stripMargin
+        }))
   }
 
   // ------------------------------------------------------------------
