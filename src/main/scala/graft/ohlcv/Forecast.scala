@@ -91,11 +91,24 @@ object Forecast {
     * (`README.md:155`), with the exact metric re-ranking inside each
     * bucket. Queries whose bucket holds no candidate drop out (standard
     * ANN recall semantics); `planes` trades recall for bucket size.
+    *
+    * Broadcast bound: the query side is broadcast to every executor (the
+    * reference protocol evaluates hundreds-to-thousands of queries, a
+    * few hundred bytes each — well under any broadcast threshold). That
+    * stops holding for a 100×-scale evaluation grid, so when the query
+    * count exceeds `broadcastQueryLimit` (default 2^18 ≈ tens of MB at
+    * embedDim 12) the operator switches to the q101 shape AUTOMATICALLY:
+    * hyperplane-LSH signatures on both sides (auto-derived when the
+    * caller gave none) and a shuffled equi-join on (key, signature) —
+    * bucketed candidate generation with the exact metric re-rank, at
+    * standard ANN recall semantics. With caller-supplied planes the
+    * fallback is physical-only: identical rows, different join strategy.
     */
   def evaluateSplit(corpusWins: DataFrame, queryWins: DataFrame, keyCol: String,
       seqLen: Int, predWindow: Int, stride: Int, k: Int, metricName: String,
       excludeSelf: Boolean = false, crossKey: Boolean = false,
-      lshPlanes: Option[Array[Array[Double]]] = None): DataFrame = {
+      lshPlanes: Option[Array[Array[Double]]] = None,
+      broadcastQueryLimit: Long = 1L << 18): DataFrame = {
     val maxIdx = corpusWins.groupBy(keyCol).agg(max("start_idx").as("__max_idx"))
     // O3: corpus windows must have a full follow-on window after them.
     val corpus0 = corpusWins.join(broadcast(maxIdx), Seq(keyCol))
@@ -111,19 +124,31 @@ object Forecast {
         col("center").as("q_center"), col("scale").as("q_scale"),
         col("embedding").as("q_embedding"))
 
-    val (corpus, queries) = lshPlanes match {
+    // Cheap on the callers' persisted window frames; decides the join
+    // strategy below.
+    val useBroadcast = queries0.count() <= broadcastQueryLimit
+    val effPlanes =
+      if (useBroadcast) lshPlanes
+      else lshPlanes.orElse {
+        val dim = corpusWins.select(size(col("embedding")).as("d")).head.getInt(0)
+        Some(Encode.randomProjectionMatrix(dim, 8, 101L))
+      }
+    val (corpus, queries) = effPlanes match {
       case Some(mat) => (
         corpus0.withColumn("__sig", graft.sim.Lsh.hyperplaneSignature(col("embedding"), mat)),
         queries0.withColumn("__q_sig", graft.sim.Lsh.hyperplaneSignature(col("q_embedding"), mat)))
       case None => (corpus0, queries0)
     }
-    val sigCond = lshPlanes.map(_ => col("__sig") === col("__q_sig"))
+    val sigCond = effPlanes.map(_ => col("__sig") === col("__q_sig"))
+    val hint: DataFrame => DataFrame = if (useBroadcast) broadcast else identity
     val crossed0 =
       if (crossKey) sigCond match {
-        case Some(c) => corpus.join(broadcast(queries), c)
-        case None => corpus.crossJoin(broadcast(queries))
+        case Some(c) => corpus.join(hint(queries), c)
+        // Unreachable when !useBroadcast: effPlanes is always defined
+        // there, so the over-limit path never cross-joins unbucketed.
+        case None => corpus.crossJoin(hint(queries))
       }
-      else corpus.join(broadcast(queries),
+      else corpus.join(hint(queries),
         sigCond.foldLeft(col(keyCol) === col("q_key"))(_ && _))
     val crossed = (if (excludeSelf) crossed0.filter(col("start_idx") =!= col("q_start"))
       else crossed0)

@@ -85,6 +85,41 @@ class WindowsSearchForecastSpec extends SparkSpec {
     rows.foreach(r => assert(!r.getAs[Double]("mae_err").isNaN))
   }
 
+  test("evaluateSplit over-limit fallback: identical rows with given planes, shuffled join") {
+    val n = 80
+    val df = (0 until n).map(i => ("a", i.toLong, math.sin(i / 3.0) * 10 + i * 0.1))
+      .toDF("user_id", "idx", "close")
+    val wins = Windows.slidingZscored(df, "user_id", "idx", "close", len = 12)
+      .withColumn("embedding", Encode.meanPool(col("zvalues"), 12, 4))
+    val planes = Encode.randomProjectionMatrix(4, 2, 7L)
+    def run(limit: Long) = Forecast.evaluateSplit(wins, wins, "user_id",
+      seqLen = 12, predWindow = 6, stride = 6, k = 2, metricName = "l1",
+      excludeSelf = true, lshPlanes = Some(planes), broadcastQueryLimit = limit)
+      .select("q_key", "q_start", "start_idx", "rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    val broadcastRows = run(Long.MaxValue)
+    val fallbackRows = run(0L) // force the over-limit branch
+    assert(broadcastRows == fallbackRows && broadcastRows.nonEmpty)
+  }
+
+  test("evaluateSplit over-limit fallback auto-derives planes when none given") {
+    val n = 80
+    val df = (0 until n).map(i => ("a", i.toLong, math.sin(i / 3.0) * 10 + i * 0.1))
+      .toDF("user_id", "idx", "close")
+    val wins = Windows.slidingZscored(df, "user_id", "idx", "close", len = 12)
+      .withColumn("embedding", Encode.meanPool(col("zvalues"), 12, 4))
+    val out = Forecast.evaluateSplit(wins, wins, "user_id",
+      seqLen = 12, predWindow = 6, stride = 6, k = 2, metricName = "l1",
+      excludeSelf = true, broadcastQueryLimit = 0L)
+      .select("q_key", "q_start", "rank").as[(String, Long, Int)].collect()
+    assert(out.nonEmpty)
+    // ANN semantics: per-query ranks are contiguous from 1 (a bucket may
+    // hold fewer than k candidates, never more than k survivors).
+    out.groupBy(r => (r._1, r._2)).values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+  }
+
   test("meanPool: 8->2 buckets") {
     val df = Seq(Tuple1(Seq(1.0, 1.0, 3.0, 3.0, 10.0, 10.0, 20.0, 20.0))).toDF("v")
     val out = df.select(Encode.meanPool(col("v"), 8, 2)).as[Seq[Double]].head()
