@@ -680,7 +680,67 @@ object PipelineQueries {
              |SELECT shingle, count(DISTINCT doc_id) AS n_docs,
              |  count(*) AS n_occurrences
              |FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) > 1
-             |ORDER BY shingle""".stripMargin)))
+             |ORDER BY shingle""".stripMargin)),
+
+    // EXACT duplicated-substring dedup (Lee et al. 2022 ExactSubstr,
+    // public) at threshold L=30: a substring of length >= L occurs twice
+    // in the corpus iff some length-L gram does, so stride-1 grams at
+    // EVERY position with global count >= 2 give exactly the positions
+    // the suffix-array scan marks — q168's stride-20 approximation made
+    // exact. Duplicated positions then merge into maximal per-doc spans
+    // (the ranges ExactSubstr cuts out). Plan shape = prefix-group
+    // partitioning: the gram is the shuffle key, so suffixes sharing
+    // their first L chars co-locate, the duplicate count is one
+    // window-over-gram aggregation, and the span merge is a per-doc
+    // prefix scan. At 100 TB the key becomes xxhash64(gram) (identical
+    // shape, ~4x narrower shuffle); raw strings kept here so the oracle
+    // compares directly. All-integer output — no float parity risk.
+    Q("q206_exact_substr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val L = 30
+        val docs = Tables.documents(s, d)
+          .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) >= L)
+        val grams = docs.select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, length(text) - $L), i -> substring(text, i + 1, $L))")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
+        val dupPos = grams
+          .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("gram")))
+          .filter(col("__cnt") >= 2)
+          .select("doc_id", "pos")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        dupPos
+          .withColumn("__prev_end",
+            max(col("pos") + L).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("__brk",
+            when(col("pos") > coalesce(col("__prev_end"), lit(-1L)), 1L).otherwise(0L))
+          .withColumn("span_id", sum("__brk").over(w))
+          .groupBy("doc_id", "span_id")
+          .agg(min("pos").as("span_start"), (max("pos") + L).as("span_end"),
+            count(lit(1)).as("n_positions"))
+          .select(col("doc_id"), col("span_id"), col("span_start"),
+            col("span_end"), col("n_positions"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+             |  WHERE regexp_matches(text, '^[\x00-\x7f]*$') AND length(text) >= 30),
+             |g AS (SELECT doc_id, u AS pos, substr(text, CAST(u + 1 AS BIGINT), 30) AS gram
+             |  FROM d, UNNEST(range(0, n - 30 + 1)) AS t(u)),
+             |c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt FROM g),
+             |p AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),
+             |m AS (SELECT doc_id, pos,
+             |    CASE WHEN pos > coalesce(max(pos + 30) OVER (PARTITION BY doc_id
+             |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM p),
+             |sp AS (SELECT doc_id, pos,
+             |    CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+             |  FROM m)
+             |SELECT doc_id, span_id, min(pos) AS span_start,
+             |  max(pos) + 30 AS span_end, CAST(count(*) AS BIGINT) AS n_positions
+             |FROM sp GROUP BY doc_id, span_id
+             |ORDER BY doc_id, span_start""".stripMargin)))
 
   private val entropy: Seq[Q] = Seq(
     // Character-unigram Shannon entropy per document — the cheap "is
