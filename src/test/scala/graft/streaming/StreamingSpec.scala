@@ -112,4 +112,71 @@ class StreamingSpec extends SparkSpec {
       .select("event_id", "value").as[(Long, Double)].collect()
     assert(out.toSeq == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
   }
+
+  test("upsert sink recovers idempotently when a batch replays (crash before commit marker)") {
+    // foreachBatch is at-least-once: a crash after the sink write but
+    // before the checkpoint's commit marker lands makes the engine
+    // REPLAY the batch on restart. Inject exactly that fault: run a
+    // batch to completion, delete its commit marker, restart — the
+    // replayed merge must leave the committed table bit-identical.
+    val src = Files.createTempDirectory("graft_crash_src").toString
+    val sink = Files.createTempDirectory("graft_crash_sink").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft_crash_ckpt").toString
+    writeBatch(src, Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, 2.0),
+      (2L, ts("2024-01-01 00:02:00"), 1L, 22.0))) // in-batch dup, keep-last
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = StreamingIngest.foreachBatchUpsert(
+        StreamingIngest.readEvents(spark, src, schema),
+        sink, Seq("event_id"), "ts", ckpt).start()
+      assert(q.awaitTermination(60000)); q.stop()
+    }
+    run()
+    def snapshot() = spark.read.parquet(sink).orderBy("event_id")
+      .select("event_id", "value").as[(Long, Double)].collect().toSeq
+    val committed = snapshot()
+    assert(committed == Seq((1L, 1.0), (2L, 22.0)))
+    // Simulated crash: batch 0's sink effects are durable, its commit
+    // marker is not → restart replays batch 0 against the live table.
+    val marker = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(java.nio.file.Files.deleteIfExists(marker))
+    // Also drop the local-FS checksum sidecar, or the replayed commit's
+    // rename sees a half-present file and refuses the checkpoint.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    run()
+    assert(snapshot() == committed) // replay was a no-op merge
+  }
+
+  test("upsert sink recovers when a crash lands between the two swap renames") {
+    // The swap renames the live table ASIDE (sink -> sink__old) before
+    // promoting the new one. A crash exactly between those renames
+    // leaves only sink__old on disk; the next batch must merge against
+    // it so no committed row is lost.
+    val src = Files.createTempDirectory("graft_swap_src").toString
+    val sinkBase = Files.createTempDirectory("graft_swap_sink").toString
+    val sink = sinkBase + "/table"
+    val ckpt = Files.createTempDirectory("graft_swap_ckpt").toString
+    writeBatch(src, Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, 2.0)))
+    val schema = spark.read.parquet(src).schema
+    val q1 = StreamingIngest.foreachBatchUpsert(
+      StreamingIngest.readEvents(spark, src, schema),
+      sink, Seq("event_id"), "ts", ckpt).start()
+    assert(q1.awaitTermination(60000)); q1.stop()
+    // Crash injection: live table moved aside, promotion never happened.
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(sink), java.nio.file.Paths.get(sink + "__old"))
+    writeBatch(src, Seq((3L, ts("2024-01-01 00:02:00"), 1L, 3.0)))
+    val q2 = StreamingIngest.foreachBatchUpsert(
+      StreamingIngest.readEvents(spark, src, schema),
+      sink, Seq("event_id"), "ts", ckpt).start()
+    assert(q2.awaitTermination(60000)); q2.stop()
+    val out = spark.read.parquet(sink).orderBy("event_id")
+      .select("event_id", "value").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
 }
