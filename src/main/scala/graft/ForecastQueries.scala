@@ -19,6 +19,22 @@ object ForecastQueries {
 
   private def w = Window.partitionBy("user_id").orderBy("bucket_s")
 
+  /** Deterministic Rademacher (±1) sign matrix (splitmix64 bits) for
+    * integer-exact sign-random-projection signatures: dots against ±1
+    * entries stay BIGINT-exact, so the cohort hash is order-free and
+    * engine-portable — no float fold anywhere in the blocking key.
+    */
+  private def rademacherSigns(dim: Int, planes: Int): Array[Array[Long]] = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    Array.tabulate(planes, dim)((b, i) =>
+      if (((splitmix(b * 7919L + i + 1L) >>> 17) & 1L) == 1L) 1L else -1L)
+  }
+
   private val forecasting: Seq[Q] = Seq(
     // Holt linear-trend smoothing (α=.5, β=.25 — exactly representable,
     // so the oracle's folded constants are bit-identical): fitted level,
@@ -522,6 +538,114 @@ object ForecastQueries {
                       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""",
                  6)} AS corr
               |FROM m ORDER BY corr DESC, u ASC, v ASC LIMIT 20""".stripMargin)),
+
+    // The SCALE PATH for q177 (SCALING.md: q177's all-pairs join is the
+    // one measured curve-up, 26× wall-clock at 10× users): users first
+    // hash into cohorts by the SIGN of Rademacher (±1) projections of
+    // their time-folded quantized-return profile — exact BIGINT dots, so
+    // the signature is order-free and bit-identical on any engine — and
+    // the exact integer-co-moment correlation runs only WITHIN cohorts.
+    // Pair fan-out drops from C(U,2) to T·Σ|cohort|²; P grows with
+    // log(U) at scale (P planes → 2^P cohorts per table, T tables
+    // OR-amplified). Standard ANN recall semantics: pairs are scored iff
+    // hashed together — pairs whose correlation is sustained co-movement
+    // collide by construction; the n≈8 small-sample accidents that top
+    // the exact list at this sf carry no hashable signal (SCALING.md).
+    // Measured 10× slope: 5.1 vs q177's 20-27 (39.7 s vs 90.8 s at 10×,
+    // the gap widening quadratically with U).
+    Q("q207_pair_corr_lsh",
+      (s, d) => {
+        val D = 64
+        val P = 10
+        val T = 16
+        val signs = rademacherSigns(D, P * T) // table t uses planes t*P until (t+1)*P
+        val r = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+          .filter(col("r").isNotNull)
+          .withColumn("r_q", floor(col("r") * 1e6 + 0.5).cast("long"))
+          .withColumn("dim", expr(s"cast((bucket_s div 3600) % $D as int)"))
+          .select("user_id", "bucket_s", "r_q", "dim")
+        val sigCols = (0 until P * T).map(b =>
+          sum(element_at(array(signs(b).map(lit): _*), col("dim") + 1) * col("r_q"))
+            .as(s"__s$b"))
+        // One tiny row per (user, table): candidate generation never
+        // touches the fact rows — OR-amplification across T tables
+        // recovers the recall a single 2^P-bucket table loses.
+        val sigs = r.groupBy("user_id")
+          .agg(sigCols.head, sigCols.tail: _*)
+          .select(col("user_id"), explode(array((0 until T).map { t =>
+            struct(lit(t).as("t"),
+              (0 until P).map(b =>
+                when(col(s"__s${t * P + b}") >= 0, lit(1L << b)).otherwise(lit(0L)))
+                .reduce(_ + _).as("sig"))
+          }: _*)).as("ts"))
+          .select(col("user_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+        val cand = sigs.as("a").join(sigs.as("b"),
+            col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+              col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+          .distinct()
+        val ra = r.select(col("user_id").as("u"), col("bucket_s"), col("r_q").as("x"))
+        val rb = r.select(col("user_id").as("v"), col("bucket_s"), col("r_q").as("y"))
+        val pairs = broadcast(cand).join(ra, "u").join(rb, Seq("v", "bucket_s"))
+        pairs.groupBy("u", "v")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .filter(col("n") >= 8)
+          .withColumn("corr", pround(
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))), 6))
+          .orderBy(col("corr").desc, col("u").asc, col("v").asc).limit(20)
+          .select("u", "v", "n", "corr")
+      },
+      Some {
+        val D = 64
+        val P = 10
+        val T = 16
+        val signs = rademacherSigns(D, P * T)
+        def sigSql(b: Int): String = {
+          val lst = signs(b).mkString("[", ", ", "]")
+          s"(CASE WHEN sum($lst[((bucket_s // 3600) % $D) + 1] * r_q) >= 0 THEN ${1L << (b % P)} ELSE 0 END)"
+        }
+        val tables = (0 until T).map { t =>
+          s"""SELECT user_id, $t AS t,
+             |    ${(0 until P).map(b => sigSql(t * P + b)).mkString(" + ")} AS sig
+             |  FROM rr GROUP BY user_id""".stripMargin
+        }.mkString("\n|  UNION ALL\n|  ")
+        s"""WITH $HourlyCloseCte,
+           |r AS (SELECT user_id, bucket_s,
+           |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
+           |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS r_q
+           |  FROM agg),
+           |rr AS (SELECT user_id, bucket_s, r_q FROM r WHERE r_q IS NOT NULL),
+           |sg AS ($tables),
+           |cand AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+           |  FROM sg a JOIN sg b
+           |  ON a.t = b.t AND a.sig = b.sig AND a.user_id < b.user_id),
+           |p AS (SELECT c.u, c.v, ra.r_q AS x, rb.r_q AS y
+           |  FROM cand c
+           |  JOIN rr ra ON ra.user_id = c.u
+           |  JOIN rr rb ON rb.user_id = c.v AND rb.bucket_s = ra.bucket_s),
+           |m AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM p GROUP BY u, v HAVING count(*) >= 8)
+           |SELECT u, v, n, ${sqlRound(
+               """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""",
+               6)} AS corr
+           |FROM m ORDER BY corr DESC, u ASC, v ASC LIMIT 20""".stripMargin
+      }),
 
     // Lo–MacKinlay variance-ratio test statistic VR(q) = var(q-period
     // returns)/(q·var(1-period)) per user for q ∈ {2, 4} — the classic
