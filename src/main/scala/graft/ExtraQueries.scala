@@ -713,11 +713,18 @@ object ExtraQueries {
       Q("q204_flagship_pca",
         (s, d) => {
           import graft.ohlcv.Windows
+          // Fit pass: sample at the SERIES level (1-in-7 users) so the
+          // key filter prunes before the window pipeline even runs —
+          // the fit sweep computes ~14% of the windows instead of all
+          // of them — then thin rows with an explicit fraction (no
+          // count() pass, no persist of the wide z-array frame).
           val zwins = Windows.slidingZscored(
-            Flagship.filledSeries(s, d), "user_id", "idx", "close", SeqLen)
+            Flagship.filledSeries(s, d).filter(col("user_id") % 7 === 0),
+            "user_id", "idx", "close", SeqLen)
             .filter(col("scale") > 1e-6)
             .select(col("zvalues").cast("array<double>").as("z"))
-          val fitted = Encode.pcaMatrix(zwins, "z", SeqLen, Dim)
+          val fitted = Encode.pcaMatrix(zwins, "z", SeqLen, Dim,
+            sampleFraction = Some(0.35))
           val path = java.nio.file.Files
             .createTempDirectory("graft_q204").toString + "/pca_matrix"
           Encode.saveMatrix(s, fitted, path)

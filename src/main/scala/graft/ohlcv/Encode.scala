@@ -143,10 +143,14 @@ object Encode {
     * via [[linearProject]].
     */
   def pcaMatrix(windows: DataFrame, arrCol: String, inLen: Int, outDim: Int,
-      maxRows: Int = 4096): Array[Array[Double]] = {
+      maxRows: Int = 4096, sampleFraction: Option[Double] = None): Array[Array[Double]] = {
     import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
     import org.apache.spark.mllib.linalg.distributed.RowMatrix
-    val frac = math.min(1.0, maxRows.toDouble / math.max(1L, windows.count()).toDouble)
+    // An explicit fraction skips the count() pass — one fewer full
+    // materialization of the window pipeline when the caller knows the
+    // rough corpus size (the fit only needs a few thousand rows).
+    val frac = sampleFraction.getOrElse(
+      math.min(1.0, maxRows.toDouble / math.max(1L, windows.count()).toDouble))
     val sample = windows.select(col(arrCol)).sample(withReplacement = false, frac, seed = 42L)
     val rows = sample.rdd.map { r =>
       val seq = r.getSeq[Double](0)
