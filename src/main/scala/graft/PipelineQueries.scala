@@ -650,6 +650,61 @@ object PipelineQueries {
            |ORDER BY d.doc_id""".stripMargin
       }))
 
+  /** Maximal duplicated-substring spans at threshold L (q206/q208 core):
+    * stride-1 L-grams at every position, global count ≥ 2 via one
+    * window-over-gram aggregation (the gram is the shuffle key —
+    * prefix-group partitioning of the suffix set), duplicated positions
+    * merged into per-doc spans by a prefix scan. Columns:
+    * (doc_id, span_id, span_start, span_end, n_positions).
+    */
+  private def exactSubstrSpans(s: SparkSession, d: String, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) >= L)
+    val grams = docs.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, length(text) - $L), i -> substring(text, i + 1, $L))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
+    val dupPos = grams
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("__cnt") >= 2)
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("__prev_end",
+        max(col("pos") + L).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("pos") > coalesce(col("__prev_end"), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("span_id", sum("__brk").over(w))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"), (max("pos") + L).as("span_end"),
+        count(lit(1)).as("n_positions"))
+      .select(col("doc_id"), col("span_id"), col("span_start"),
+        col("span_end"), col("n_positions"))
+  }
+
+  /** DuckDB CTE chain mirroring [[exactSubstrSpans]]; ends at `spans`
+    * (and exposes `d` for callers needing the universe's texts).
+    */
+  private def sqlExactSubstrCtes(L: Int): String =
+    s"""d AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE regexp_matches(text, '^[\\x00-\\x7f]*$$') AND length(text) >= $L),
+       |g AS (SELECT doc_id, u AS pos, substr(text, CAST(u + 1 AS BIGINT), $L) AS gram
+       |  FROM d, UNNEST(range(0, n - $L + 1)) AS t(u)),
+       |c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt FROM g),
+       |p AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),
+       |m AS (SELECT doc_id, pos,
+       |    CASE WHEN pos > coalesce(max(pos + $L) OVER (PARTITION BY doc_id
+       |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM p),
+       |sp AS (SELECT doc_id, pos,
+       |    CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+       |  FROM m),
+       |spans AS (SELECT doc_id, span_id, min(pos) AS span_start,
+       |  max(pos) + $L AS span_end, CAST(count(*) AS BIGINT) AS n_positions
+       |  FROM sp GROUP BY doc_id, span_id)""".stripMargin
+
   private val passage: Seq[Q] = Seq(
     // Duplicated-passage detection — the fixed-width approximation of
     // suffix-array substring dedup (Lee et al. 2022, "Deduplicating
@@ -696,51 +751,80 @@ object PipelineQueries {
     // shape, ~4x narrower shuffle); raw strings kept here so the oracle
     // compares directly. All-integer output — no float parity risk.
     Q("q206_exact_substr",
+      (s, d) => exactSubstrSpans(s, d, 30)
+        .orderBy("doc_id", "span_start"),
+      Some(s"""WITH ${sqlExactSubstrCtes(30)}
+             |SELECT doc_id, span_id, span_start, span_end, n_positions
+             |FROM spans ORDER BY doc_id, span_start""".stripMargin)),
+
+    // The APPLY step (completes the Lee et al. pipeline: detect → CUT):
+    // every maximal duplicated span is excised from its document and the
+    // cleaned corpus is emitted as (lengths, span count, 60-bit hash of
+    // the cleaned text) — the hash makes the check exact without
+    // shipping full texts through the compare. Cleaning is a per-doc
+    // fold over the sorted non-overlapping spans (the oracle rebuilds
+    // the same string from inter-span segments with an ordered
+    // string_agg — different construction, same string, same hash).
+    Q("q208_exact_substr_apply",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val L = 30
         val docs = Tables.documents(s, d)
           .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) >= L)
-        val grams = docs.select(col("doc_id"),
-          posexplode(expr(
-            s"transform(sequence(0, length(text) - $L), i -> substring(text, i + 1, $L))")))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
-        val dupPos = grams
-          .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("gram")))
-          .filter(col("__cnt") >= 2)
-          .select("doc_id", "pos")
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        dupPos
-          .withColumn("__prev_end",
-            max(col("pos") + L).over(w.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("__brk",
-            when(col("pos") > coalesce(col("__prev_end"), lit(-1L)), 1L).otherwise(0L))
-          .withColumn("span_id", sum("__brk").over(w))
-          .groupBy("doc_id", "span_id")
-          .agg(min("pos").as("span_start"), (max("pos") + L).as("span_end"),
-            count(lit(1)).as("n_positions"))
-          .select(col("doc_id"), col("span_id"), col("span_start"),
-            col("span_end"), col("n_positions"))
-          .orderBy("doc_id", "span_start")
+          .select("doc_id", "text")
+        val spanArr = exactSubstrSpans(s, d, L)
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+            .as("sp"),
+            count(lit(1)).as("n_spans"))
+        docs.join(spanArr, Seq("doc_id"), "left")
+          .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+          .withColumn("sp", coalesce(col("sp"),
+            expr("CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)")))
+          .withColumn("cleaned", expr(
+            """concat(
+              |  aggregate(sp,
+              |    named_struct('pos', 0L, 'out', ''),
+              |    (acc, s) -> named_struct(
+              |      'pos', s.span_end,
+              |      'out', concat(acc.out,
+              |        substring(text, cast(acc.pos as int) + 1,
+              |          cast(s.span_start - acc.pos as int)))),
+              |    acc -> acc.out),
+              |  substring(text,
+              |    cast(coalesce(try_element_at(sp, -1).span_end, 0L) as int) + 1,
+              |    length(text)))""".stripMargin))
+          .select(col("doc_id"), length(col("text")).cast("long").as("orig_len"),
+            length(col("cleaned")).cast("long").as("kept_len"), col("n_spans"),
+            graft.text.TextOps.md5Hash60(col("cleaned")).as("h"))
+          .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
-             |  WHERE regexp_matches(text, '^[\x00-\x7f]*$') AND length(text) >= 30),
-             |g AS (SELECT doc_id, u AS pos, substr(text, CAST(u + 1 AS BIGINT), 30) AS gram
-             |  FROM d, UNNEST(range(0, n - 30 + 1)) AS t(u)),
-             |c AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS cnt FROM g),
-             |p AS (SELECT doc_id, pos FROM c WHERE cnt >= 2),
-             |m AS (SELECT doc_id, pos,
-             |    CASE WHEN pos > coalesce(max(pos + 30) OVER (PARTITION BY doc_id
-             |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-             |      THEN 1 ELSE 0 END AS brk
-             |  FROM p),
-             |sp AS (SELECT doc_id, pos,
-             |    CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
-             |  FROM m)
-             |SELECT doc_id, span_id, min(pos) AS span_start,
-             |  max(pos) + 30 AS span_end, CAST(count(*) AS BIGINT) AS n_positions
-             |FROM sp GROUP BY doc_id, span_id
-             |ORDER BY doc_id, span_start""".stripMargin)))
+      Some(s"""WITH ${sqlExactSubstrCtes(30)},
+             |pe AS (SELECT doc_id, span_start, span_end,
+             |    coalesce(lag(span_end) OVER (PARTITION BY doc_id
+             |      ORDER BY span_start), 0) AS prev_end
+             |  FROM spans),
+             |mx AS (SELECT doc_id, max(span_end) AS last_end,
+             |    CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id),
+             |segs AS (
+             |  SELECT p.doc_id, p.prev_end AS seg_start,
+             |    substr(d.text, CAST(p.prev_end + 1 AS BIGINT),
+             |      CAST(p.span_start - p.prev_end AS BIGINT)) AS seg
+             |  FROM pe p JOIN d USING (doc_id)
+             |  UNION ALL
+             |  SELECT m2.doc_id, m2.last_end,
+             |    substr(d.text, CAST(m2.last_end + 1 AS BIGINT))
+             |  FROM mx m2 JOIN d USING (doc_id)
+             |  UNION ALL
+             |  SELECT d.doc_id, 0, d.text FROM d
+             |  WHERE d.doc_id NOT IN (SELECT doc_id FROM spans)),
+             |cl AS (SELECT doc_id, string_agg(seg, '' ORDER BY seg_start) AS ct
+             |  FROM segs GROUP BY doc_id)
+             |SELECT cl.doc_id, CAST(length(d.text) AS BIGINT) AS orig_len,
+             |  CAST(length(cl.ct) AS BIGINT) AS kept_len,
+             |  coalesce(mx.n_spans, 0) AS n_spans,
+             |  ${sqlHash60("cl.ct")} AS h
+             |FROM cl JOIN d USING (doc_id) LEFT JOIN mx USING (doc_id)
+             |ORDER BY cl.doc_id""".stripMargin)))
 
   private val entropy: Seq[Q] = Seq(
     // Character-unigram Shannon entropy per document — the cheap "is
