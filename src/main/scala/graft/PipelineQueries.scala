@@ -657,10 +657,13 @@ object PipelineQueries {
     * merged into per-doc spans by a prefix scan. Columns:
     * (doc_id, span_id, span_start, span_end, n_positions).
     */
-  private def exactSubstrSpans(s: SparkSession, d: String, L: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
+  private[graft] def exactSubstrUniverse(s: SparkSession, d: String, L: Int): DataFrame =
+    Tables.documents(s, d)
       .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) >= L)
+      .select("doc_id", "text")
+
+  private[graft] def exactSubstrSpans(docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, length(text) - $L), i -> substring(text, i + 1, $L))")))
@@ -681,6 +684,39 @@ object PipelineQueries {
         count(lit(1)).as("n_positions"))
       .select(col("doc_id"), col("span_id"), col("span_start"),
         col("span_end"), col("n_positions"))
+  }
+
+  /** The APPLY step over [[exactSubstrSpans]]: excise every span from
+    * its document via a per-doc fold over the sorted non-overlapping
+    * spans; emit (doc_id, orig_len, kept_len, n_spans, h) where `h` is
+    * the portable 60-bit hash of the cleaned text.
+    */
+  private[graft] def exactSubstrApply(docs: DataFrame, L: Int): DataFrame = {
+    val spanArr = exactSubstrSpans(docs, L)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("sp"),
+        count(lit(1)).as("n_spans"))
+    docs.join(spanArr, Seq("doc_id"), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("sp", coalesce(col("sp"),
+        expr("CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)")))
+      .withColumn("cleaned", expr(
+        """concat(
+          |  aggregate(sp,
+          |    named_struct('pos', 0L, 'out', ''),
+          |    (acc, s) -> named_struct(
+          |      'pos', s.span_end,
+          |      'out', concat(acc.out,
+          |        substring(text, cast(acc.pos as int) + 1,
+          |          cast(s.span_start - acc.pos as int)))),
+          |    acc -> acc.out),
+          |  substring(text,
+          |    cast(coalesce(try_element_at(sp, -1).span_end, 0L) as int) + 1,
+          |    length(text)))""".stripMargin))
+      .select(col("doc_id"), length(col("text")).cast("long").as("orig_len"),
+        length(col("cleaned")).cast("long").as("kept_len"), col("n_spans"),
+        graft.text.TextOps.md5Hash60(col("cleaned")).as("h"))
   }
 
   /** DuckDB CTE chain mirroring [[exactSubstrSpans]]; ends at `spans`
@@ -751,7 +787,7 @@ object PipelineQueries {
     // shape, ~4x narrower shuffle); raw strings kept here so the oracle
     // compares directly. All-integer output — no float parity risk.
     Q("q206_exact_substr",
-      (s, d) => exactSubstrSpans(s, d, 30)
+      (s, d) => exactSubstrSpans(exactSubstrUniverse(s, d, 30), 30)
         .orderBy("doc_id", "span_start"),
       Some(s"""WITH ${sqlExactSubstrCtes(30)}
              |SELECT doc_id, span_id, span_start, span_end, n_positions
@@ -766,38 +802,8 @@ object PipelineQueries {
     // the same string from inter-span segments with an ordered
     // string_agg — different construction, same string, same hash).
     Q("q208_exact_substr_apply",
-      (s, d) => {
-        val L = 30
-        val docs = Tables.documents(s, d)
-          .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) >= L)
-          .select("doc_id", "text")
-        val spanArr = exactSubstrSpans(s, d, L)
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
-            .as("sp"),
-            count(lit(1)).as("n_spans"))
-        docs.join(spanArr, Seq("doc_id"), "left")
-          .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
-          .withColumn("sp", coalesce(col("sp"),
-            expr("CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)")))
-          .withColumn("cleaned", expr(
-            """concat(
-              |  aggregate(sp,
-              |    named_struct('pos', 0L, 'out', ''),
-              |    (acc, s) -> named_struct(
-              |      'pos', s.span_end,
-              |      'out', concat(acc.out,
-              |        substring(text, cast(acc.pos as int) + 1,
-              |          cast(s.span_start - acc.pos as int)))),
-              |    acc -> acc.out),
-              |  substring(text,
-              |    cast(coalesce(try_element_at(sp, -1).span_end, 0L) as int) + 1,
-              |    length(text)))""".stripMargin))
-          .select(col("doc_id"), length(col("text")).cast("long").as("orig_len"),
-            length(col("cleaned")).cast("long").as("kept_len"), col("n_spans"),
-            graft.text.TextOps.md5Hash60(col("cleaned")).as("h"))
-          .orderBy("doc_id")
-      },
+      (s, d) => exactSubstrApply(exactSubstrUniverse(s, d, 30), 30)
+        .orderBy("doc_id"),
       Some(s"""WITH ${sqlExactSubstrCtes(30)},
              |pe AS (SELECT doc_id, span_start, span_end,
              |    coalesce(lag(span_end) OVER (PARTITION BY doc_id

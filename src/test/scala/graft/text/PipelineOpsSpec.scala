@@ -128,4 +128,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top(0).getAs[Long]("vec_id") == 10L && top(0).getAs[Double]("adc") == 0.0)
     assert(top(1).getAs[Long]("vec_id") == 11L && top(1).getAs[Double]("adc") == 250.0)
   }
+
+  test("exactSubstrSpans: duplicated L-grams merge into maximal spans") {
+    // L=4. Docs 1 and 2 are identical → every position duplicated →
+    // one full-width span each. Doc 3 embeds the shared "abcdefgh"
+    // at offset 2 → positions 2..6 duplicated → span [2, 10).
+    // Doc 4 shares nothing → no spans.
+    val docs = Seq(
+      (1L, "abcdefgh"), (2L, "abcdefgh"),
+      (3L, "xxabcdefghyy"), (4L, "qrstuvwz"))
+      .toDF("doc_id", "text")
+    val spans = graft.PipelineQueries.exactSubstrSpans(docs, 4)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "n_positions")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 0L, 8L, 5L), (2L, 0L, 8L, 5L), (3L, 2L, 10L, 5L)))
+  }
+
+  test("exactSubstrApply: span excision — full doc, interior span, untouched doc") {
+    val docs = Seq(
+      (1L, "abcdefgh"), (2L, "abcdefgh"),
+      (3L, "xxabcdefghyy"), (4L, "qrstuvwz"))
+      .toDF("doc_id", "text")
+    val out = graft.PipelineQueries.exactSubstrApply(docs, 4)
+      .orderBy("doc_id")
+      .select("doc_id", "orig_len", "kept_len", "n_spans")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 8L, 0L, 1L), (2L, 8L, 0L, 1L),
+      (3L, 12L, 4L, 1L), (4L, 8L, 8L, 0L)))
+    // The cleaned doc 3 must hash like the literal "xxyy".
+    val h3 = graft.PipelineQueries.exactSubstrApply(docs, 4)
+      .filter(col("doc_id") === 3L).select("h").as[Long].head()
+    val expected = spark.range(1).select(
+      TextOps.md5Hash60(lit("xxyy"))).as[Long].head()
+    assert(h3 == expected)
+  }
 }
