@@ -49,7 +49,7 @@ object Graph {
     }
     val base = 150000000L / n
     var ranks = deg.select(col("src").as("id"), lit(1000000000L / n).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       ranks = und
         .join(ranks, und("src") === ranks("id"))
         .join(deg, "src")
@@ -58,10 +58,15 @@ object Graph {
         .agg(sum("__c").as("__s"))
         .select(col("dst").as("id"),
           (lit(base) + expr("(85 * __s) div 100")).as("r"))
+      // Truncate lineage each iteration: a single lazy plan of k chained
+      // join+agg stages makes Catalyst re-optimize a plan that doubles
+      // in depth every round — fine at 5 iterations, pathological at 50.
+      // The checkpointed frame is nodes-sized; results are unchanged
+      // (every step is exact integer arithmetic).
+      ranks = ranks.localCheckpoint(true)
     }
-    val out = ranks.localCheckpoint(true)
     und.unpersist()
     deg.unpersist()
-    out
+    ranks
   }
 }
