@@ -362,7 +362,71 @@ object PipelineQueries {
               |  FROM x GROUP BY 1, 2)
               |SELECT event_type, bucket_s, mean_value, n_events
               |FROM g, wm WHERE (bucket_s + 14400) * 1000000 <= wm.wm_us
-              |ORDER BY event_type, bucket_s""".stripMargin)))
+              |ORDER BY event_type, bucket_s""".stripMargin)),
+
+    // Streaming corpus hygiene: documents ARRIVE as a stream and each
+    // micro-batch is decontaminated against a static benchmark gram-hash
+    // set inside a checkpointed foreachBatch (exactly-once append, same
+    // sink discipline as q103). The file source batches whole files, so
+    // every doc's grams stay within one batch and the per-doc distinct
+    // is exact — the committed sink equals the batch q110 overlap,
+    // which is the oracle.
+    Q("q209_stream_decontam",
+      (s, d) => {
+        import graft.streaming.StreamHarness
+        import org.apache.spark.sql.streaming.Trigger
+        val bench = Tables.documents(s, d)
+          .filter(col("source") === "src0")
+          .select(explode(TextOps.wordShingles(col("text"), 8)).as("__g"))
+          .select(TextOps.md5Hash60(col("__g")).as("__h")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bench.count()
+        val base = java.nio.file.Files.createTempDirectory("graft_q209").toString
+        val sink = base + "/flags"
+        val ckpt = base + "/ckpt"
+        val stream = s.readStream
+          .schema(StreamHarness.sourceSchema(s, d, "documents"))
+          .parquet(StreamHarness.sourceDir(d, "documents"))
+        val q = stream.writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val cand = batch.filter(col("source") =!= "src0")
+              .select(col("doc_id"),
+                explode(TextOps.wordShingles(col("text"), 8)).as("__g"))
+              .select(col("doc_id"), TextOps.md5Hash60(col("__g")).as("__h"))
+              .distinct()
+            val shared = cand.join(broadcast(bench), "__h")
+              .groupBy("doc_id").agg(count(lit(1)).as("__n"))
+            batch.filter(col("source") =!= "src0").select("doc_id")
+              .join(shared, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("__n"), lit(0L)).as("n_shared"),
+                (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
+              .write.mode("append").parquet(sink)
+            ()
+          }.start()
+        try require(q.awaitTermination(300000),
+          "q209: streaming query did not terminate within 300 s")
+        finally q.stop()
+        val res = StreamHarness.localize(
+          s.read.parquet(sink).orderBy("doc_id"))
+        bench.unpersist()
+        StreamHarness.deleteRecursively(base)
+        res
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS w FROM documents),
+              |sh AS (SELECT doc_id, source, unnest(${shinglesW(8)}) AS g FROM t),
+              |hh AS (SELECT doc_id, source, ${sqlHash60("g")} AS h FROM sh),
+              |b AS (SELECT DISTINCT h FROM hh WHERE source = 'src0'),
+              |c AS (SELECT DISTINCT doc_id, h FROM hh WHERE source <> 'src0'),
+              |sj AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              |  FROM c JOIN b USING (h) GROUP BY 1)
+              |SELECT d.doc_id,
+              |  coalesce(sj.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+              |  coalesce(sj.n_shared, 0) > 0 AS contaminated
+              |FROM documents d LEFT JOIN sj USING (doc_id)
+              |WHERE d.source <> 'src0'
+              |ORDER BY d.doc_id""".stripMargin)))
 
   private val ml: Seq[Q] = Seq(
     // kNN classification: majority label of the 5 nearest corpus
