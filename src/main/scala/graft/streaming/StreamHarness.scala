@@ -31,11 +31,22 @@ object StreamHarness {
     */
   def sourceDir(sfDir: String, table: String): String =
     srcDirs.computeIfAbsent(s"$sfDir#$table", _ => {
-      val base = java.nio.file.Files
-        .createTempDirectory(s"graft_stream_$table").toString
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(base, table + ".parquet"),
-        java.nio.file.Paths.get(sfDir, table + ".parquet"))
+      import java.nio.file.{Files, Paths}
+      val base = Files.createTempDirectory(s"graft_stream_$table").toString
+      val target = Paths.get(sfDir, table + ".parquet")
+      if (Files.isDirectory(target)) {
+        // Spark-written table directory: the file source does not
+        // recurse, so link each contained data file flat.
+        import scala.jdk.CollectionConverters._
+        val ls = Files.list(target)
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => Files.createSymbolicLink(
+            Paths.get(base, f.getFileName.toString), f))
+        finally ls.close()
+      } else {
+        Files.createSymbolicLink(Paths.get(base, table + ".parquet"), target)
+      }
       base
     })
 
@@ -44,7 +55,7 @@ object StreamHarness {
     */
   def sourceSchema(spark: SparkSession, sfDir: String, table: String): StructType =
     srcSchemas.computeIfAbsent(s"$sfDir#$table",
-      _ => spark.read.parquet(sourceDir(sfDir, table)).schema)
+      _ => spark.read.parquet(s"$sfDir/$table.parquet").schema)
 
   /** The events table as a file-source stream over the shared fixture. */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame =
