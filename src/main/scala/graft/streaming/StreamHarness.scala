@@ -85,6 +85,10 @@ object StreamHarness {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     // StreamExecution clones the session conf at start(), so the
     // override is frozen into the query and restored immediately.
+    // Verify's concurrent lanes may plan a batch query inside this
+    // short window and pick up the lower setting — benign by the same
+    // invariant that makes the override itself safe: shuffle partition
+    // count affects parallelism, never results.
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q =
       try out.writeStream.format("memory").queryName(qn)
