@@ -15,6 +15,22 @@ class StreamingSpec extends SparkSpec {
     rows.toDF("event_id", "ts", "user_id", "value")
       .coalesce(1).write.mode("append").parquet(dir)
 
+  test("StreamHarness.sourceDir links part-files of a Spark-written table directory") {
+    val base = Files.createTempDirectory("graft_dirtable").toString
+    (1L to 5L).map(i => (i, i * 2.0)).toDF("k", "v")
+      .repartition(2).write.parquet(base + "/t.parquet")
+    val src = StreamHarness.sourceDir(base, "t")
+    // Flat links only (the file stream source does not recurse).
+    assert(spark.read.parquet(src).count() == 5)
+    val schema = StreamHarness.sourceSchema(spark, base, "t")
+    val q = spark.readStream.schema(schema).parquet(src)
+      .writeStream.format("memory").queryName("dirtable_out")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000)); q.stop()
+    assert(spark.table("dirtable_out").count() == 5)
+  }
+
   test("tumblingOhlcv streams windowed OHLCV aggregates") {
     val dir = Files.createTempDirectory("graft_stream").toString
     writeBatch(dir, Seq(
