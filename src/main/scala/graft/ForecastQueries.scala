@@ -1418,7 +1418,126 @@ object ForecastQueries {
                   6)} AS impact_ratio
               |FROM af JOIN b USING (user_id) ORDER BY af.user_id""".stripMargin)))
 
+  /** Double literal that round-trips bitwise through SQL parsing. */
+  private def dl(x: Double): String = {
+    val s = x.toString
+    if (s.contains("E") || s.contains("e")) s.toLowerCase else s
+  }
+
+  private val training: Seq[Q] = Seq(
+    // M4's Spark analog (SURVEY §2.11 previously declared it out of
+    // scope; this delivers the semantics): the AdaBelief optimizer
+    // (Zhuang et al. 2020, public) driving data-parallel training of a
+    // linear next-hour-return model. Each epoch broadcasts the scalar
+    // weights into the plan as literals and ALL-REDUCES the gradient
+    // across partitions — M5/DDP's exact communication shape, realized
+    // as one DataFrame aggregation per epoch (driver sees two BIGINTs).
+    // Determinism by construction: per-row gradient terms quantize to
+    // 1e-9-unit BIGINTs before the sum (order-free, engine-exact); the
+    // AdaBelief update is scalar double arithmetic with dyadic-exact
+    // hyperparameters (β1=.5, β2=.75, lr=.0625) mirrored expression-
+    // for-expression by the oracle's unrolled epoch CTEs, with bias
+    // corrections inlined as shared literals. The full 5-epoch weight
+    // TRAJECTORY is hash-checked, not just the final fit.
+    Q("q210_adabelief",
+      (s, d) => {
+        val epochs = 5
+        val r = hourlyResampled(s, d, emitEmpty = false)
+          .select("user_id", "bucket_s", "close")
+          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+          .filter(col("r").isNotNull)
+          .withColumn("rq", floor(col("r") * 1e6 + 0.5).cast("long"))
+        val pairs = r
+          .withColumn("yq", lead(col("rq"), 1).over(w))
+          .filter(col("yq").isNotNull)
+          .select((col("rq").cast("double") / 1e6).as("x"),
+            (col("yq").cast("double") / 1e6).as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = pairs.count()
+        var (wt, bt, mw, mb, sw, sb) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        val traj = (1 to epochs).map { t =>
+          val e = (lit(wt) * col("x") + lit(bt)) - col("y")
+          val sums = pairs.agg(
+            sum(floor(col("x") * e * 1e9 + 0.5).cast("long")).as("stw"),
+            sum(floor(e * 1e9 + 0.5).cast("long")).as("stb")).head()
+          val gw = sums.getLong(0).toDouble * 2 / n.toDouble / 1e9
+          val gb = sums.getLong(1).toDouble * 2 / n.toDouble / 1e9
+          val bc1 = 1.0 - math.pow(0.5, t)
+          val bc2 = 1.0 - math.pow(0.75, t)
+          mw = 0.5 * mw + 0.5 * gw
+          mb = 0.5 * mb + 0.5 * gb
+          val dw = gw - mw
+          val db = gb - mb
+          sw = 0.75 * sw + 0.25 * (dw * dw) + 1e-16
+          sb = 0.75 * sb + 0.25 * (db * db) + 1e-16
+          wt = wt - 0.0625 * (mw / bc1) / (math.sqrt(sw / bc2) + 1e-8)
+          bt = bt - 0.0625 * (mb / bc1) / (math.sqrt(sb / bc2) + 1e-8)
+          (t, wt, bt, gw, gb)
+        }
+        pairs.unpersist()
+        import s.implicits._
+        traj.toDF("epoch", "w", "b", "gw", "gb")
+          .select(col("epoch"), pround(col("w"), 9).as("w"),
+            pround(col("b"), 9).as("b"), pround(col("gw"), 9).as("gw"),
+            pround(col("gb"), 9).as("gb"))
+          .orderBy("epoch")
+      },
+      Some {
+        val epochs = 5
+        // The oracle carries the same state symbolically: each epoch's
+        // CTE computes the quantized gradient sums against the previous
+        // weights, then the identical scalar update. Bias corrections
+        // are dyadic-exact and inlined from the same Scala computation.
+        val stages = (1 to epochs).map { t =>
+          val bc1 = dl(1.0 - math.pow(0.5, t))
+          val bc2 = dl(1.0 - math.pow(0.75, t))
+          val prev = if (t == 1) "w0" else s"u${t - 1}"
+          s"""g$t AS (SELECT
+             |    CAST(sum(CAST(floor(x * ((p.w * x + p.b) - y) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS stw,
+             |    CAST(sum(CAST(floor(((p.w * x + p.b) - y) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS stb
+             |  FROM pairs, $prev p),
+             |h$t AS (SELECT p.w, p.b, p.mw, p.mb, p.sw, p.sb,
+             |    CAST(stw AS DOUBLE) * 2 / CAST(nn.n AS DOUBLE) / 1e9 AS gw,
+             |    CAST(stb AS DOUBLE) * 2 / CAST(nn.n AS DOUBLE) / 1e9 AS gb
+             |  FROM g$t, $prev p, nn),
+             |i$t AS (SELECT w, b, gw, gb,
+             |    0.5 * mw + 0.5 * gw AS mw2, 0.5 * mb + 0.5 * gb AS mb2,
+             |    sw, sb FROM h$t),
+             |j$t AS (SELECT w, b, gw, gb, mw2, mb2,
+             |    0.75 * sw + 0.25 * ((gw - mw2) * (gw - mw2)) + 1e-16 AS sw2,
+             |    0.75 * sb + 0.25 * ((gb - mb2) * (gb - mb2)) + 1e-16 AS sb2
+             |  FROM i$t),
+             |u$t AS (SELECT $t AS epoch,
+             |    w - 0.0625 * (mw2 / $bc1) / (sqrt(sw2 / $bc2) + 1e-8) AS w,
+             |    b - 0.0625 * (mb2 / $bc1) / (sqrt(sb2 / $bc2) + 1e-8) AS b,
+             |    mw2 AS mw, mb2 AS mb, sw2 AS sw, sb2 AS sb, gw, gb
+             |  FROM j$t)""".stripMargin
+        }.mkString(",\n")
+        val sel = (1 to epochs)
+          .map(t => s"SELECT epoch, w, b, gw, gb FROM u$t")
+          .mkString("\n UNION ALL ")
+        s"""WITH $HourlyCloseCte,
+           |r AS (SELECT user_id, bucket_s,
+           |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
+           |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS rq
+           |  FROM agg),
+           |rr AS (SELECT user_id, bucket_s, rq,
+           |    lead(rq, 1) OVER (PARTITION BY user_id ORDER BY bucket_s) AS yq
+           |  FROM r WHERE rq IS NOT NULL),
+           |pairs AS (SELECT CAST(rq AS DOUBLE) / 1e6 AS x,
+           |    CAST(yq AS DOUBLE) / 1e6 AS y
+           |  FROM rr WHERE yq IS NOT NULL),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs),
+           |w0 AS (SELECT CAST(0 AS DOUBLE) AS w, CAST(0 AS DOUBLE) AS b,
+           |  CAST(0 AS DOUBLE) AS mw, CAST(0 AS DOUBLE) AS mb,
+           |  CAST(0 AS DOUBLE) AS sw, CAST(0 AS DOUBLE) AS sb),
+           |$stages
+           |SELECT epoch, ${sqlRound("w", 9)} AS w, ${sqlRound("b", 9)} AS b,
+           |  ${sqlRound("gw", 9)} AS gw, ${sqlRound("gb", 9)} AS gb
+           |FROM ($sel) ORDER BY epoch""".stripMargin
+      }))
+
   def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed ++
     crossSection ++ stateSpace ++ detection ++ mining2 ++ cv ++ strategy ++
-    portfolio ++ streamed2
+    portfolio ++ streamed2 ++ training
 }
