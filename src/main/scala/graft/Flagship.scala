@@ -89,9 +89,13 @@ object Flagship {
       projection: Option[Array[Array[Double]]] = None): DataFrame = {
     val wins = embeddedWindows(filledSeries(s, dir), seqLen, embedDim, projection)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    wins.count()
+    // The materializing count doubles as the broadcast-decision hint — no
+    // extra planning-time action. Post-stride queries ≈ winCount/stride;
+    // the per-key stride remainder adds ≤1 per key (1024 slack covers any
+    // realistic key cardinality relative to the 2^18 broadcast limit).
+    val winCount = wins.count()
     val top = Forecast.evaluate(wins, "user_id", seqLen, predWindow, stride, k, metric,
-      lshPlanes)
+      lshPlanes, queryCountHint = Some(winCount / stride + 1024))
     // Small (one row per evaluation query); persisting lets the summary
     // query (q62) reuse the identical-plan result via the cache manager.
     Forecast.forecastAndScore(top, wins, "user_id", seqLen, predWindow)
@@ -112,9 +116,11 @@ object Flagship {
       seqLen, embedDim).persist(lvl)
     val valWins = embeddedWindows(split.filter(col("is_val")).drop("is_val"),
       seqLen, embedDim).persist(lvl)
-    trainWins.count(); valWins.count()
+    trainWins.count()
+    val valCount = valWins.count()
     val top = Forecast.evaluateSplit(trainWins, valWins, "user_id",
-      seqLen, predWindow, stride, k, metric)
+      seqLen, predWindow, stride, k, metric,
+      queryCountHint = Some(valCount / stride + 1024))
     Forecast.forecastAndScoreSplit(top, trainWins, valWins, "user_id", seqLen, predWindow)
   }
 

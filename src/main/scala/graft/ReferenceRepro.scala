@@ -51,9 +51,12 @@ object ReferenceRepro {
       split.filter(!col("is_val")).drop("is_val"), SeqLen, Dim).persist(lvl)
     val valWins = Flagship.embeddedWindows(
       split.filter(col("is_val")).drop("is_val"), SeqLen, Dim).persist(lvl)
-    println(s"== train windows: ${trainWins.count()}, val windows: ${valWins.count()}")
+    val trainCount = trainWins.count()
+    val valCount = valWins.count()
+    println(s"== train windows: $trainCount, val windows: $valCount")
     val top = Forecast.evaluateSplit(trainWins, valWins, "user_id",
-      SeqLen, Pred, Stride, K, metric, crossKey = allSymbols)
+      SeqLen, Pred, Stride, K, metric, crossKey = allSymbols,
+      queryCountHint = Some(valCount / Stride + 1024))
     val scored = Forecast.forecastAndScoreSplit(top, trainWins, valWins,
       "user_id", SeqLen, Pred)
     println(s"== scored queries: ${scored.count()}")

@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object Forecast {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Follow-on fetch (J2) as a compositional step over the *windows* table
     * itself: the follow-on of a match starting at `start_idx` with query
     * window length `seqLen` and horizon `predWindow` is the RAW values of
@@ -72,9 +74,11 @@ object Forecast {
     */
   def evaluate(embedded: DataFrame, keyCol: String, seqLen: Int,
       predWindow: Int, stride: Int, k: Int, metricName: String,
-      lshPlanes: Option[Array[Array[Double]]] = None): DataFrame =
+      lshPlanes: Option[Array[Array[Double]]] = None,
+      queryCountHint: Option[Long] = None): DataFrame =
     evaluateSplit(embedded, embedded, keyCol, seqLen, predWindow, stride, k,
-      metricName, excludeSelf = true, lshPlanes = lshPlanes)
+      metricName, excludeSelf = true, lshPlanes = lshPlanes,
+      queryCountHint = queryCountHint)
 
   /** Split-corpus form (the reference's actual protocol,
     * `test.ipynb` cell 20: queries come from the VALIDATION windows,
@@ -97,18 +101,36 @@ object Forecast {
     * few hundred bytes each — well under any broadcast threshold). That
     * stops holding for a 100×-scale evaluation grid, so when the query
     * count exceeds `broadcastQueryLimit` (default 2^18 ≈ tens of MB at
-    * embedDim 12) the operator switches to the q101 shape AUTOMATICALLY:
-    * hyperplane-LSH signatures on both sides (auto-derived when the
-    * caller gave none) and a shuffled equi-join on (key, signature) —
-    * bucketed candidate generation with the exact metric re-rank, at
-    * standard ANN recall semantics. With caller-supplied planes the
-    * fallback is physical-only: identical rows, different join strategy.
+    * embedDim 12) the broadcast hint is dropped. Over the limit the KEYED
+    * path stays EXACT — the join already carries the key equi-condition,
+    * so it simply becomes a shuffled equi-join with identical rows. Only
+    * `crossKey = true` (no equi-condition to shuffle on) switches to the
+    * q101 shape: hyperplane-LSH signatures on both sides and a shuffled
+    * equi-join on the signature — bucketed candidate generation with the
+    * exact metric re-rank, at standard ANN recall semantics. Because that
+    * switch changes semantics (a query whose bucket holds no candidate
+    * drops out), it is loudly logged when the planes are auto-derived;
+    * callers wanting a deterministic bucketing pass `lshPlanes`, which
+    * makes the fallback physical-only on every path.
+    *
+    * `queryCountHint`: a cheap caller-side estimate of the POST-STRIDE
+    * query count (the flagship derives it from the window count it
+    * already materializes on its persisted frame: `winCount / stride`
+    * plus slack for the ≤1-per-key stride remainder). When given, the
+    * broadcast decision costs no planning-time action. The branch is a
+    * join-strategy heuristic: on the keyed path a wrong hint only trades
+    * broadcast for a shuffled (still exact) join or vice versa; on the
+    * crossKey path an overestimate can trip the ANN switch, so crossKey
+    * callers should overestimate only knowingly. Without a hint the
+    * operator falls back to counting `queries0` — cheap iff the caller
+    * persisted the window frame.
     */
   def evaluateSplit(corpusWins: DataFrame, queryWins: DataFrame, keyCol: String,
       seqLen: Int, predWindow: Int, stride: Int, k: Int, metricName: String,
       excludeSelf: Boolean = false, crossKey: Boolean = false,
       lshPlanes: Option[Array[Array[Double]]] = None,
-      broadcastQueryLimit: Long = 1L << 18): DataFrame = {
+      broadcastQueryLimit: Long = 1L << 18,
+      queryCountHint: Option[Long] = None): DataFrame = {
     val maxIdx = corpusWins.groupBy(keyCol).agg(max("start_idx").as("__max_idx"))
     // O3: corpus windows must have a full follow-on window after them.
     val corpus0 = corpusWins.join(broadcast(maxIdx), Seq(keyCol))
@@ -124,12 +146,19 @@ object Forecast {
         col("center").as("q_center"), col("scale").as("q_scale"),
         col("embedding").as("q_embedding"))
 
-    // Cheap on the callers' persisted window frames; decides the join
-    // strategy below.
-    val useBroadcast = queries0.count() <= broadcastQueryLimit
+    val useBroadcast =
+      queryCountHint.getOrElse(queries0.count()) <= broadcastQueryLimit
+    // Over-limit: keyed path needs no planes (exact shuffled equi-join);
+    // crossKey without caller planes auto-derives them — an exact→ANN
+    // semantics switch, so warn loudly.
     val effPlanes =
-      if (useBroadcast) lshPlanes
+      if (useBroadcast || !crossKey) lshPlanes
       else lshPlanes.orElse {
+        log.warn(s"evaluateSplit: query count exceeds broadcastQueryLimit=" +
+          s"$broadcastQueryLimit with crossKey=true and no lshPlanes; " +
+          "auto-deriving hyperplane signatures — semantics switch from exact " +
+          "k-NN to ANN (bucketed candidates, standard recall). Pass lshPlanes " +
+          "to control the bucketing, or raise broadcastQueryLimit for exact.")
         val dim = corpusWins.select(size(col("embedding")).as("d")).head.getInt(0)
         Some(Encode.randomProjectionMatrix(dim, 8, 101L))
       }

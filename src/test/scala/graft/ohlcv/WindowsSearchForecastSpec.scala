@@ -102,15 +102,33 @@ class WindowsSearchForecastSpec extends SparkSpec {
     assert(broadcastRows == fallbackRows && broadcastRows.nonEmpty)
   }
 
-  test("evaluateSplit over-limit fallback auto-derives planes when none given") {
+  test("evaluateSplit keyed over-limit fallback stays EXACT without planes") {
+    // The keyed path already carries an equi-condition; over the
+    // broadcast limit it must drop the hint, not switch to ANN.
     val n = 80
     val df = (0 until n).map(i => ("a", i.toLong, math.sin(i / 3.0) * 10 + i * 0.1))
       .toDF("user_id", "idx", "close")
     val wins = Windows.slidingZscored(df, "user_id", "idx", "close", len = 12)
       .withColumn("embedding", Encode.meanPool(col("zvalues"), 12, 4))
+    def run(limit: Long) = Forecast.evaluateSplit(wins, wins, "user_id",
+      seqLen = 12, predWindow = 6, stride = 6, k = 2, metricName = "l1",
+      excludeSelf = true, broadcastQueryLimit = limit)
+      .select("q_key", "q_start", "start_idx", "rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(run(0L) == run(Long.MaxValue) && run(0L).nonEmpty)
+  }
+
+  test("evaluateSplit crossKey over-limit auto-derives planes (ANN semantics)") {
+    val n = 80
+    val df = (0 until n).flatMap(i => Seq(
+      ("a", i.toLong, math.sin(i / 3.0) * 10 + i * 0.1),
+      ("b", i.toLong, math.cos(i / 4.0) * 8 + i * 0.2)))
+      .toDF("user_id", "idx", "close")
+    val wins = Windows.slidingZscored(df, "user_id", "idx", "close", len = 12)
+      .withColumn("embedding", Encode.meanPool(col("zvalues"), 12, 4))
     val out = Forecast.evaluateSplit(wins, wins, "user_id",
       seqLen = 12, predWindow = 6, stride = 6, k = 2, metricName = "l1",
-      excludeSelf = true, broadcastQueryLimit = 0L)
+      excludeSelf = true, crossKey = true, broadcastQueryLimit = 0L)
       .select("q_key", "q_start", "rank").as[(String, Long, Int)].collect()
     assert(out.nonEmpty)
     // ANN semantics: per-query ranks are contiguous from 1 (a bucket may
@@ -118,6 +136,22 @@ class WindowsSearchForecastSpec extends SparkSpec {
     out.groupBy(r => (r._1, r._2)).values.foreach { rs =>
       assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq)
     }
+  }
+
+  test("evaluateSplit queryCountHint drives the branch without changing rows") {
+    val n = 80
+    val df = (0 until n).map(i => ("a", i.toLong, math.sin(i / 3.0) * 10 + i * 0.1))
+      .toDF("user_id", "idx", "close")
+    val wins = Windows.slidingZscored(df, "user_id", "idx", "close", len = 12)
+      .withColumn("embedding", Encode.meanPool(col("zvalues"), 12, 4))
+    def run(hint: Long) = Forecast.evaluateSplit(wins, wins, "user_id",
+      seqLen = 12, predWindow = 6, stride = 6, k = 2, metricName = "l1",
+      excludeSelf = true, queryCountHint = Some(hint))
+      .select("q_key", "q_start", "start_idx", "rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    // A huge hint forces the shuffled branch; a small one the broadcast
+    // branch — identical rows either way (keyed path is always exact).
+    assert(run(Long.MaxValue) == run(1L) && run(1L).nonEmpty)
   }
 
   test("meanPool: 8->2 buckets") {
