@@ -35,15 +35,22 @@ object ExtraQueries {
 
   /** Run-time bridge from q204's fitted PCA matrix to its dynamic oracle
     * (see [[Queries.Q.oracleDyn]]): the query fn `put`s the matrix it
-    * actually embedded with; the oracle generator reads it back at dump
-    * time. One Verify/Bench invocation targets one sf dir, so "latest
-    * put" is unambiguous.
+    * actually embedded with, KEYED BY SF DIR; the oracle generator reads
+    * back the fit for the dir being dumped
+    * ([[Queries.OracleDumpContext]]), so a JVM that ran q204 against
+    * several dirs (or re-ran it) still dumps the matching literals.
+    * Without a dump context the fit is unambiguous only when a single
+    * dir was fitted.
     */
   private[graft] object PcaFit {
-    private val ref = new java.util.concurrent.atomic.AtomicReference[
-      Option[Array[Array[Double]]]](None)
-    def put(dir: String, m: Array[Array[Double]]): Unit = ref.set(Some(m))
-    def latest: Option[Array[Array[Double]]] = ref.get()
+    private val fits = new java.util.concurrent.ConcurrentHashMap[
+      String, Array[Array[Double]]]()
+    def put(dir: String, m: Array[Array[Double]]): Unit = fits.put(dir, m)
+    def lookup(dir: Option[String]): Option[Array[Array[Double]]] =
+      dir.flatMap(d => Option(fits.get(d))).orElse {
+        if (fits.size == 1) Some(fits.values.iterator.next()) else None
+      }
+    private[graft] def clear(): Unit = fits.clear()
   }
 
   /** DuckDB L1 over two list expressions (numeric struct indices —
@@ -739,15 +746,16 @@ object ExtraQueries {
         },
         oracle = None,
         oracleDyn = Some { () =>
-          PcaFit.latest match {
+          PcaFit.lookup(Queries.OracleDumpContext.sfDir) match {
             case Some(m) =>
               val embSql = m.map(r => s"list_dot_product(z, ${arrLit(r)})")
                 .mkString("[", ", ", "]")
               flagshipSql("l1", rounded = true, embSql = embSql)
             case None =>
               // Loud failure: dumping the oracle without having run the
-              // query means the fitted literals don't exist yet.
-              "SELECT 'q204 oracle requested before the query ran' AS err"
+              // query (or with an ambiguous multi-dir fit and no dump
+              // context) means the fitted literals can't be trusted.
+              "SELECT 'q204 oracle requested before the query ran for this dir' AS err"
           }
         }))
   }

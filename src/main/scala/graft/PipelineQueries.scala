@@ -366,11 +366,15 @@ object PipelineQueries {
 
     // Streaming corpus hygiene: documents ARRIVE as a stream and each
     // micro-batch is decontaminated against a static benchmark gram-hash
-    // set inside a checkpointed foreachBatch (exactly-once append, same
-    // sink discipline as q103). The file source batches whole files, so
-    // every doc's grams stay within one batch and the per-doc distinct
-    // is exact — the committed sink equals the batch q110 overlap,
-    // which is the oracle.
+    // set inside a checkpointed foreachBatch. The sink write is
+    // IDEMPOTENT: each batch overwrites its own batchId-keyed
+    // subdirectory, so a batch replayed after a crash-before-commit
+    // rewrites the same rows instead of duplicating them — end-to-end
+    // exactly-once in the committed result, the same discipline as
+    // q103's idempotent keyed merge. The file source batches whole
+    // files, so every doc's grams stay within one batch and the
+    // per-doc distinct is exact — the committed sink equals the batch
+    // q110 overlap, which is the oracle.
     Q("q209_stream_decontam",
       (s, d) => {
         import graft.streaming.StreamHarness
@@ -389,7 +393,7 @@ object PipelineQueries {
           .parquet(StreamHarness.sourceDir(d, "documents"))
         val q = stream.writeStream.option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val cand = batch.filter(col("source") =!= "src0")
               .select(col("doc_id"),
                 explode(TextOps.wordShingles(col("text"), 8)).as("__g"))
@@ -402,14 +406,16 @@ object PipelineQueries {
               .select(col("doc_id"),
                 coalesce(col("__n"), lit(0L)).as("n_shared"),
                 (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
-              .write.mode("append").parquet(sink)
+              // batch=<id> partition-style subdir + overwrite = replay-safe.
+              .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
             ()
           }.start()
         try require(q.awaitTermination(300000),
           "q209: streaming query did not terminate within 300 s")
         finally q.stop()
         val res = StreamHarness.localize(
-          s.read.parquet(sink).orderBy("doc_id"))
+          s.read.parquet(sink)
+            .select("doc_id", "n_shared", "contaminated").orderBy("doc_id"))
         bench.unpersist()
         StreamHarness.deleteRecursively(base)
         res

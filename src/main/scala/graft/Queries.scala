@@ -36,6 +36,16 @@ object Queries {
       oracle: Option[String],
       oracleDyn: Option[() => String] = None)
 
+  /** Set by [[Verify]] before the oracle dump: the sf dir the dump
+    * targets, so a dynamic oracle can look up the run-time-learned
+    * parameters for the RIGHT dataset if one JVM ran its query against
+    * several dirs (the driver contract keeps `oracleSql` parameterless,
+    * hence a context instead of an argument).
+    */
+  private[graft] object OracleDumpContext {
+    @volatile var sfDir: Option[String] = None
+  }
+
   // ------------------------------------------------------------------
   // Relational coverage (TPC-H-ish; SURVEY.md §2.3 note: the harness
   // exercises the join/agg/set-op categories the reference itself lacks)

@@ -21,6 +21,9 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamHarness {
 
+  /** Guards the shuffle-partitions set→start→restore in [[runMemory]]. */
+  private val startLock = new Object
+
   private val srcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val srcSchemas = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
@@ -82,18 +85,22 @@ object StreamHarness {
     val spark = out.sparkSession
     val qn = "graft_" + tag + "_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     // StreamExecution clones the session conf at start(), so the
-    // override is frozen into the query and restored immediately.
-    // Verify's concurrent lanes may plan a batch query inside this
-    // short window and pick up the lower setting — benign by the same
-    // invariant that makes the override itself safe: shuffle partition
-    // count affects parallelism, never results.
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val q =
+    // override is frozen into the query and restored immediately. The
+    // whole set→start→restore sequence is SERIALIZED: two concurrent
+    // lanes interleaving it could otherwise read each other's override
+    // as `prev` and leave the session pinned at `statePartitions` after
+    // both restores (lost-restore). Inside the lock, a concurrent BATCH
+    // query planned in the short window can still pick up the lower
+    // setting — benign: shuffle partition count affects parallelism,
+    // never results.
+    val q = startLock.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       try out.writeStream.format("memory").queryName(qn)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     try {
       val finished = q.awaitTermination(300000L)
       require(finished, s"$tag: streaming query did not terminate within 300 s")

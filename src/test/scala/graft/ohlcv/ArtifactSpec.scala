@@ -21,6 +21,29 @@ class ArtifactSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("PcaFit keys fitted matrices by sf dir; ambiguous only multi-dir without context") {
+    import graft.ExtraQueries.PcaFit
+    PcaFit.clear()
+    val mA = Array(Array(1.0, 0.0))
+    val mB = Array(Array(0.0, 1.0))
+    try {
+      PcaFit.put("/data/a", mA)
+      // Single fit: resolvable with or without a dump context.
+      assert(PcaFit.lookup(Some("/data/a")).contains(mA))
+      assert(PcaFit.lookup(None).contains(mA))
+      PcaFit.put("/data/b", mB)
+      // Two dirs: the context picks the right fit; no context is ambiguous.
+      assert(PcaFit.lookup(Some("/data/a")).contains(mA))
+      assert(PcaFit.lookup(Some("/data/b")).contains(mB))
+      assert(PcaFit.lookup(None).isEmpty)
+      // Re-running against one dir overwrites only that dir's fit.
+      val mA2 = Array(Array(2.0, 2.0))
+      PcaFit.put("/data/a", mA2)
+      assert(PcaFit.lookup(Some("/data/a")).contains(mA2))
+      assert(PcaFit.lookup(Some("/data/b")).contains(mB))
+    } finally PcaFit.clear()
+  }
+
   test("selectNumeric keeps numeric + protected columns only (P5)") {
     val df = Seq((1L, "x", 2.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("id", "name", "score", "ts")

@@ -31,6 +31,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dirtable_out").count() == 5)
   }
 
+  test("concurrent runMemory calls restore the session shuffle partitions") {
+    // Lost-restore race: lane B reading `prev` after lane A's override
+    // would pin the session at the override after both restores. The
+    // set→start→restore critical section is serialized — concurrent
+    // streaming starts must leave the session conf exactly as found.
+    val dir = Files.createTempDirectory("graft_stream_conc").toString
+    writeBatch(dir, (1L to 8L).map(i =>
+      (i, ts(f"2024-01-01 00:0${i % 10}:00"), i % 2, i.toDouble)))
+    val schema = spark.read.parquet(dir).schema
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val runs = (1 to 4).map { i =>
+      Future {
+        val out = StreamHarness.runMemory(
+          StreamingIngest.readEvents(spark, dir, schema).select("event_id"),
+          s"conc$i", statePartitions = 2 + i)(identity)
+        out.count()
+      }
+    }
+    val rows = Await.result(Future.sequence(runs), 120.seconds)
+    assert(rows.forall(_ == 8L))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+
   test("tumblingOhlcv streams windowed OHLCV aggregates") {
     val dir = Files.createTempDirectory("graft_stream").toString
     writeBatch(dir, Seq(
