@@ -483,18 +483,32 @@ object ForecastQueries {
     // shared hours, computed from EXACT integer co-moments (quantized
     // returns; the five sums are BIGINTs, the corr formula is the only
     // float math) — deterministic on any engine or aggregation order.
-    // Shape: self-equi-join on bucket_s (the cross-sectional blocking
-    // key), pair aggregation, top-20 TakeOrdered. The pair space is
-    // inherently quadratic in users-per-bucket; at 100 TB the blocking
-    // key gains a coarse user-cohort component to bound fan-out.
+    // Shape: support-floor prune → self-equi-join on bucket_s (the
+    // cross-sectional blocking key) → pair aggregation → top-20
+    // TakeOrdered. The SUPPORT FLOOR is result-preserving: a pair needs
+    // n ≥ 8 shared hours, and n ≤ min(|u|, |v|), so users with fewer
+    // than 8 returns can never appear in the output — dropping them
+    // BEFORE the pair join prunes the sparse long tail (most of a real
+    // corpus) from the quadratic fan-out without changing a single row.
+    // The pair space over the surviving dense users remains inherently
+    // quadratic — exact all-pairs correlation admits no sub-quadratic
+    // plan — hence the `scaleLimited` annotation pointing at q207's
+    // cohort-LSH screen as the 100×-scale path (SCALING.md: 26.6× vs
+    // 5.1× wall-clock at 10× users).
     Q("q177_pair_corr",
       (s, d) => {
-        val r = hourlyResampled(s, d, emitEmpty = false)
+        val r0 = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
           .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
           .filter(col("r").isNotNull)
           .withColumn("r_q", floor(col("r") * 1e6 + 0.5).cast("long"))
           .select("user_id", "bucket_s", "r_q")
+        // Keyed on user_id, the partitioning the lag window already
+        // established — the floor join adds no extra shuffle stage.
+        val support = r0.groupBy("user_id")
+          .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") >= 8)
+          .select("user_id")
+        val r = r0.join(support, "user_id")
         val pairs = r.as("a").join(r.as("b"),
             col("a.bucket_s") === col("b.bucket_s") &&
               col("a.user_id") < col("b.user_id"))
@@ -521,7 +535,10 @@ object ForecastQueries {
               |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
               |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS r_q
               |  FROM agg),
-              |rr AS (SELECT user_id, bucket_s, r_q FROM r WHERE r_q IS NOT NULL),
+              |rr0 AS (SELECT user_id, bucket_s, r_q FROM r WHERE r_q IS NOT NULL),
+              |dense AS (SELECT user_id FROM rr0 GROUP BY user_id
+              |  HAVING count(*) >= 8),
+              |rr AS (SELECT rr0.* FROM rr0 JOIN dense USING (user_id)),
               |p AS (SELECT a.user_id AS u, b.user_id AS v,
               |    a.r_q AS x, b.r_q AS y
               |  FROM rr a JOIN rr b
@@ -537,7 +554,8 @@ object ForecastQueries {
                     sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""",
                  6)} AS corr
-              |FROM m ORDER BY corr DESC, u ASC, v ASC LIMIT 20""".stripMargin)),
+              |FROM m ORDER BY corr DESC, u ASC, v ASC LIMIT 20""".stripMargin),
+      scaleLimited = Some("q207_pair_corr_lsh")),
 
     // The SCALE PATH for q177 (SCALING.md: q177's all-pairs join is the
     // one measured curve-up, 26× wall-clock at 10× users): users first

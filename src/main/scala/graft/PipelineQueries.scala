@@ -732,16 +732,18 @@ object PipelineQueries {
       .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) >= L)
       .select("doc_id", "text")
 
-  private[graft] def exactSubstrSpans(docs: DataFrame, L: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs.select(col("doc_id"),
+  /** Stride-1 L-grams at every position: (doc_id, pos, gram). */
+  private def substrGrams(docs: DataFrame, L: Int): DataFrame =
+    docs.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, length(text) - $L), i -> substring(text, i + 1, $L))")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
-    val dupPos = grams
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("gram")))
-      .filter(col("__cnt") >= 2)
-      .select("doc_id", "pos")
+
+  /** Merge duplicated positions into maximal per-doc spans (the ranges
+    * ExactSubstr cuts out) via a per-doc prefix scan.
+    */
+  private def spansFromDupPositions(dupPos: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dupPos
       .withColumn("__prev_end",
@@ -754,6 +756,52 @@ object PipelineQueries {
         count(lit(1)).as("n_positions"))
       .select(col("doc_id"), col("span_id"), col("span_start"),
         col("span_end"), col("n_positions"))
+  }
+
+  private[graft] def exactSubstrSpans(docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupPos = substrGrams(docs, L)
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("__cnt") >= 2)
+      .select("doc_id", "pos")
+    spansFromDupPositions(dupPos, L)
+  }
+
+  /** [[exactSubstrSpans]] with the 100 TB shuffle key: the heavy
+    * all-positions aggregation shuffles (doc_id, pos, xxhash64(gram)) —
+    * a fixed 8-byte key instead of an L-char string. Measured at sf0.1
+    * (DevShuffle, compression off): 91.3 → 58.6 MiB total, 65 → 38.5
+    * bytes/record — the key itself narrows ~4× (30 B → 8 B) but
+    * doc_id+pos+row overhead dilute the total to ~1.7× per record, and
+    * default lz4 narrows the gap further on THIS corpus because
+    * repetitive ASCII grams compress well; on a high-entropy 100 TB
+    * corpus the hash key's advantage is the uncompressed one.
+    * Hash-duplicated positions (a small superset of the truly
+    * duplicated ones) then join back to the documents on doc_id, the
+    * raw gram is re-derived by substring — so no gram string ever enters
+    * the wide shuffle — and a second count over the RAW gram discards
+    * collision false-positives. Exactness: count(h(g)) ≥ count(g), so
+    * every truly duplicated position survives the candidate cut, and
+    * within candidates every occurrence of a gram is present, so the
+    * raw-gram count equals the global count — identical spans to
+    * [[exactSubstrSpans]] by construction, which is why q211 shares
+    * q206's oracle.
+    */
+  private[graft] def exactSubstrSpansHashKey(docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val candPos = substrGrams(docs, L)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__cnt") >= 2)
+      .select("doc_id", "pos")
+    val dupPos = candPos
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, cast(pos as int) + 1, $L)").as("gram"))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("__cnt") >= 2)
+      .select("doc_id", "pos")
+    spansFromDupPositions(dupPos, L)
   }
 
   /** The APPLY step over [[exactSubstrSpans]]: excise every span from
@@ -853,11 +901,26 @@ object PipelineQueries {
     // partitioning: the gram is the shuffle key, so suffixes sharing
     // their first L chars co-locate, the duplicate count is one
     // window-over-gram aggregation, and the span merge is a per-doc
-    // prefix scan. At 100 TB the key becomes xxhash64(gram) (identical
-    // shape, ~4x narrower shuffle); raw strings kept here so the oracle
-    // compares directly. All-integer output — no float parity risk.
+    // prefix scan. Raw gram strings are the shuffle key here so the
+    // oracle compares directly; q211 ships the 100 TB variant with
+    // xxhash64 keys (measured at sf0.1: 65 → 38.5 uncompressed
+    // bytes/record — the 30 B → 8 B key is ~4× but doc_id+pos+row
+    // overhead dilute the total). All-integer output — no float parity
+    // risk.
     Q("q206_exact_substr",
       (s, d) => exactSubstrSpans(exactSubstrUniverse(s, d, 30), 30)
+        .orderBy("doc_id", "span_start"),
+      Some(s"""WITH ${sqlExactSubstrCtes(30)}
+             |SELECT doc_id, span_id, span_start, span_end, n_positions
+             |FROM spans ORDER BY doc_id, span_start""".stripMargin)),
+
+    // q206 with the 100 TB shuffle key shipped (the doc there promised
+    // it): xxhash64 gram keys in the wide shuffle + a collision-
+    // verification join back to the raw grams — identical spans by
+    // construction (see exactSubstrSpansHashKey), so the oracle IS
+    // q206's, making the hash-key rewrite itself hash-checked.
+    Q("q211_exact_substr_hashkey",
+      (s, d) => exactSubstrSpansHashKey(exactSubstrUniverse(s, d, 30), 30)
         .orderBy("doc_id", "span_start"),
       Some(s"""WITH ${sqlExactSubstrCtes(30)}
              |SELECT doc_id, span_id, span_start, span_end, n_positions

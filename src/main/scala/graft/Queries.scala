@@ -30,11 +30,21 @@ object Queries {
     * plan-literal technique as q101, with the literals bound at run time
     * instead of registration time.
     */
+  /** `scaleLimited`, when set, marks a query whose registered plan grows
+    * super-linearly in the input by SEMANTIC necessity (e.g. exact
+    * all-pairs correlation admits no sub-quadratic plan) and names the
+    * registered scale-path alternative a 100×-scale user should run
+    * instead. ScaleAnnotationSpec enforces the invariant mechanically:
+    * every query whose measured 10× ratio in SCALING.md exceeds the
+    * linear budget must carry this annotation, and the named alternative
+    * must itself be a registered (oracle-checked) query.
+    */
   final case class Q(
       name: String,
       run: (SparkSession, String) => DataFrame,
       oracle: Option[String],
-      oracleDyn: Option[() => String] = None)
+      oracleDyn: Option[() => String] = None,
+      scaleLimited: Option[String] = None)
 
   /** Set by [[Verify]] before the oracle dump: the sf dir the dump
     * targets, so a dynamic oracle can look up the run-time-learned

@@ -145,6 +145,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(spans == Seq((1L, 0L, 8L, 5L), (2L, 0L, 8L, 5L), (3L, 2L, 10L, 5L)))
   }
 
+  test("exactSubstrSpansHashKey: identical spans to the raw-gram plan") {
+    // The xxhash64-keyed variant must reproduce the raw-gram spans
+    // exactly (collision verification makes it semantics-preserving).
+    val docs = Seq(
+      (1L, "abcdefgh"), (2L, "abcdefgh"),
+      (3L, "xxabcdefghyy"), (4L, "qrstuvwz"),
+      (5L, "the cat sat on the mat, the cat sat again"),
+      (6L, "a cat sat on the mat yesterday evening"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_id", "span_start", "span_end", "n_positions")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    for (l <- Seq(3, 4, 6)) {
+      val raw = rows(graft.PipelineQueries.exactSubstrSpans(docs, l))
+      val hashed = rows(graft.PipelineQueries.exactSubstrSpansHashKey(docs, l))
+      assert(hashed == raw, s"L=$l: hash-keyed spans diverge")
+      assert(raw.nonEmpty)
+    }
+  }
+
   test("exactSubstrApply: span excision — full doc, interior span, untouched doc") {
     val docs = Seq(
       (1L, "abcdefgh"), (2L, "abcdefgh"),
