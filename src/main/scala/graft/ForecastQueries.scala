@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -478,6 +479,175 @@ object ForecastQueries {
               |  ${sqlRound("b", 6)} AS trend
               |FROM rec WHERE rn >= 10 ORDER BY user_id, ts_us""".stripMargin)))
 
+  // ------------------------------------------------------------------
+  // Pair-correlation cores (q177 exact / q207 cohort-LSH screen), shared
+  // with the DevRecall recall-at-support harness.
+  // ------------------------------------------------------------------
+
+  /** Quantized hourly log returns: (user_id, bucket_s, r_q). */
+  private def pairReturns(s: SparkSession, d: String): DataFrame =
+    hourlyResampled(s, d, emitEmpty = false)
+      .select("user_id", "bucket_s", "close")
+      .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
+      .filter(col("r").isNotNull)
+      .withColumn("r_q", floor(col("r") * 1e6 + 0.5).cast("long"))
+      .select("user_id", "bucket_s", "r_q")
+
+  /** Result-preserving support floor: a pair needs n ≥ minSupport shared
+    * hours and n ≤ min(|u|, |v|), so users with fewer than minSupport
+    * returns can never appear in any output pair — prune them BEFORE
+    * pairing. Keyed on user_id, the partitioning the lag window already
+    * established, so the floor join adds no extra shuffle stage.
+    */
+  private def denseUsers(r0: DataFrame, minSupport: Int): DataFrame = {
+    val support = r0.groupBy("user_id")
+      .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") >= minSupport)
+      .select("user_id")
+    r0.join(support, "user_id")
+  }
+
+  /** Exact integer co-moments → Pearson corr → deterministic top-k. */
+  private def pairTopCorr(pairs: DataFrame, minSupport: Int, k: Int): DataFrame =
+    pairs.groupBy("u", "v")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") >= minSupport)
+      .withColumn("corr", pround(
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6))
+      .orderBy(col("corr").desc, col("u").asc, col("v").asc).limit(k)
+      .select("u", "v", "n", "corr")
+
+  /** Exact all-pairs Pearson screen (q177's core), parameterized by the
+    * support floor so the recall harness can raise it to the
+    * significance bar (n ≥ 24) at scale.
+    */
+  private[graft] def pairCorrExact(s: SparkSession, d: String,
+      minSupport: Int = 8, k: Int = 20): DataFrame = {
+    val r = denseUsers(pairReturns(s, d), minSupport)
+    val pairs = r.as("a").join(r.as("b"),
+        col("a.bucket_s") === col("b.bucket_s") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"),
+        col("a.r_q").as("x"), col("b.r_q").as("y"))
+    pairTopCorr(pairs, minSupport, k)
+  }
+
+  /** Planes per cohort table for U users at target bucket size B: the
+    * smallest P with 2^P ≥ ⌈U/B⌉, floored at 4. 2^P cohorts per table
+    * keep E|cohort| ≈ B constant as U grows, so q207's pair fan-out
+    * T·Σ|cohort|² ≈ T·U·B stays LINEAR in U, while a random pair's
+    * per-table collision probability 2^-P = B/U vanishes with U.
+    * Pinned by CohortPlanesSpec.
+    */
+  private[graft] def cohortPlanes(users: Long, targetBucket: Long = 8L): Int = {
+    require(users >= 1 && targetBucket >= 1, "users and targetBucket must be >= 1")
+    val q = (users + targetBucket - 1) / targetBucket
+    val p = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    math.max(4, p)
+  }
+
+  /** Run-time bridge from q207's derived P(U) to its dynamic oracle —
+    * the same dir-keyed mechanism as ExtraQueries.PcaFit.
+    */
+  private[graft] object CohortFit {
+    private val ps = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    def put(dir: String, p: Int): Unit = ps.put(dir, p)
+    def lookup(dir: Option[String]): Option[Int] =
+      dir.flatMap(dd => Option(ps.get(dd)).map(_.toInt)).orElse {
+        if (ps.size == 1) Some(ps.values.iterator.next().toInt) else None
+      }
+    private[graft] def clear(): Unit = ps.clear()
+  }
+
+  /** Cohort-LSH pair-correlation screen (q207's core): T signature
+    * tables of P sign-projections each; candidates are cohort
+    * collisions; the exact integer-co-moment correlation scores only
+    * candidates. Parameterized so the recall harness can raise the
+    * support floor and sweep P.
+    */
+  private[graft] def pairCorrLsh(s: SparkSession, d: String,
+      minSupport: Int = 8, p: Int = 10, t: Int = 16, dim: Int = 64,
+      k: Int = 20): DataFrame = {
+    val signs = rademacherSigns(dim, p * t)
+    val r = denseUsers(pairReturns(s, d), minSupport)
+      .withColumn("dim", expr(s"cast((bucket_s div 3600) % $dim as int)"))
+    val sigCols = (0 until p * t).map(b =>
+      sum(element_at(array(signs(b).map(lit): _*), col("dim") + 1) * col("r_q"))
+        .as(s"__s$b"))
+    // One tiny row per (user, table): candidate generation never touches
+    // the fact rows — OR-amplification across T tables recovers the
+    // recall a single 2^P-bucket table loses.
+    val sigs = r.groupBy("user_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("user_id"), explode(array((0 until t).map { tt =>
+        struct(lit(tt).as("t"),
+          (0 until p).map(b =>
+            when(col(s"__s${tt * p + b}") >= 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sig"))
+      }: _*)).as("ts"))
+      .select(col("user_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .distinct()
+    val ra = r.select(col("user_id").as("u"), col("bucket_s"), col("r_q").as("x"))
+    val rb = r.select(col("user_id").as("v"), col("bucket_s"), col("r_q").as("y"))
+    val pairs = broadcast(cand).join(ra, "u").join(rb, Seq("v", "bucket_s"))
+    pairTopCorr(pairs, minSupport, k)
+  }
+
+  /** DuckDB mirror of [[pairCorrLsh]] for the given parameters. */
+  private def pairCorrLshSql(minSupport: Int, p: Int, t: Int = 16,
+      dim: Int = 64, k: Int = 20): String = {
+    val signs = rademacherSigns(dim, p * t)
+    def sigSql(b: Int): String = {
+      val lst = signs(b).mkString("[", ", ", "]")
+      s"(CASE WHEN sum($lst[((bucket_s // 3600) % $dim) + 1] * r_q) >= 0 THEN ${1L << (b % p)} ELSE 0 END)"
+    }
+    val tables = (0 until t).map { tt =>
+      s"""SELECT user_id, $tt AS t,
+         |    ${(0 until p).map(b => sigSql(tt * p + b)).mkString(" + ")} AS sig
+         |  FROM rr GROUP BY user_id""".stripMargin
+    }.mkString("\n|  UNION ALL\n|  ")
+    s"""WITH $HourlyCloseCte,
+       |r AS (SELECT user_id, bucket_s,
+       |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
+       |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS r_q
+       |  FROM agg),
+       |rr0 AS (SELECT user_id, bucket_s, r_q FROM r WHERE r_q IS NOT NULL),
+       |dense AS (SELECT user_id FROM rr0 GROUP BY user_id
+       |  HAVING count(*) >= $minSupport),
+       |rr AS (SELECT rr0.* FROM rr0 JOIN dense USING (user_id)),
+       |sg AS ($tables),
+       |cand AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+       |  FROM sg a JOIN sg b
+       |  ON a.t = b.t AND a.sig = b.sig AND a.user_id < b.user_id),
+       |p AS (SELECT c.u, c.v, ra.r_q AS x, rb.r_q AS y
+       |  FROM cand c
+       |  JOIN rr ra ON ra.user_id = c.u
+       |  JOIN rr rb ON rb.user_id = c.v AND rb.bucket_s = ra.bucket_s),
+       |m AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM p GROUP BY u, v HAVING count(*) >= $minSupport)
+       |SELECT u, v, n, ${sqlRound(
+         """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""",
+         6)} AS corr
+       |FROM m ORDER BY corr DESC, u ASC, v ASC LIMIT $k""".stripMargin
+  }
+
   private val crossSection: Seq[Q] = Seq(
     // Most-correlated user pairs: Pearson corr of hourly log returns on
     // shared hours, computed from EXACT integer co-moments (quantized
@@ -496,40 +666,7 @@ object ForecastQueries {
     // cohort-LSH screen as the 100×-scale path (SCALING.md: 26.6× vs
     // 5.1× wall-clock at 10× users).
     Q("q177_pair_corr",
-      (s, d) => {
-        val r0 = hourlyResampled(s, d, emitEmpty = false)
-          .select("user_id", "bucket_s", "close")
-          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
-          .filter(col("r").isNotNull)
-          .withColumn("r_q", floor(col("r") * 1e6 + 0.5).cast("long"))
-          .select("user_id", "bucket_s", "r_q")
-        // Keyed on user_id, the partitioning the lag window already
-        // established — the floor join adds no extra shuffle stage.
-        val support = r0.groupBy("user_id")
-          .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") >= 8)
-          .select("user_id")
-        val r = r0.join(support, "user_id")
-        val pairs = r.as("a").join(r.as("b"),
-            col("a.bucket_s") === col("b.bucket_s") &&
-              col("a.user_id") < col("b.user_id"))
-          .select(col("a.user_id").as("u"), col("b.user_id").as("v"),
-            col("a.r_q").as("x"), col("b.r_q").as("y"))
-        pairs.groupBy("u", "v")
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("y") * col("y")).as("syy"))
-          .filter(col("n") >= 8)
-          .withColumn("corr", pround(
-            (col("n").cast("double") * col("sxy").cast("double") -
-              col("sx").cast("double") * col("sy").cast("double")) /
-              sqrt((col("n").cast("double") * col("sxx").cast("double") -
-                col("sx").cast("double") * col("sx").cast("double")) *
-                (col("n").cast("double") * col("syy").cast("double") -
-                  col("sy").cast("double") * col("sy").cast("double"))), 6))
-          .orderBy(col("corr").desc, col("u").asc, col("v").asc).limit(20)
-          .select("u", "v", "n", "corr")
-      },
+      (s, d) => pairCorrExact(s, d, minSupport = 8),
       Some(s"""WITH $HourlyCloseCte,
               |r AS (SELECT user_id, bucket_s,
               |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
@@ -562,107 +699,35 @@ object ForecastQueries {
     // hash into cohorts by the SIGN of Rademacher (±1) projections of
     // their time-folded quantized-return profile — exact BIGINT dots, so
     // the signature is order-free and bit-identical on any engine — and
-    // the exact integer-co-moment correlation runs only WITHIN cohorts.
-    // Pair fan-out drops from C(U,2) to T·Σ|cohort|²; P grows with
-    // log(U) at scale (P planes → 2^P cohorts per table, T tables
-    // OR-amplified). Standard ANN recall semantics: pairs are scored iff
-    // hashed together — pairs whose correlation is sustained co-movement
-    // collide by construction; the n≈8 small-sample accidents that top
-    // the exact list at this sf carry no hashable signal (SCALING.md).
-    // Measured 10× slope: 5.1 vs q177's 20-27 (39.7 s vs 90.8 s at 10×,
-    // the gap widening quadratically with U).
+    // the exact integer-co-moment correlation runs only WITHIN cohorts
+    // (pairCorrLsh). Pair fan-out drops from C(U,2) to T·Σ|cohort|², and
+    // P is DERIVED FROM THE CORPUS at run time: P(U) = cohortPlanes(U)
+    // keeps E|cohort| ≈ 8 constant as U grows, so the fan-out stays
+    // LINEAR in U while a random pair's per-table collision probability
+    // 2^-P = bucket/U vanishes — a constant P does neither (the P=4
+    // lesson: 64% of random pairs collided somewhere across 16 tables).
+    // The dynamic oracle embeds the derived P, so the hash check covers
+    // the P(U) wiring itself. Standard ANN recall semantics: pairs are
+    // scored iff hashed together — sustained co-movement collides by
+    // construction; recall measured at 10× with the support floor raised
+    // to n ≥ 24 (where exact truth is signal, not 8-sample accidents) is
+    // in SCALING.md's recall table (DevRecall harness).
     Q("q207_pair_corr_lsh",
       (s, d) => {
-        val D = 64
-        val P = 10
-        val T = 16
-        val signs = rademacherSigns(D, P * T) // table t uses planes t*P until (t+1)*P
-        val r = hourlyResampled(s, d, emitEmpty = false)
-          .select("user_id", "bucket_s", "close")
-          .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
-          .filter(col("r").isNotNull)
-          .withColumn("r_q", floor(col("r") * 1e6 + 0.5).cast("long"))
-          .withColumn("dim", expr(s"cast((bucket_s div 3600) % $D as int)"))
-          .select("user_id", "bucket_s", "r_q", "dim")
-        val sigCols = (0 until P * T).map(b =>
-          sum(element_at(array(signs(b).map(lit): _*), col("dim") + 1) * col("r_q"))
-            .as(s"__s$b"))
-        // One tiny row per (user, table): candidate generation never
-        // touches the fact rows — OR-amplification across T tables
-        // recovers the recall a single 2^P-bucket table loses.
-        val sigs = r.groupBy("user_id")
-          .agg(sigCols.head, sigCols.tail: _*)
-          .select(col("user_id"), explode(array((0 until T).map { t =>
-            struct(lit(t).as("t"),
-              (0 until P).map(b =>
-                when(col(s"__s${t * P + b}") >= 0, lit(1L << b)).otherwise(lit(0L)))
-                .reduce(_ + _).as("sig"))
-          }: _*)).as("ts"))
-          .select(col("user_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-        val cand = sigs.as("a").join(sigs.as("b"),
-            col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
-              col("a.user_id") < col("b.user_id"))
-          .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
-          .distinct()
-        val ra = r.select(col("user_id").as("u"), col("bucket_s"), col("r_q").as("x"))
-        val rb = r.select(col("user_id").as("v"), col("bucket_s"), col("r_q").as("y"))
-        val pairs = broadcast(cand).join(ra, "u").join(rb, Seq("v", "bucket_s"))
-        pairs.groupBy("u", "v")
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("y") * col("y")).as("syy"))
-          .filter(col("n") >= 8)
-          .withColumn("corr", pround(
-            (col("n").cast("double") * col("sxy").cast("double") -
-              col("sx").cast("double") * col("sy").cast("double")) /
-              sqrt((col("n").cast("double") * col("sxx").cast("double") -
-                col("sx").cast("double") * col("sx").cast("double")) *
-                (col("n").cast("double") * col("syy").cast("double") -
-                  col("sy").cast("double") * col("sy").cast("double"))), 6))
-          .orderBy(col("corr").desc, col("u").asc, col("v").asc).limit(20)
-          .select("u", "v", "n", "corr")
+        // One cheap column-pruned distinct-count of users — the screen's
+        // only planning action (parameter learning, like q204's PCA fit).
+        val users = Tables.events(s, d).select("user_id").distinct().count()
+        val p = cohortPlanes(users)
+        CohortFit.put(d, p)
+        pairCorrLsh(s, d, minSupport = 8, p = p)
       },
-      Some {
-        val D = 64
-        val P = 10
-        val T = 16
-        val signs = rademacherSigns(D, P * T)
-        def sigSql(b: Int): String = {
-          val lst = signs(b).mkString("[", ", ", "]")
-          s"(CASE WHEN sum($lst[((bucket_s // 3600) % $D) + 1] * r_q) >= 0 THEN ${1L << (b % P)} ELSE 0 END)"
+      oracle = None,
+      oracleDyn = Some { () =>
+        CohortFit.lookup(Queries.OracleDumpContext.sfDir) match {
+          case Some(p) => pairCorrLshSql(minSupport = 8, p = p)
+          case None =>
+            "SELECT 'q207 oracle requested before the query ran for this dir' AS err"
         }
-        val tables = (0 until T).map { t =>
-          s"""SELECT user_id, $t AS t,
-             |    ${(0 until P).map(b => sigSql(t * P + b)).mkString(" + ")} AS sig
-             |  FROM rr GROUP BY user_id""".stripMargin
-        }.mkString("\n|  UNION ALL\n|  ")
-        s"""WITH $HourlyCloseCte,
-           |r AS (SELECT user_id, bucket_s,
-           |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
-           |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS r_q
-           |  FROM agg),
-           |rr AS (SELECT user_id, bucket_s, r_q FROM r WHERE r_q IS NOT NULL),
-           |sg AS ($tables),
-           |cand AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
-           |  FROM sg a JOIN sg b
-           |  ON a.t = b.t AND a.sig = b.sig AND a.user_id < b.user_id),
-           |p AS (SELECT c.u, c.v, ra.r_q AS x, rb.r_q AS y
-           |  FROM cand c
-           |  JOIN rr ra ON ra.user_id = c.u
-           |  JOIN rr rb ON rb.user_id = c.v AND rb.bucket_s = ra.bucket_s),
-           |m AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n,
-           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-           |    CAST(sum(x * y) AS BIGINT) AS sxy,
-           |    CAST(sum(x * x) AS BIGINT) AS sxx,
-           |    CAST(sum(y * y) AS BIGINT) AS syy
-           |  FROM p GROUP BY u, v HAVING count(*) >= 8)
-           |SELECT u, v, n, ${sqlRound(
-               """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-                    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""",
-               6)} AS corr
-           |FROM m ORDER BY corr DESC, u ASC, v ASC LIMIT 20""".stripMargin
       }),
 
     // Lo–MacKinlay variance-ratio test statistic VR(q) = var(q-period
