@@ -82,8 +82,16 @@ object Bench {
       val (warm2, err) = time(fn)
       val warm = if (warm1 < 0) warm2 else if (warm2 < 0) warm1
         else math.min(warm1, warm2)
+      // Honest-numbers flag: a query that leaves persisted RDD blocks
+      // behind ran its warm reps against intermediates the cold rep
+      // materialized — its warm time measures the plan WITH a hot cache
+      // and understates standalone cost (q102: 1.9 s here vs 15.7 s with
+      // the persist refilled per rep, SCALING.md). The cache is still
+      // dropped between queries, so nothing leaks across queries; the
+      // flag marks which warm numbers carry the intra-query cache.
+      val cached = spark.sparkContext.getPersistentRDDs.nonEmpty
       dropLeakedBlocks()
-      (name, cold, warm, err)
+      (name, cold, warm, err, cached)
     }
     def r2(v: Double): String = f"$v%.2f"
     def jmap(xs: Seq[(String, String)]): String =
@@ -93,12 +101,16 @@ object Bench {
     val coldTotal = ok.map(_._2).sum
     val errs = results.filter(_._4 != null).map(r => r._1 -> ("\"" + r._4 + "\""))
     val errField = if (errs.isEmpty) "" else s""","errors":${jmap(errs.take(5))}"""
+    val cachedNames = results.filter(_._5).map(_._1)
     // Full per-query detail — too large for the driver's tail capture, so
     // it goes to a file (committed next round as bench evidence).
-    val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},"total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}"""
+    // "warm_shares_cache" lists the queries whose warm timing ran against
+    // intra-query persisted intermediates (see the flag above): for their
+    // standalone cost read the cold column or SCALING.md.
+    val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
     val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}""")
+    println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"n_warm_shares_cache":${cachedNames.size},"total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}""")
     spark.stop()
   }
 }

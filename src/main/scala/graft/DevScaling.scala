@@ -41,14 +41,22 @@ object DevScaling {
         .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(out + "/events.parquet")
-    // documents: disjoint doc blocks; copy k replaces 'e'/'a' with
-    // copy-specific digits so cross-copy texts aren't near-duplicates.
+    // documents: disjoint doc blocks; copy k replaces 'e'/'a' with a
+    // copy-UNIQUE character pair so cross-copy texts aren't
+    // near-duplicates. k < 10 keeps the original digit mapping (so 10×
+    // results stay comparable across rounds); k ≥ 10 switches to letter
+    // pairs indexed by (k mod 10, k div 10) — unique up to k = 99, and
+    // disjoint from the digit mappings (a naive k % 10 would make copies
+    // 1/11/21 IDENTICAL text, growing cluster sizes instead of cluster
+    // counts at factors > 10).
     val docs = spark.read.parquet(base + "/documents.parquet")
     (0 until factor).map { k =>
       val base0 = docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+      val sub =
+        if (k < 10) s"${k % 10}${(k + 3) % 10}"
+        else s"${"bcdfghjklm".charAt(k % 10)}${"npqrstvwxz".charAt((k / 10) % 10)}"
       if (k == 0) base0
-      else base0.withColumn("text",
-        translate(col("text"), "ea", s"${k % 10}${(k + 3) % 10}"))
+      else base0.withColumn("text", translate(col("text"), "ea", sub))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(out + "/documents.parquet")
     // everything else: symlink the base tables.

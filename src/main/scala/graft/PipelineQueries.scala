@@ -385,7 +385,7 @@ object PipelineQueries {
           .select(TextOps.md5Hash60(col("__g")).as("__h")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         bench.count()
-        val base = java.nio.file.Files.createTempDirectory("graft_q209").toString
+        val base = StreamHarness.scratchDir("graft_q209")
         val sink = base + "/flags"
         val ckpt = base + "/ckpt"
         val stream = s.readStream

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ohlcv.{Forecast, Ingest, TimeSeriesOps, Windows}
+import graft.ohlcv.{Encode, Forecast, Ingest, TimeSeriesOps, Windows}
 
 /** Reproduce the reference's evaluation harness (notebooks/test.ipynb
   * `evaluate(256, 192, …)`, BASELINE.md) on the reference's own corpus
@@ -10,15 +10,21 @@ import graft.ohlcv.{Forecast, Ingest, TimeSeriesOps, Windows}
   * VAE (SURVEY.md §7.4 #8: weights are out of scope, so the published
   * MAE is a ballpark anchor, not an assertion target).
   *
-  * Usage: runMain graft.ReferenceRepro [metric] [all]
+  * Usage: runMain graft.ReferenceRepro [metric] [all] [pca]
   *   - default: BTC-USD only (the notebook's configuration)
   *   - `all`: union of all 7 symbol CSVs, searched as ONE index space
   *     across symbols (the reference's ConcatDataset semantics, U2).
+  *   - `pca`: LEARNED linear encoder instead of mean-pool — PCA fitted
+  *     with MLlib on the TRAIN windows' z-arrays only (the same
+  *     leakage-free discipline as the reference's encoder, which is
+  *     trained on train data), then applied to both sides. This is the
+  *     q204 encoder at the reference's own geometry (256→64).
   */
 object ReferenceRepro {
   def main(args: Array[String]): Unit = {
     val metric = args.headOption.getOrElse("l1")
     val allSymbols = args.contains("all")
+    val usePca = args.contains("pca")
     val spark = Session.get()
 
     val SeqLen = 256
@@ -47,10 +53,22 @@ object ReferenceRepro {
     // come from any symbol (one concatenated index space).
     val split = Windows.withTailSplit(series, "user_id", "idx", 0.15)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val projection =
+      if (!usePca) None
+      else {
+        val zwins = Windows.slidingZscored(
+          split.filter(!col("is_val")).drop("is_val"),
+          "user_id", "idx", "close", SeqLen)
+          .filter(col("scale") > 1e-6)
+          .select(col("zvalues").cast("array<double>").as("z"))
+        Some(Encode.pcaMatrix(zwins, "z", SeqLen, Dim, sampleFraction = None))
+      }
     val trainWins = Flagship.embeddedWindows(
-      split.filter(!col("is_val")).drop("is_val"), SeqLen, Dim).persist(lvl)
+      split.filter(!col("is_val")).drop("is_val"), SeqLen, Dim, projection)
+      .persist(lvl)
     val valWins = Flagship.embeddedWindows(
-      split.filter(col("is_val")).drop("is_val"), SeqLen, Dim).persist(lvl)
+      split.filter(col("is_val")).drop("is_val"), SeqLen, Dim, projection)
+      .persist(lvl)
     val trainCount = trainWins.count()
     val valCount = valWins.count()
     println(s"== train windows: $trainCount, val windows: $valCount")

@@ -608,7 +608,7 @@ object TaQueries {
     Q("q103_stream_upsert",
       (s, d) => {
         import graft.streaming.{StreamHarness, StreamingIngest}
-        val base = java.nio.file.Files.createTempDirectory("graft_q103").toString
+        val base = StreamHarness.scratchDir("graft_q103")
         val sink = base + "/table"
         val ckpt = base + "/ckpt"
         val stream = StreamHarness.eventStream(s, d)

@@ -24,6 +24,32 @@ object StreamHarness {
   /** Guards the shuffle-partitions set→start→restore in [[runMemory]]. */
   private val startLock = new Object
 
+  /** RAM-backed scratch root (/dev/shm) when the host offers one. */
+  private lazy val ramRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      Some(shm)
+    else None
+  }
+
+  /** Per-call streaming scratch (checkpoints, sinks, source farms):
+    * RAM-backed when available, else the JVM temp dir. Correctness
+    * semantics are unchanged — every registered streaming query creates
+    * a FRESH checkpoint per call, so cross-process durability is not
+    * part of what those runs exercise (the crash-recovery specs create
+    * their own checkpoint dirs on the real filesystem and keep their
+    * durability guarantees). What the tmpfs removes is the
+    * per-micro-batch offset/commit-log fsync, measured as the dominant
+    * share of the streaming family's ~1.7 s/query fixed floor. A
+    * production deployment points checkpoints at durable storage; this
+    * root is harness scratch, deleted after each call.
+    */
+  def scratchDir(prefix: String): String =
+    (ramRoot match {
+      case Some(root) => java.nio.file.Files.createTempDirectory(root, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }).toString
+
   private val srcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val srcSchemas = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
@@ -35,7 +61,7 @@ object StreamHarness {
   def sourceDir(sfDir: String, table: String): String =
     srcDirs.computeIfAbsent(s"$sfDir#$table", _ => {
       import java.nio.file.{Files, Paths}
-      val base = Files.createTempDirectory(s"graft_stream_$table").toString
+      val base = scratchDir(s"graft_stream_$table")
       val target = Paths.get(sfDir, table + ".parquet")
       if (Files.isDirectory(target)) {
         // Spark-written table directory: the file source does not
@@ -85,6 +111,10 @@ object StreamHarness {
     val spark = out.sparkSession
     val qn = "graft_" + tag + "_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
+    // Explicit RAM-backed checkpoint (see scratchDir): without one Spark
+    // creates its temp checkpoint under java.io.tmpdir — a real disk on
+    // this host — and pays ~µbatch-count fsyncs per query.
+    val ckpt = scratchDir("graft_ckpt_" + tag)
     // StreamExecution clones the session conf at start(), so the
     // override is frozen into the query and restored immediately. The
     // whole set→start→restore sequence is SERIALIZED: two concurrent
@@ -98,6 +128,7 @@ object StreamHarness {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       try out.writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
@@ -109,6 +140,7 @@ object StreamHarness {
     } finally {
       if (q.isActive) q.stop()
       spark.catalog.dropTempView(qn)
+      deleteRecursively(ckpt)
     }
   }
 
