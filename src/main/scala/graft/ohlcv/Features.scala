@@ -317,9 +317,13 @@ object Features {
 
   /** CCI(w): (tp − SMA(tp,w)) / (c·MAD(tp,w)) where tp = (high+low+close)/3
     * and MAD is the mean absolute deviation around the WINDOW's own mean
-    * (pandas `rolling.apply(lambda x: mean(|x − x.mean()|))`). Both window
-    * statistics are computed from the collected frame array with
-    * sequential HOF sums so the oracle's list arithmetic matches exactly.
+    * (pandas `rolling.apply(lambda x: mean(|x − x.mean()|))`). The mean
+    * rides a plain window sum — Spark's sliding frame re-accumulates rows
+    * lower→upper per output row, the same left-to-right order as the
+    * oracle's `list_sum`, so the doubles are bit-identical. Only MAD needs
+    * the collected frame array (its deviation target is the row's own
+    * window mean, which no decomposable window aggregate expresses); its
+    * single sequential HOF fold again matches the oracle's list order.
     */
   def withCci(df: DataFrame, keyCol: String, ordCol: String, w: Int = 20,
       c: Double = 0.015, highCol: String = "high", lowCol: String = "low",
@@ -328,10 +332,9 @@ object Features {
     val tp = (col(highCol) + col(lowCol) + col(closeCol)) / 3.0
     val base = df.withColumn("__tp", tp)
       .withColumn("__tps", collect_list(col("__tp")).over(frame))
-    val m = aggregate(col("__tps"), lit(0.0), (a, x) => a + x) / w
+      .withColumn("__m", sum(col("__tp")).over(frame) / w)
     val mad = aggregate(col("__tps"), lit(0.0), (a, x) => a + abs(x - col("__m"))) / w
     base
-      .withColumn("__m", m)
       .withColumn("__mad", mad)
       .withColumn(outCol,
         when(size(col("__tps")) === w && col("__mad") > 0,
