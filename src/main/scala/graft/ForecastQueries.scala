@@ -544,9 +544,18 @@ object ForecastQueries {
     * keep E|cohort| ≈ B constant as U grows, so q207's pair fan-out
     * T·Σ|cohort|² ≈ T·U·B stays LINEAR in U, while a random pair's
     * per-table collision probability 2^-P = B/U vanishes with U.
-    * Pinned by CohortPlanesSpec.
+    *
+    * B defaults to 1 (2^P ≥ U), NOT the 8 the bucket metaphor suggests:
+    * the screen's dominant cost is candidate pairs × series length, and
+    * random-collision pairs ≈ C(U,2)·T·2^-P ≈ U·T·B/2 — every unit of B
+    * multiplies the candidate list, and each candidate drags its whole
+    * return series through the co-moment join. Measured at sf0.1
+    * (U = 1500, series ≈ 670 buckets): B=8 (P=8) admits ~68k random
+    * pairs → 25.4 s; B=1 (P=11) admits ~9k → the fan-out constant is
+    * T/2 pairs per user. Truly-correlated pairs are unaffected — equal
+    * profiles hash together at any P. Pinned by CohortPlanesSpec.
     */
-  private[graft] def cohortPlanes(users: Long, targetBucket: Long = 8L): Int = {
+  private[graft] def cohortPlanes(users: Long, targetBucket: Long = 1L): Int = {
     require(users >= 1 && targetBucket >= 1, "users and targetBucket must be >= 1")
     val q = (users + targetBucket - 1) / targetBucket
     val p = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
@@ -702,10 +711,12 @@ object ForecastQueries {
     // the exact integer-co-moment correlation runs only WITHIN cohorts
     // (pairCorrLsh). Pair fan-out drops from C(U,2) to T·Σ|cohort|², and
     // P is DERIVED FROM THE CORPUS at run time: P(U) = cohortPlanes(U)
-    // keeps E|cohort| ≈ 8 constant as U grows, so the fan-out stays
-    // LINEAR in U while a random pair's per-table collision probability
-    // 2^-P = bucket/U vanishes — a constant P does neither (the P=4
-    // lesson: 64% of random pairs collided somewhere across 16 tables).
+    // holds 2^P ≥ U, so the random-pair fan-out stays LINEAR in U at
+    // ~T/2 candidates per user while a random pair's per-table collision
+    // probability 2^-P ≤ 1/U vanishes — a constant P does neither (the
+    // P=4 lesson: 64% of random pairs collided somewhere across 16
+    // tables; the B=8 lesson: at U=1500 even E|cohort| ≈ 8 admits ~68k
+    // random pairs whose series-length join cost dwarfs the signatures).
     // The dynamic oracle embeds the derived P, so the hash check covers
     // the P(U) wiring itself. Standard ANN recall semantics: pairs are
     // scored iff hashed together — sustained co-movement collides by
