@@ -53,6 +53,14 @@ object ExtraQueries {
     private[graft] def clear(): Unit = fits.clear()
   }
 
+  /** q204's fit-sample modulus for U users: keep ~targetUsers series in
+    * the PCA fit regardless of corpus size, never below the historical
+    * 1-in-7 (so the verify/bench corpora, U ≤ 7·targetUsers, behave
+    * exactly as before the cap existed). Pinned by FitModulusSpec.
+    */
+  private[graft] def fitModulus(users: Long, targetUsers: Long = 215L): Long =
+    math.max(7L, (users + targetUsers - 1) / targetUsers)
+
   /** DuckDB L1 over two list expressions (numeric struct indices —
     * list_zip yields unnamed structs).
     */
@@ -720,13 +728,21 @@ object ExtraQueries {
       Q("q204_flagship_pca",
         (s, d) => {
           import graft.ohlcv.Windows
-          // Fit pass: sample at the SERIES level (1-in-7 users) so the
-          // key filter prunes before the window pipeline even runs —
-          // the fit sweep computes ~14% of the windows instead of all
-          // of them — then thin rows with an explicit fraction (no
-          // count() pass, no persist of the wide z-array frame).
+          // Fit pass: sample at the SERIES level so the key filter
+          // prunes before the window pipeline even runs, then thin rows
+          // with an explicit fraction (no count() pass, no persist of
+          // the wide z-array frame). The user modulus is derived from
+          // the corpus (one column-pruned distinct-count, the same
+          // planning action q207 pays) so the fit SAMPLE IS CAPPED at
+          // ~215 series regardless of corpus size — a 24-dim covariance
+          // converges long before that — instead of growing as a fixed
+          // 1-in-7 fraction. At the verify/bench corpora (U ≤ 1500) the
+          // modulus is exactly the historical 7, so hashes are
+          // unchanged; the cap engages only past ~1500 users.
+          val users = Tables.events(s, d).select("user_id").distinct().count()
           val zwins = Windows.slidingZscored(
-            Flagship.filledSeries(s, d).filter(col("user_id") % 7 === 0),
+            Flagship.filledSeries(s, d)
+              .filter(col("user_id") % lit(fitModulus(users)) === 0),
             "user_id", "idx", "close", SeqLen)
             .filter(col("scale") > 1e-6)
             .select(col("zvalues").cast("array<double>").as("z"))
