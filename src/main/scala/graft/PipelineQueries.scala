@@ -1371,8 +1371,158 @@ object PipelineQueries {
                   6)} AS var_z
               |FROM z GROUP BY pos ORDER BY pos""".stripMargin)))
 
+  private val curation: Seq[Q] = Seq(
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // k-means-cluster the embedding space, then mark near-duplicates
+    // WITHIN each cluster by pairwise cosine, keeping the member least
+    // similar to its centroid (the paper's diversity-preserving keep
+    // rule). Deterministic fit: seed centroids are per-label means
+    // rounded to 6 dp (the q120 trick — bit-identical on both engines),
+    // assignment is argmin of rounded squared-L2 with ties to the lower
+    // label. 100 TB shape: centroids are a k-row broadcast; the pair
+    // stage shuffles on the CLUSTER id only — per-cluster work is
+    // quadratic in cluster size, which is exactly the knob k controls
+    // (k ∝ N / target-cluster-size, the paper's own scaling argument);
+    // no stage sees the corpus cross product and the driver sees no rows.
+    // Output: every vector's cluster, rounded centroid distance, and
+    // dup flag — the full APPLY verdict, hash-checked.
+    Q("q212_semdedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.graft.GraftExpressions.{arrayDot, arraySqDiff}
+        val v = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("emb"))
+        val cents = v
+          .select(col("label"), posexplode(col("emb")))
+          .withColumn("pos", col("pos") + 1)
+          .groupBy("label", "pos")
+          .agg(pround(avg("col"), 6).as("cv"))
+          .groupBy("label")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("c"))
+          .select(col("label").as("cl"), col("c"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cl").asc)
+        val assigned = v.crossJoin(broadcast(cents))
+          .withColumn("d2", pround(arraySqDiff(col("emb"), col("c")), 6))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("vec_id"), col("cl").as("cluster"), col("d2"), col("emb"))
+        val a = assigned.select(col("cluster"), col("vec_id").as("ida"),
+          col("d2").as("d2a"), col("emb").as("ea"))
+        val b = assigned.select(col("cluster"), col("vec_id").as("idb"),
+          col("d2").as("d2b"), col("emb").as("eb"))
+        // A member is a dup when a same-cluster neighbor above the cosine
+        // bar sits FARTHER from the centroid (keep-the-outlier), ties to
+        // the lower id. τ=0.35 sits in the corpus's near-dup tail.
+        val dups = a.join(b, Seq("cluster"))
+          .filter(col("ida") =!= col("idb"))
+          .withColumn("cosr", pround(
+            arrayDot(col("ea"), col("eb")) /
+              (sqrt(arrayDot(col("ea"), col("ea"))) *
+                sqrt(arrayDot(col("eb"), col("eb")))), 6))
+          .filter(col("cosr") >= 0.35 &&
+            (col("d2a") > col("d2b") ||
+              (col("d2a") === col("d2b") && col("ida") < col("idb"))))
+          .select(col("idb").as("vec_id")).distinct()
+          .withColumn("is_dup", lit(1L))
+        assigned
+          .join(dups, Seq("vec_id"), "left")
+          .select(col("cluster"), col("vec_id"), col("d2"),
+            coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+          .orderBy("cluster", "vec_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+              |  FROM embeddings),
+              |ps AS (SELECT unnest(generate_series(1, 64)) AS pos),
+              |cp AS (SELECT label, pos, ${sqlRound("avg(emb[pos])", 6)} AS cv
+              |  FROM v, ps GROUP BY 1, 2),
+              |cent AS (SELECT label AS cl, list(cv ORDER BY pos) AS c
+              |  FROM cp GROUP BY 1),
+              |dd AS (SELECT v.vec_id, cent.cl,
+              |    ${sqlRound(
+                 """list_sum(list_transform(range(1, 65),
+                      i -> (v.emb[i]-cent.c[i])*(v.emb[i]-cent.c[i])))""", 6)} AS d2
+              |  FROM v, cent),
+              |asg AS (SELECT vec_id, cl AS cluster, d2 FROM
+              |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+              |     ORDER BY d2 ASC, cl ASC) AS rn FROM dd) WHERE rn = 1),
+              |n AS (SELECT a.vec_id, a.cluster, a.d2, v.emb
+              |  FROM asg a JOIN v USING (vec_id)),
+              |dups AS (SELECT DISTINCT y.vec_id FROM n x JOIN n y
+              |  ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+              |  WHERE ${sqlRound(
+                 """list_sum(list_transform(range(1, 65), i -> x.emb[i]*y.emb[i])) /
+                    (sqrt(list_sum(list_transform(range(1, 65), i -> x.emb[i]*x.emb[i]))) *
+                     sqrt(list_sum(list_transform(range(1, 65), i -> y.emb[i]*y.emb[i]))))""",
+                 6)} >= 0.35
+              |    AND (x.d2 > y.d2 OR (x.d2 = y.d2 AND x.vec_id < y.vec_id)))
+              |SELECT a.cluster, a.vec_id, a.d2,
+              |  CAST(CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+              |    AS is_dup
+              |FROM asg a LEFT JOIN dups USING (vec_id)
+              |ORDER BY cluster, vec_id""".stripMargin)),
+
+    // DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
+    // importance resampling — score every raw document by how much its
+    // hashed-unigram profile looks like the TARGET slice (here lang='en')
+    // versus the raw corpus. Features are md5-hash60(word) mod 1024
+    // buckets; bucket log-ratios λ_b = ln p̂_b − ln q̂_b (α=0.5 additive
+    // smoothing, doubled to clear the fraction) are quantized to exact
+    // nano-units so the per-doc weight Σ n_b·λ_b is an exact BIGINT sum
+    // on both engines. 100 TB shape: the two distribution fits are
+    // 1024-row hash aggregations, the λ table is a broadcast, and doc
+    // scoring is one (doc,bucket) partial-agg + one per-doc agg — two
+    // linear shuffles, no driver state.
+    Q("q213_dsir_weights",
+      (s, d) => {
+        def qln(c: org.apache.spark.sql.Column) =
+          floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .withColumn("b", TextOps.md5Hash60(lower(col("w"))) % 1024)
+        val rawCt = toks.groupBy("b").agg(count(lit(1)).as("cq"))
+        val tgtCt = toks.filter(col("lang") === "en")
+          .groupBy("b").agg(count(lit(1)).as("cp"))
+        val totals = toks.agg(count(lit(1)).as("tq"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tp"))
+        val lam = rawCt.join(tgtCt, Seq("b"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col("b"),
+            (qln(lit(2) * coalesce(col("cp"), lit(0L)) + 1) -
+              qln(lit(2) * col("tp") + 1024) -
+              qln(lit(2) * col("cq") + 1) +
+              qln(lit(2) * col("tq") + 1024)).as("lam_q"))
+        toks.groupBy("doc_id", "b").agg(count(lit(1)).as("nb"))
+          .join(broadcast(lam), "b")
+          .groupBy("doc_id")
+          .agg(sum(col("nb")).as("n_tokens"),
+            pround(sum(col("nb") * col("lam_q")).cast("double") / 1e9, 6)
+              .as("weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, unnest($sqlToks) AS w FROM documents),
+              |tb AS (SELECT doc_id, lang, ${sqlHash60("lower(w)")} % 1024 AS b FROM t),
+              |cq AS (SELECT b, CAST(count(*) AS BIGINT) AS cq FROM tb GROUP BY 1),
+              |cpt AS (SELECT b, CAST(count(*) AS BIGINT) AS cp FROM tb
+              |  WHERE lang = 'en' GROUP BY 1),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS tq,
+              |    CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS tp FROM tb),
+              |lam AS (SELECT cq.b,
+              |    CAST(floor(ln(2 * coalesce(cpt.cp, 0) + 1) * 1e9 + 0.5) AS BIGINT)
+              |    - CAST(floor(ln(2 * tot.tp + 1024) * 1e9 + 0.5) AS BIGINT)
+              |    - CAST(floor(ln(2 * cq.cq + 1) * 1e9 + 0.5) AS BIGINT)
+              |    + CAST(floor(ln(2 * tot.tq + 1024) * 1e9 + 0.5) AS BIGINT) AS lam_q
+              |  FROM cq LEFT JOIN cpt USING (b) CROSS JOIN tot),
+              |nb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS nb
+              |  FROM tb GROUP BY 1, 2)
+              |SELECT nb.doc_id, CAST(sum(nb.nb) AS BIGINT) AS n_tokens,
+              |  ${sqlRound("CAST(sum(nb.nb * lam.lam_q) AS DOUBLE) / 1e9", 6)} AS weight
+              |FROM nb JOIN lam USING (b) GROUP BY 1 ORDER BY 1""".stripMargin)))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
       ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
-      retrievalEval ++ lm2 ++ whiten
+      retrievalEval ++ lm2 ++ whiten ++ curation
 }
