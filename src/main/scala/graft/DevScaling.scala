@@ -59,9 +59,29 @@ object DevScaling {
       else base0.withColumn("text", translate(col("text"), "ea", sub))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(out + "/documents.parquet")
+    // embeddings: disjoint vec-id AND label blocks; copy k rotates the
+    // dimension order by k positions. Rotation preserves every
+    // within-copy distance/cosine exactly while making cross-copy
+    // vectors generically dissimilar, so copy k's vectors assign to
+    // copy k's label-mean centroids: the CLUSTER COUNT grows with the
+    // data (SemDeDup's own k ∝ N scaling knob) and cluster sizes stay
+    // constant — pair work grows linearly, the realistic question.
+    // (Naive replication would tie every copy to copy 0's centroids and
+    // grow cluster sizes instead.)
+    val emb = spark.read.parquet(base + "/embeddings.parquet")
+    (0 until factor).map { k =>
+      val r = k % 64
+      val rotated = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
+      emb.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        .withColumn("label", (col("label") + lit(k * 10)).cast("int"))
+        .withColumn("embedding", rotated)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(out + "/embeddings.parquet")
     // everything else: symlink the base tables.
     for (t <- Seq("customer", "supplier", "nation", "region", "part",
-        "orders", "lineitem", "embeddings")) {
+        "orders", "lineitem")) {
       val link = java.nio.file.Paths.get(out, t + ".parquet")
       if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
         java.nio.file.Files.createSymbolicLink(link,

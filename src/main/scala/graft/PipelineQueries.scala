@@ -1388,7 +1388,6 @@ object PipelineQueries {
     // dup flag — the full APPLY verdict, hash-checked.
     Q("q212_semdedup",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.graft.GraftExpressions.{arrayDot, arraySqDiff}
         val v = Tables.embeddings(s, d)
           .select(col("vec_id"), col("label"),
@@ -1402,25 +1401,40 @@ object PipelineQueries {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
             x => x.getField("cv")).as("c"))
           .select(col("label").as("cl"), col("c"))
-        val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cl").asc)
+        // Argmin as a MIN(struct) aggregation, not a row_number window:
+        // the N×k assignment rows collapse map-side (partial agg) to one
+        // row per vector per partition, so nothing ever sorts or
+        // shuffles the crossJoin fan-out — with k ∝ N (SemDeDup's
+        // scaling regime) a window sort here curves quadratic. Struct
+        // comparison is lexicographic, so (d2, cl) ordering IS the
+        // rounded-distance argmin with ties to the lower label; emb
+        // rides along un-compared (cl is unique per centroid).
+        // The assignment pass runs ONCE (localCheckpoint) — three
+        // consumers (both pair sides + the final verdict join) read the
+        // materialized N rows, not three replays of the N×k crossJoin.
+        // Per-vector norms are precomputed here: sqrt(dot(e,e)) is the
+        // same double wherever it's evaluated, so the pair stage's
+        // cosine — dot/(na·nb) — is bit-identical to the oracle's
+        // inline form while paying ONE dot per pair instead of three.
         val assigned = v.crossJoin(broadcast(cents))
           .withColumn("d2", pround(arraySqDiff(col("emb"), col("c")), 6))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("vec_id"), col("cl").as("cluster"), col("d2"), col("emb"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cl"), col("emb"))).as("m"))
+          .select(col("vec_id"), col("m.cl").as("cluster"),
+            col("m.d2").as("d2"), col("m.emb").as("emb"))
+          .withColumn("nrm", sqrt(arrayDot(col("emb"), col("emb"))))
+          .localCheckpoint(true)
         val a = assigned.select(col("cluster"), col("vec_id").as("ida"),
-          col("d2").as("d2a"), col("emb").as("ea"))
+          col("d2").as("d2a"), col("emb").as("ea"), col("nrm").as("na"))
         val b = assigned.select(col("cluster"), col("vec_id").as("idb"),
-          col("d2").as("d2b"), col("emb").as("eb"))
+          col("d2").as("d2b"), col("emb").as("eb"), col("nrm").as("nb"))
         // A member is a dup when a same-cluster neighbor above the cosine
         // bar sits FARTHER from the centroid (keep-the-outlier), ties to
         // the lower id. τ=0.35 sits in the corpus's near-dup tail.
         val dups = a.join(b, Seq("cluster"))
           .filter(col("ida") =!= col("idb"))
           .withColumn("cosr", pround(
-            arrayDot(col("ea"), col("eb")) /
-              (sqrt(arrayDot(col("ea"), col("ea"))) *
-                sqrt(arrayDot(col("eb"), col("eb")))), 6))
+            arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
           .filter(col("cosr") >= 0.35 &&
             (col("d2a") > col("d2b") ||
               (col("d2a") === col("d2b") && col("ida") < col("idb"))))
@@ -1478,15 +1492,22 @@ object PipelineQueries {
       (s, d) => {
         def qln(c: org.apache.spark.sql.Column) =
           floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
-        val toks = Tables.documents(s, d)
+        // ONE tokenize+hash pass: the (doc, lang, bucket) partial counts
+        // are materialized once (localCheckpoint — no CacheManager entry
+        // to leak) and every downstream aggregate — both distribution
+        // fits, the totals, and the per-doc score — reads the partials,
+        // not the corpus. The md5-per-token cost is paid exactly once.
+        val nb = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             explode(TextOps.tokens(col("text"))).as("w"))
           .withColumn("b", TextOps.md5Hash60(lower(col("w"))) % 1024)
-        val rawCt = toks.groupBy("b").agg(count(lit(1)).as("cq"))
-        val tgtCt = toks.filter(col("lang") === "en")
-          .groupBy("b").agg(count(lit(1)).as("cp"))
-        val totals = toks.agg(count(lit(1)).as("tq"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tp"))
+          .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("nb"))
+          .localCheckpoint(true)
+        val rawCt = nb.groupBy("b").agg(sum(col("nb")).as("cq"))
+        val tgtCt = nb.filter(col("lang") === "en")
+          .groupBy("b").agg(sum(col("nb")).as("cp"))
+        val totals = nb.agg(sum(col("nb")).as("tq"),
+          sum(when(col("lang") === "en", col("nb")).otherwise(0L)).as("tp"))
         val lam = rawCt.join(tgtCt, Seq("b"), "left")
           .crossJoin(broadcast(totals))
           .select(col("b"),
@@ -1494,8 +1515,7 @@ object PipelineQueries {
               qln(lit(2) * col("tp") + 1024) -
               qln(lit(2) * col("cq") + 1) +
               qln(lit(2) * col("tq") + 1024)).as("lam_q"))
-        toks.groupBy("doc_id", "b").agg(count(lit(1)).as("nb"))
-          .join(broadcast(lam), "b")
+        nb.join(broadcast(lam), "b")
           .groupBy("doc_id")
           .agg(sum(col("nb")).as("n_tokens"),
             pround(sum(col("nb") * col("lam_q")).cast("double") / 1e9, 6)
