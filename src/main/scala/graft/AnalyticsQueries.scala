@@ -75,12 +75,12 @@ object AnalyticsQueries {
         val ev = StreamHarness.eventStream(s, d)
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id").as("c_user"),
-            timestamp_micros(expr("ts div 1000")).as("c_ts"),
+            col("ts").as("c_ts"),
             col("event_id").as("c_id"))
           .withWatermark("c_ts", "2 days")
         val errors = ev.filter(col("event_type") === "error")
           .select(col("user_id").as("e_user"),
-            timestamp_micros(expr("ts div 1000")).as("e_ts"),
+            col("ts").as("e_ts"),
             col("event_id").as("e_id"))
           .withWatermark("e_ts", "2 days")
         val joined = clicks.join(errors,
@@ -350,7 +350,7 @@ object AnalyticsQueries {
           .select((col("c_custkey") - 1).as("user_id"), col("c_mktsegment"))
         val purchases = StreamHarness.eventStream(s, d)
           .filter(col("event_type") === "purchase")
-          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_t", col("ts"))
           .join(cust, "user_id")
         val agg = purchases
           .withWatermark("ts_t", "2 days")

@@ -451,7 +451,6 @@ object ForecastQueries {
       (s, d) => {
         import graft.streaming.{StreamHarness, StreamingIngest}
         val stream = StreamHarness.eventStream(s, d)
-          .withColumn("ts_us", expr("ts div 1000"))
         val holt = StreamingIngest.streamingHolt(stream, "user_id", "ts_us",
           "event_id", "value", alpha = 0.5, beta = 0.25, minPeriods = 10)
         StreamHarness.runMemory(holt, "q175") { t =>
@@ -1428,7 +1427,6 @@ object ForecastQueries {
       (s, d) => {
         import graft.streaming.{StreamHarness, StreamingIngest}
         val stream = StreamHarness.eventStream(s, d)
-          .withColumn("ts_us", expr("ts div 1000"))
         val kf = StreamingIngest.streamingKalman(stream, "user_id", "ts_us",
           "event_id", "value", qVar = 0.01, rVar = 1.0)
         StreamHarness.runMemory(kf, "q201") { t =>

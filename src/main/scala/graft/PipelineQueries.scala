@@ -229,7 +229,7 @@ object PipelineQueries {
       (s, d) => {
         import graft.streaming.{StreamHarness, StreamingIngest}
         val stream = StreamHarness.eventStream(s, d)
-          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_t", col("ts"))
         val agg = StreamingIngest.tumblingOhlcv(stream, "ts_t", "value",
           "event_type", "1 day", "2 days", tieCol = Some("event_id"))
         StreamHarness.runMemory(agg, "q112") { t =>
@@ -340,7 +340,7 @@ object PipelineQueries {
       (s, d) => {
         import graft.streaming.{StreamHarness, StreamingIngest}
         val stream = StreamHarness.eventStream(s, d)
-          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_t", col("ts"))
         val agg = StreamingIngest.slidingMean(stream, "ts_t", "value",
           "event_type", "4 hours", "1 hour", "2 days")
         StreamHarness.runMemory(agg, "q118") { t =>
@@ -644,7 +644,7 @@ object PipelineQueries {
       (s, d) => {
         import graft.streaming.StreamHarness
         val stream = StreamHarness.eventStream(s, d)
-          .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_t", col("ts"))
         val agg = stream
           .withWatermark("ts_t", "2 days")
           .groupBy(col("user_id"), session_window(col("ts_t"), "2 hours"))

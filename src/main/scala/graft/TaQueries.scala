@@ -647,7 +647,6 @@ object TaQueries {
         // differing in sub-µs digits (event_id breaks ties identically on
         // both sides).
         val stream = StreamHarness.eventStream(s, d)
-          .withColumn("ts_us", expr("ts div 1000"))
         val ema = StreamingIngest.streamingEma(stream, "user_id", "ts_us", "event_id",
           "value", alpha = 2.0 / 11.0, minPeriods = 10)
         StreamHarness.runMemory(ema, "q106") { t =>

@@ -86,10 +86,36 @@ object StreamHarness {
     srcSchemas.computeIfAbsent(s"$sfDir#$table",
       _ => spark.read.parquet(s"$sfDir/$table.parquet").schema)
 
-  /** The events table as a file-source stream over the shared fixture. */
-  def eventStream(spark: SparkSession, sfDir: String): DataFrame =
-    StreamingIngest.readEvents(spark, sourceDir(sfDir, "events"),
+  /** The events table as a file-source stream over the shared fixture.
+    *
+    * Emits a FIXED time contract no matter how the parquet files encode
+    * event time — the corpus has been written both as INT64
+    * TIMESTAMP(NANOS) (read as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as timestamp[us]:
+    *   - `ts`    TimestampType (µs resolution)
+    *   - `ts_us` LongType epoch-µs (the value streaming folds order by —
+    *     µs truncation happens HERE, before any stateful recurrence, so
+    *     engine and DuckDB oracle sort identically)
+    * This mirrors [[graft.Tables.events]]'s batch guard; no registered
+    * query touches the raw file type directly.
+    */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = StreamingIngest.readEvents(spark, sourceDir(sfDir, "events"),
       sourceSchema(spark, sfDir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Integer `div`, not `/`: epoch-nanos exceed 2^53, double division
+        // would land ±1 µs off true truncation (same pitfall as Tables).
+        raw.withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type ${other.simpleString}; " +
+          "expected INT64 nanos or timestamp")
+    }
+  }
 
   /** Run `out` through an AvailableNow memory sink and return
     * `finish(sinkTable)` materialized as a local relation.
