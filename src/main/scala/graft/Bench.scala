@@ -107,10 +107,11 @@ object Bench {
     // "warm_shares_cache" lists the queries whose warm timing ran against
     // intra-query persisted intermediates (see the flag above): for their
     // standalone cost read the cold column or SCALING.md.
-    val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}"""
+    val scratch = graft.streaming.StreamHarness.scratchRootName
+    val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
     val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"n_warm_shares_cache":${cachedNames.size},"total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}""")
+    println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"n_warm_shares_cache":${cachedNames.size},"stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}""")
     spark.stop()
   }
 }

@@ -20,6 +20,64 @@ object PipelineQueries {
   private def shinglesW(n: Int): String =
     s"[array_to_string(w[i:i+${n - 1}], ' ') FOR i IN range(1, len(w) - ${n - 2})]"
 
+  /** Run-time-derived hyperplane count for q214's LSH-bucket SemDeDup:
+    * stores P per sf dir so the dynamic oracle embeds the SAME planes the
+    * query hashed with (the q207 CohortFit pattern).
+    */
+  private[graft] object SemFit {
+    private val ps = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    def put(dir: String, p: Int): Unit = ps.put(dir, p)
+    def lookup(dir: Option[String]): Option[Int] =
+      dir.flatMap(dd => Option(ps.get(dd)).map(_.toInt)).orElse {
+        if (ps.size == 1) Some(ps.values.iterator.next().toInt) else None
+      }
+  }
+
+  private val SemDedupSeed = 7L
+
+  /** P(N) holds expected bucket size ≈ 32: 2^P ≥ N/32. Bucket sizes stay
+    * CONSTANT as the corpus grows, so the per-bucket all-pairs stage is
+    * linear in N — the knob q212's fixed-label clustering lacks.
+    */
+  private[graft] def semPlanes(n: Long): Int =
+    math.max(1, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+
+  /** DuckDB mirror of q214: hyperplane signature over plane literals for
+    * the stored P, then the q212 SemDeDup verdict within sig buckets.
+    */
+  private def semdedupLshSql(p: Int): String = {
+    val mat = graft.ohlcv.Encode.randomProjectionMatrix(64, p, SemDedupSeed)
+    val sig = mat.zipWithIndex.map { case (pl, i) =>
+      s"(CASE WHEN list_dot_product(emb, ${VectorTextQueries.arrLit(pl)}) >= 0" +
+        s" THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sg AS (SELECT vec_id, emb, $sig AS cluster FROM v),
+       |ps AS (SELECT unnest(generate_series(1, 64)) AS pos),
+       |cp AS (SELECT cluster, pos, ${sqlRound("avg(emb[pos])", 6)} AS cv
+       |  FROM sg, ps GROUP BY 1, 2),
+       |cent AS (SELECT cluster, list(cv ORDER BY pos) AS c FROM cp GROUP BY 1),
+       |asg AS (SELECT s.vec_id, s.cluster,
+       |    ${sqlRound(
+           """list_sum(list_transform(range(1, 65),
+                i -> (s.emb[i]-cent.c[i])*(s.emb[i]-cent.c[i])))""", 6)} AS d2,
+       |    s.emb
+       |  FROM sg s JOIN cent USING (cluster)),
+       |dups AS (SELECT DISTINCT y.vec_id FROM asg x JOIN asg y
+       |  ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+       |  WHERE ${sqlRound(
+           """list_sum(list_transform(range(1, 65), i -> x.emb[i]*y.emb[i])) /
+              (sqrt(list_sum(list_transform(range(1, 65), i -> x.emb[i]*x.emb[i]))) *
+               sqrt(list_sum(list_transform(range(1, 65), i -> y.emb[i]*y.emb[i]))))""",
+           6)} >= 0.35
+       |    AND (x.d2 > y.d2 OR (x.d2 = y.d2 AND x.vec_id < y.vec_id)))
+       |SELECT CAST(a.cluster AS BIGINT) AS cluster, a.vec_id, a.d2,
+       |  CAST(CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |    AS is_dup
+       |FROM asg a LEFT JOIN dups USING (vec_id)
+       |ORDER BY cluster, vec_id""".stripMargin
+  }
+
   private val quality: Seq[Q] = Seq(
     // Gopher-style repetition metrics (Rae et al. 2021 §A1.1): the
     // most-repetitious-2-gram character mass and the duplicated-3-gram
@@ -1475,7 +1533,13 @@ object PipelineQueries {
               |  CAST(CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
               |    AS is_dup
               |FROM asg a LEFT JOIN dups USING (vec_id)
-              |ORDER BY cluster, vec_id""".stripMargin)),
+              |ORDER BY cluster, vec_id""".stripMargin),
+      // The registered clustering is the corpus's 10 labels — FIXED
+      // cardinality, so per-cluster all-pairs grows quadratically in N
+      // (SemDeDup's own regime assumes k ∝ N). q214 is the scale path:
+      // LSH-bucket clusters with P(N) derived at run time keep bucket
+      // sizes constant and every stage linear.
+      scaleLimited = Some("q214_semdedup_lsh")),
 
     // DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
     // importance resampling — score every raw document by how much its
@@ -1539,7 +1603,75 @@ object PipelineQueries {
               |  FROM tb GROUP BY 1, 2)
               |SELECT nb.doc_id, CAST(sum(nb.nb) AS BIGINT) AS n_tokens,
               |  ${sqlRound("CAST(sum(nb.nb * lam.lam_q) AS DOUBLE) / 1e9", 6)} AS weight
-              |FROM nb JOIN lam USING (b) GROUP BY 1 ORDER BY 1""".stripMargin)))
+              |FROM nb JOIN lam USING (b) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q212's SCALE PATH: SemDeDup with LSH-bucket clusters instead of the
+    // corpus's fixed label clustering. Clusters are hyperplane-signature
+    // buckets (P = semPlanes(N) derived from the corpus at run time, so
+    // expected bucket size stays ~32 as N grows); centroids are bucket
+    // means (one linear groupBy — no k×N crossJoin anywhere); the
+    // keep-the-outlier verdict inside each bucket is IDENTICAL to q212's.
+    // 100 TB shape: signature N×P flops, centroid join is a plain
+    // equi-join on the bucket id (AQE broadcasts while 2^P is small,
+    // shuffles when it isn't), pair stage Σ|bucket|² ≈ 32·N — every stage
+    // linear in N. The dynamic oracle embeds the derived-P planes, so the
+    // hash check covers the P(N) wiring itself.
+    Q("q214_semdedup_lsh",
+      (s, d) => {
+        import org.apache.spark.sql.graft.GraftExpressions.{arrayDot, arraySqDiff}
+        val v = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        // The screen's only planning action: one column-pruned count to
+        // derive P(N) (parameter learning, like q207's cohort planes).
+        val n = v.count()
+        val p = semPlanes(n)
+        SemFit.put(d, p)
+        val mat = graft.ohlcv.Encode.randomProjectionMatrix(64, p, SemDedupSeed)
+        val sig = v.withColumn("cluster",
+          graft.sim.Lsh.hyperplaneSignature(col("emb"), mat))
+        val cents = sig
+          .select(col("cluster"), posexplode(col("emb")))
+          .withColumn("pos", col("pos") + 1)
+          .groupBy("cluster", "pos")
+          .agg(pround(avg("col"), 6).as("cv"))
+          .groupBy("cluster")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            x => x.getField("cv")).as("c"))
+        // One materialized assignment (localCheckpoint) feeds both pair
+        // sides and the verdict join — same discipline as q212.
+        val assigned = sig.join(cents, "cluster")
+          .withColumn("d2", pround(arraySqDiff(col("emb"), col("c")), 6))
+          .withColumn("nrm", sqrt(arrayDot(col("emb"), col("emb"))))
+          .select(col("cluster"), col("vec_id"), col("d2"), col("emb"),
+            col("nrm"))
+          .localCheckpoint(true)
+        val a = assigned.select(col("cluster"), col("vec_id").as("ida"),
+          col("d2").as("d2a"), col("emb").as("ea"), col("nrm").as("na"))
+        val b = assigned.select(col("cluster"), col("vec_id").as("idb"),
+          col("d2").as("d2b"), col("emb").as("eb"), col("nrm").as("nb"))
+        val dups = a.join(b, Seq("cluster"))
+          .filter(col("ida") =!= col("idb"))
+          .withColumn("cosr", pround(
+            arrayDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+          .filter(col("cosr") >= 0.35 &&
+            (col("d2a") > col("d2b") ||
+              (col("d2a") === col("d2b") && col("ida") < col("idb"))))
+          .select(col("idb").as("vec_id")).distinct()
+          .withColumn("is_dup", lit(1L))
+        assigned
+          .join(dups, Seq("vec_id"), "left")
+          .select(col("cluster"), col("vec_id"), col("d2"),
+            coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+          .orderBy("cluster", "vec_id")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        SemFit.lookup(Queries.OracleDumpContext.sfDir) match {
+          case Some(p) => semdedupLshSql(p)
+          case None =>
+            "SELECT 'q214 oracle requested before the query ran for this dir' AS err"
+        }
+      }))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
