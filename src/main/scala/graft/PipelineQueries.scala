@@ -1671,7 +1671,67 @@ object PipelineQueries {
           case None =>
             "SELECT 'q214 oracle requested before the query ran for this dir' AS err"
         }
-      }))
+      }),
+
+    // Model-based quality filtering (the fastText-classifier stage of
+    // CCNet/LLaMA-style corpus pipelines, simplified to its distributable
+    // core): a naive-Bayes token model trained ON the corpus itself
+    // (source = 'src0' as the high-quality class — the same proxy split
+    // q209/q110 use for the benchmark side) scores every document as
+    // Σ_tokens count·log-odds. All floats come from the q213 trick —
+    // per-token log-odds are nano-quantized BIGINTs computed from
+    // integer counts, so the per-doc sum is order-free and the only
+    // double appears at the final rounded division. 100 TB shape: one
+    // tokenize pass materialized once, two vocab-sized hash aggregations,
+    // a 1-row totals broadcast, and a vocab equi-join (AQE broadcasts
+    // while the vocab is small; a web-scale vocab shuffles — still one
+    // linear join); no stage is super-linear and the driver sees no rows.
+    Q("q215_nb_quality",
+      (s, d) => {
+        def qln(c: org.apache.spark.sql.Column) =
+          floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+        val nb = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(TextOps.tokens(col("text"))).as("w0"))
+          .select(col("doc_id"), col("source"), lower(col("w0")).as("w"))
+          .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("nb"))
+          .localCheckpoint(true)
+        val byTok = nb.groupBy("w").agg(
+          sum(when(col("source") === "src0", col("nb")).otherwise(0L)).as("chi"),
+          sum(when(col("source") =!= "src0", col("nb")).otherwise(0L)).as("clo"))
+        val totals = byTok.agg(sum("chi").as("thi"), sum("clo").as("tlo"),
+          count(lit(1)).as("v"))
+        val weights = byTok.crossJoin(broadcast(totals))
+          .select(col("w"),
+            (qln(col("chi") + 1) - qln(col("thi") + col("v")) -
+              qln(col("clo") + 1) + qln(col("tlo") + col("v"))).as("lo_q"))
+        nb.join(weights, "w")
+          .groupBy("doc_id")
+          .agg(sum(col("nb")).as("n_tokens"),
+            pround(sum(col("nb") * col("lo_q")).cast("double") / 1e9, 6)
+              .as("nb_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, lower(unnest($sqlToks)) AS w
+              |  FROM documents),
+              |nb AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS nb
+              |  FROM t GROUP BY 1, 2, 3),
+              |bt AS (SELECT w,
+              |    CAST(sum(CASE WHEN source = 'src0' THEN nb ELSE 0 END) AS BIGINT) AS chi,
+              |    CAST(sum(CASE WHEN source <> 'src0' THEN nb ELSE 0 END) AS BIGINT) AS clo
+              |  FROM nb GROUP BY 1),
+              |tot AS (SELECT CAST(sum(chi) AS BIGINT) AS thi,
+              |    CAST(sum(clo) AS BIGINT) AS tlo,
+              |    CAST(count(*) AS BIGINT) AS v FROM bt),
+              |wt AS (SELECT bt.w,
+              |    CAST(floor(ln(bt.chi + 1) * 1e9 + 0.5) AS BIGINT)
+              |    - CAST(floor(ln(tot.thi + tot.v) * 1e9 + 0.5) AS BIGINT)
+              |    - CAST(floor(ln(bt.clo + 1) * 1e9 + 0.5) AS BIGINT)
+              |    + CAST(floor(ln(tot.tlo + tot.v) * 1e9 + 0.5) AS BIGINT) AS lo_q
+              |  FROM bt CROSS JOIN tot)
+              |SELECT nb.doc_id, CAST(sum(nb.nb) AS BIGINT) AS n_tokens,
+              |  ${sqlRound("CAST(sum(nb.nb * wt.lo_q) AS DOUBLE) / 1e9", 6)} AS nb_score
+              |FROM nb JOIN wt USING (w) GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

@@ -39,16 +39,18 @@ class SchemaDriftSpec extends SparkSpec {
     "q137_stream_enrich", "q151_stream_dedup", "q175_stream_holt",
     "q190_late_data", "q201_stream_kalman", "q209_stream_decontam")
 
-  /** sf0.001 twin dir: symlinks for every table except `events`, which is
-    * rewritten with `ts` as raw INT64 epoch-nanos (what the legacy
+  /** sf0.001 twin dir with every plausible writer drift applied at once:
+    * `events.ts` as raw INT64 epoch-nanos (what the legacy
     * TIMESTAMP(NANOS) files arrive as under
-    * `spark.sql.legacy.parquet.nanosAsLong`).
+    * `spark.sql.legacy.parquet.nanosAsLong`), `embeddings.embedding`
+    * widened float→double, `documents.n_chars` narrowed bigint→int.
+    * Values are identical in every twin — only encodings drift.
     */
   private lazy val nanosDir: String = {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft_drift_nanos")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
+      "lineitem").foreach { t =>
       Files.createSymbolicLink(base.resolve(t + ".parquet"),
         Paths.get(stdDir, t + ".parquet"))
     }
@@ -61,6 +63,20 @@ class SchemaDriftSpec extends SparkSpec {
       }.toSeq: _*)
       .coalesce(1)
       .write.parquet(base.resolve("events.parquet").toString)
+    val emb = spark.read.parquet(s"$stdDir/embeddings.parquet")
+    emb.select(emb.schema.fieldNames.map {
+        case "embedding" => col("embedding").cast("array<double>").as("embedding")
+        case other => col(other)
+      }.toSeq: _*)
+      .coalesce(1)
+      .write.parquet(base.resolve("embeddings.parquet").toString)
+    val docs = spark.read.parquet(s"$stdDir/documents.parquet")
+    docs.select(docs.schema.fieldNames.map {
+        case "n_chars" => col("n_chars").cast("int").as("n_chars")
+        case other => col(other)
+      }.toSeq: _*)
+      .coalesce(1)
+      .write.parquet(base.resolve("documents.parquet").toString)
     base.toString
   }
 
