@@ -163,6 +163,9 @@ object ForecastQueries {
       (s, d) => {
         val hc = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
         hc.withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
           .filter(col("r").isNotNull)
           .groupBy("user_id")
@@ -178,7 +181,7 @@ object ForecastQueries {
               |r AS (SELECT user_id,
               |    ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
               |      ORDER BY bucket_s)) AS r
-              |  FROM agg)
+              |  FROM (SELECT * FROM agg WHERE close > 0))
               |SELECT user_id, CAST(count(*) AS BIGINT) AS n_rets,
               |  ${sqlRound("avg(r)", 6)} AS mean_r,
               |  ${sqlRound("stddev_pop(r)", 6)} AS vol,
@@ -305,6 +308,9 @@ object ForecastQueries {
       (s, d) => {
         val hc = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
           .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
           .filter(col("r").isNotNull)
           .withColumn("r_q", floor(col("r") * 1e9 + 0.5).cast("long"))
@@ -327,7 +333,7 @@ object ForecastQueries {
               |r AS (SELECT user_id, bucket_s,
               |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
               |      ORDER BY bucket_s))) * 1e9 + 0.5) AS BIGINT) AS r_q
-              |  FROM agg),
+              |  FROM (SELECT * FROM agg WHERE close > 0)),
               |ev AS (SELECT user_id,
               |    CAST(ceil(epoch(ts) / 3600) * 3600 AS BIGINT) AS ebucket
               |  FROM events WHERE event_type = 'purchase'),
@@ -388,6 +394,9 @@ object ForecastQueries {
       (s, d) => {
         val hc = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
           .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
           .filter(col("r").isNotNull)
           .withColumn("rn", row_number().over(w))
@@ -414,7 +423,7 @@ object ForecastQueries {
       Some(s"""WITH $HourlyCloseCte,
               |r AS (SELECT user_id, bucket_s,
               |    ln(close) - ln(lag(close, 1) OVER uw) AS r
-              |  FROM agg WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+              |  FROM (SELECT * FROM agg WHERE close > 0) WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
               |rr AS (SELECT user_id, bucket_s, r,
               |    row_number() OVER uw AS rn,
               |    count(*) OVER (PARTITION BY user_id) AS n,
@@ -487,6 +496,9 @@ object ForecastQueries {
   private def pairReturns(s: SparkSession, d: String): DataFrame =
     hourlyResampled(s, d, emitEmpty = false)
       .select("user_id", "bucket_s", "close")
+      // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+      // log(0) is NULL) — both engines drop them before the lag.
+      .filter(col("close") > 0)
       .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
       .filter(col("r").isNotNull)
       .withColumn("r_q", floor(col("r") * 1e6 + 0.5).cast("long"))
@@ -629,7 +641,7 @@ object ForecastQueries {
        |r AS (SELECT user_id, bucket_s,
        |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
        |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS r_q
-       |  FROM agg),
+       |  FROM (SELECT * FROM agg WHERE close > 0)),
        |rr0 AS (SELECT user_id, bucket_s, r_q FROM r WHERE r_q IS NOT NULL),
        |dense AS (SELECT user_id FROM rr0 GROUP BY user_id
        |  HAVING count(*) >= $minSupport),
@@ -679,7 +691,7 @@ object ForecastQueries {
               |r AS (SELECT user_id, bucket_s,
               |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
               |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS r_q
-              |  FROM agg),
+              |  FROM (SELECT * FROM agg WHERE close > 0)),
               |rr0 AS (SELECT user_id, bucket_s, r_q FROM r WHERE r_q IS NOT NULL),
               |dense AS (SELECT user_id FROM rr0 GROUP BY user_id
               |  HAVING count(*) >= 8),
@@ -750,6 +762,9 @@ object ForecastQueries {
       (s, d) => {
         val r = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
           .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
           .filter(col("r").isNotNull)
           .withColumn("r_q", floor(col("r") * 1e6 + 0.5).cast("long"))
@@ -785,7 +800,7 @@ object ForecastQueries {
               |r AS (SELECT user_id, bucket_s,
               |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
               |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS r_q
-              |  FROM agg),
+              |  FROM (SELECT * FROM agg WHERE close > 0)),
               |rr AS (SELECT user_id, bucket_s, r_q FROM r WHERE r_q IS NOT NULL),
               |win AS (SELECT user_id, bucket_s, r_q,
               |    count(r_q) OVER f2 AS c2, CAST(sum(r_q) OVER f2 AS BIGINT) AS q2,
@@ -908,6 +923,9 @@ object ForecastQueries {
       (s, d) => {
         val r = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
           .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
           .filter(col("r").isNotNull)
           .withColumn("rn", row_number().over(w))
@@ -932,7 +950,7 @@ object ForecastQueries {
       Some(s"""WITH $HourlyCloseCte,
               |r AS (SELECT user_id, bucket_s,
               |    ln(close) - ln(lag(close, 1) OVER uw) AS r
-              |  FROM agg WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+              |  FROM (SELECT * FROM agg WHERE close > 0) WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
               |rr AS (SELECT user_id, bucket_s, r,
               |    row_number() OVER uw AS rn,
               |    count(*) OVER (PARTITION BY user_id) AS n
@@ -1066,6 +1084,9 @@ object ForecastQueries {
       (s, d) => {
         val r = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
           .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
           .filter(col("r").isNotNull && col("r") =!= 0.0)
           .withColumn("sgn", (col("r") > 0).cast("int"))
@@ -1094,7 +1115,7 @@ object ForecastQueries {
       Some(s"""WITH $HourlyCloseCte,
               |r AS (SELECT user_id, bucket_s,
               |    ln(close) - ln(lag(close, 1) OVER uw) AS r
-              |  FROM agg WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+              |  FROM (SELECT * FROM agg WHERE close > 0) WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
               |sg AS (SELECT user_id, bucket_s,
               |    CASE WHEN r > 0 THEN 1 ELSE 0 END AS sgn
               |  FROM r WHERE r IS NOT NULL AND r <> 0),
@@ -1170,6 +1191,9 @@ object ForecastQueries {
       (s, d) => {
         val hc = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
           .withColumn("c_q", floor(col("close") * 1e6 + 0.5).cast("long"))
           .withColumn("r_q",
             floor((log(col("close")) - log(lag(col("close"), 1).over(w))) * 1e9 + 0.5)
@@ -1198,7 +1222,7 @@ object ForecastQueries {
               |    CAST(floor(close * 1e6 + 0.5) AS BIGINT) AS c_q,
               |    CAST(floor((ln(close) - ln(lag(close, 1) OVER uw)) * 1e9 + 0.5)
               |      AS BIGINT) AS r_q
-              |  FROM agg WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
+              |  FROM (SELECT * FROM agg WHERE close > 0) WINDOW uw AS (PARTITION BY user_id ORDER BY bucket_s)),
               |sg AS (SELECT user_id, bucket_s, r_q,
               |    CASE WHEN count(c_q) OVER f12 = 12
               |      AND CAST(sum(c_q) OVER f3 AS BIGINT) * 4 >
@@ -1232,6 +1256,9 @@ object ForecastQueries {
       (s, d) => {
         val r = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
           .withColumn("r_q",
             floor((log(col("close")) - log(lag(col("close"), 1).over(w))) * 1e9 + 0.5)
               .cast("long"))
@@ -1247,7 +1274,7 @@ object ForecastQueries {
               |r AS (SELECT user_id, bucket_s,
               |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
               |      ORDER BY bucket_s))) * 1e9 + 0.5) AS BIGINT) AS r_q
-              |  FROM agg),
+              |  FROM (SELECT * FROM agg WHERE close > 0)),
               |x AS (SELECT (CAST(floor(bucket_s / 86400) AS BIGINT) + 3) % 7 AS dow,
               |    r_q FROM r WHERE r_q IS NOT NULL)
               |SELECT dow, CAST(count(*) AS BIGINT) AS n_obs,
@@ -1338,6 +1365,9 @@ object ForecastQueries {
       (s, d) => {
         val r = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
           .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
           .filter(col("r").isNotNull)
         val vols = r.groupBy("user_id")
@@ -1357,7 +1387,7 @@ object ForecastQueries {
               |r AS (SELECT user_id, bucket_s,
               |    ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
               |      ORDER BY bucket_s)) AS r
-              |  FROM agg),
+              |  FROM (SELECT * FROM agg WHERE close > 0)),
               |rr AS (SELECT user_id, bucket_s, r FROM r WHERE r IS NOT NULL),
               |v AS (SELECT user_id, ${sqlRound("stddev_pop(r)", 6)} AS vol
               |  FROM rr GROUP BY user_id HAVING ${sqlRound("stddev_pop(r)", 6)} > 0),
@@ -1462,6 +1492,9 @@ object ForecastQueries {
       (s, d) => {
         val r = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
           .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
           .filter(col("r").isNotNull)
           .withColumn("a_q", floor(abs(col("r")) * 1e9 + 0.5).cast("long"))
@@ -1491,7 +1524,7 @@ object ForecastQueries {
               |r AS (SELECT user_id, bucket_s,
               |    CAST(floor(abs(ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
               |      ORDER BY bucket_s))) * 1e9 + 0.5) AS BIGINT) AS a_q
-              |  FROM agg),
+              |  FROM (SELECT * FROM agg WHERE close > 0)),
               |rr AS (SELECT user_id, bucket_s, a_q FROM r WHERE a_q IS NOT NULL),
               |ev AS (SELECT DISTINCT user_id,
               |    CAST(ceil(epoch(ts) / 3600) * 3600 AS BIGINT) + 3600 AS bucket_s
@@ -1536,6 +1569,9 @@ object ForecastQueries {
         val epochs = 5
         val r = hourlyResampled(s, d, emitEmpty = false)
           .select("user_id", "bucket_s", "close")
+          // Zero prices break log-returns (DuckDB ln(0) errors; Spark
+          // log(0) is NULL) — both engines drop them before the lag.
+          .filter(col("close") > 0)
           .withColumn("r", log(col("close")) - log(lag(col("close"), 1).over(w)))
           .filter(col("r").isNotNull)
           .withColumn("rq", floor(col("r") * 1e6 + 0.5).cast("long"))
@@ -1612,7 +1648,7 @@ object ForecastQueries {
            |r AS (SELECT user_id, bucket_s,
            |    CAST(floor((ln(close) - ln(lag(close, 1) OVER (PARTITION BY user_id
            |      ORDER BY bucket_s))) * 1e6 + 0.5) AS BIGINT) AS rq
-           |  FROM agg),
+           |  FROM (SELECT * FROM agg WHERE close > 0)),
            |rr AS (SELECT user_id, bucket_s, rq,
            |    lead(rq, 1) OVER (PARTITION BY user_id ORDER BY bucket_s) AS yq
            |  FROM r WHERE rq IS NOT NULL),
