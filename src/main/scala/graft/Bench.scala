@@ -40,7 +40,9 @@ object Bench {
     "q161_asof_native", "q163_holt", "q168_passage_dedup",
     "q170_seasonal", "q174_ar1_forecast", "q180_holt_winters",
     "q186_hist_quantile", "q191_ivfpq_rerank", "q196_sma_backtest",
-    "q199_ivol_portfolio")
+    "q199_ivol_portfolio", "q204_flagship_pca", "q206_exact_substr",
+    "q207_pair_corr_lsh", "q209_stream_decontam", "q212_semdedup",
+    "q213_dsir_weights", "q214_semdedup_lsh", "q215_nb_quality")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")
