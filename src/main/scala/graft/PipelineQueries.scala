@@ -1738,7 +1738,69 @@ object PipelineQueries {
               |  FROM bt CROSS JOIN tot)
               |SELECT nb.doc_id, CAST(sum(nb.nb) AS BIGINT) AS n_tokens,
               |  ${sqlRound("CAST(sum(nb.nb * wt.lo_q) AS DOUBLE) / 1e9", 6)} AS nb_score
-              |FROM nb JOIN wt USING (w) GROUP BY 1 ORDER BY 1""".stripMargin)))
+              |FROM nb JOIN wt USING (w) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PMI collocations: the classic corpus-linguistics screen for
+    // multi-word expressions — pointwise mutual information of adjacent
+    // token pairs, PMI = ln(p(w1w2) / (p(w1)p(w2))) with a count floor so
+    // rare accidents don't dominate. Every ln argument is an exact
+    // integer count, each term nano-quantized (q213 trick), so the score
+    // and the ORDER BY (on the exact quantized sum, keys as tie-break)
+    // are engine-independent. Shape: one bigram aggregate + one unigram
+    // aggregate (both corpus-linear, map-side combined), marginals join
+    // back via broadcast (vocab-sized), totals as a 1-row broadcast —
+    // the same 100 TB posture as q187/q215.
+    Q("q216_pmi_collocations",
+      (s, d) => {
+        def qln(c: org.apache.spark.sql.Column) =
+          floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val bg = toks.select(explode(expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> named_struct('w1', element_at(toks, i), " +
+              "'w2', element_at(toks, i + 1)))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5)
+        val uni = toks.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val totals = bg.agg(count(lit(1)).as("nb"))
+          .crossJoin(uni.agg(sum(col("c1")).as("nt")))
+        c2.join(broadcast(uni.select(col("w").as("w1"), col("c1").as("ca"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("cb"))), "w2")
+          .crossJoin(broadcast(totals))
+          .withColumn("pmi_q",
+            qln(col("c12")) - qln(col("nb")) - qln(col("ca")) -
+              qln(col("cb")) + lit(2L) * qln(col("nt")))
+          .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+          .limit(25)
+          .select(col("w1"), col("w2"), col("c12"),
+            pround(col("pmi_q").cast("double") / 1e9, 6).as("pmi"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              |tt AS (SELECT toks FROM t WHERE len(toks) >= 2),
+              |bg AS (SELECT unnest([{'w1': toks[i], 'w2': toks[i + 1]}
+              |      FOR i IN range(1, len(toks))], recursive := true) FROM tt),
+              |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+              |uni AS (SELECT unnest(toks) AS w FROM tt),
+              |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+              |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg) AS nb,
+              |    (SELECT CAST(count(*) AS BIGINT) FROM uni) AS nt),
+              |sc AS (SELECT c2.w1, c2.w2, c2.c12,
+              |    CAST(floor(ln(c2.c12) * 1e9 + 0.5) AS BIGINT)
+              |    - CAST(floor(ln(tot.nb) * 1e9 + 0.5) AS BIGINT)
+              |    - CAST(floor(ln(ca.c1) * 1e9 + 0.5) AS BIGINT)
+              |    - CAST(floor(ln(cb.c1) * 1e9 + 0.5) AS BIGINT)
+              |    + 2 * CAST(floor(ln(tot.nt) * 1e9 + 0.5) AS BIGINT) AS pmi_q
+              |  FROM c2
+              |  JOIN c1 ca ON ca.w = c2.w1
+              |  JOIN c1 cb ON cb.w = c2.w2
+              |  CROSS JOIN tot)
+              |SELECT w1, w2, c12, ${sqlRound("CAST(pmi_q AS DOUBLE) / 1e9", 6)} AS pmi
+              |FROM sc ORDER BY pmi_q DESC, w1, w2 LIMIT 25""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
