@@ -58,4 +58,71 @@ class CurationSpec extends SparkSpec {
     assert(w.filter(col("weight").isNull || isnan(col("weight"))).count() == 0)
     w.unpersist()
   }
+
+  test("q214: partition of the corpus, flags 0/1, no bucket emptied") {
+    val out = q("q214_semdedup_lsh").cache()
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(out.count() == n)
+    assert(out.select("vec_id").distinct().count() == n)
+    val flags = out.select("is_dup").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flags.subsetOf(Set(0L, 1L)))
+    out.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("is_dup")).as("d"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) < r.getLong(1),
+          s"bucket ${r.get(0)}: all ${r.getLong(1)} members marked dup")
+      }
+    out.unpersist()
+  }
+
+  test("q214: P(N) holds expected bucket size ~32 as N grows") {
+    import graft.PipelineQueries.semPlanes
+    // 2^P >= N/32 (bucket size bounded) without overshooting by more
+    // than one doubling (buckets don't degenerate to singletons).
+    Seq(100L, 2000L, 64000L, 1000000L, 100000000L).foreach { n =>
+      val p = semPlanes(n)
+      assert((1L << p) * 32 >= n, s"N=$n P=$p: buckets too big")
+      assert(p == 1 || (1L << (p - 1)) * 32 < n, s"N=$n P=$p: overshoot")
+    }
+    // Monotone: more data never means fewer planes.
+    val ps = Seq(10L, 100L, 1000L, 10000L, 100000L).map(semPlanes)
+    assert(ps == ps.sorted)
+  }
+
+  test("q215: NB scores separate the training classes") {
+    val w = q("q215_nb_quality").cache()
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source")
+    val bySrc = w.join(docs, "doc_id")
+      .groupBy(col("source") === "src0").agg(avg("nb_score"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // The model is trained with src0 as the positive class; its own
+    // training docs must average a higher log-odds score.
+    assert(bySrc(true) > bySrc(false),
+      s"src0 avg ${bySrc(true)} should exceed rest avg ${bySrc(false)}")
+    assert(w.filter(col("nb_score").isNull || isnan(col("nb_score"))).count() == 0)
+    w.unpersist()
+  }
+
+  test("q216: top-25 PMI pairs are real adjacent bigrams above the floor") {
+    val out = q("q216_pmi_collocations").cache()
+    assert(out.count() <= 25)
+    assert(out.filter(col("c12") < 5).count() == 0)
+    // Non-increasing PMI in the returned order (orderBy is part of the
+    // contract; re-sorting here would mask a broken ORDER BY).
+    val pmis = out.collect().map(_.getAs[Double]("pmi")).toSeq
+    assert(pmis == pmis.sorted.reverse, "pmi not non-increasing")
+    // Every returned pair occurs adjacently in the corpus.
+    val toks = graft.Tables.documents(spark, sf)
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks.select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', element_at(toks, i), " +
+          "'w2', element_at(toks, i + 1)))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2")).distinct()
+    assert(out.join(bigrams, Seq("w1", "w2"), "left_anti").count() == 0,
+      "returned pair never occurs adjacently in the corpus")
+    out.unpersist()
+  }
 }
