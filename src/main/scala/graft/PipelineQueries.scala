@@ -1800,7 +1800,47 @@ object PipelineQueries {
               |  JOIN c1 cb ON cb.w = c2.w2
               |  CROSS JOIN tot)
               |SELECT w1, w2, c12, ${sqlRound("CAST(pmi_q AS DOUBLE) / 1e9", 6)} AS pmi
-              |FROM sc ORDER BY pmi_q DESC, w1, w2 LIMIT 25""".stripMargin)))
+              |FROM sc ORDER BY pmi_q DESC, w1, w2 LIMIT 25""".stripMargin)),
+
+    // Token-budget sampling: "take ~B tokens per domain" — the budgeted
+    // corpus-mixing step (distinct from q113's rate sampling and q129's
+    // mixture weights). Docs take a deterministic hash priority, and
+    // each source keeps its priority-ordered prefix while the running
+    // token sum stays within budget — so the selection is reproducible
+    // on any cluster layout and never splits a document. All integer:
+    // token counts are exact BIGINTs, the running sum is one window over
+    // the (source, priority) order. 100 TB shape: one shuffle on source
+    // (the window's partition key), no driver state; a skewed giant
+    // source bounds its own cost because the budget cuts the prefix.
+    Q("q217_token_budget_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 500L
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+            (TextOps.md5Hash60(concat(lit("budget:"),
+              col("doc_id").cast("string")))).as("pri"))
+        val wsrc = Window.partitionBy("source").orderBy(col("pri"), col("doc_id"))
+        docs
+          .withColumn("cum", sum(col("n_tokens"))
+            .over(wsrc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum") <= budget)
+          .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"))
+          .orderBy("source", "cum")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+              |    ${sqlHash60("'budget:' || CAST(doc_id AS VARCHAR)")} AS pri
+              |  FROM documents),
+              |c AS (SELECT source, doc_id, n_tokens,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY source
+              |      ORDER BY pri, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS cum
+              |  FROM t)
+              |SELECT source, doc_id, n_tokens, cum
+              |FROM c WHERE cum <= 500 ORDER BY source, cum""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

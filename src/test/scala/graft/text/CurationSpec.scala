@@ -125,4 +125,40 @@ class CurationSpec extends SparkSpec {
       "returned pair never occurs adjacently in the corpus")
     out.unpersist()
   }
+
+  test("q217: kept set is the maximal hash-priority prefix per source") {
+    val out = q("q217_token_budget_sample").cache()
+    // Within budget, and each source's cum actually tracks its own
+    // ordered token sums (prefix-sum consistency).
+    assert(out.filter(col("cum") > 500).count() == 0)
+    val perSrc = out.groupBy("source")
+      .agg(sum("n_tokens").as("tok_sum"), max("cum").as("cum_max"))
+      .collect()
+    perSrc.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"source ${r.getString(0)}: token sum ${r.getLong(1)} != max cum ${r.getLong(2)}"))
+    // Maximality: every excluded doc would push its source past budget
+    // when appended after the kept prefix — i.e. for each source, the
+    // kept set is not just valid but the LONGEST valid prefix. Rebuild
+    // the priority order independently and check the first excluded row.
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.md5Hash60(concat(lit("budget:"),
+          col("doc_id").cast("string"))).as("pri"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("pri"), col("doc_id"))
+    val firstExcluded = docs
+      .withColumn("cum", sum(col("n_tokens"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("cum") > 500)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("cum"))))
+      .filter(col("rn") === 1)
+    firstExcluded.collect().foreach { r =>
+      assert(r.getAs[Long]("cum") > 500,
+        s"source ${r.getAs[String]("source")}: prefix not maximal")
+    }
+    out.unpersist()
+  }
 }
