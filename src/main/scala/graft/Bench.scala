@@ -42,7 +42,8 @@ object Bench {
     "q186_hist_quantile", "q191_ivfpq_rerank", "q196_sma_backtest",
     "q199_ivol_portfolio", "q204_flagship_pca", "q206_exact_substr",
     "q207_pair_corr_lsh", "q209_stream_decontam", "q212_semdedup",
-    "q213_dsir_weights", "q214_semdedup_lsh", "q215_nb_quality")
+    "q213_dsir_weights", "q214_semdedup_lsh", "q215_nb_quality",
+    "q216_pmi_collocations", "q217_token_budget_sample")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")
