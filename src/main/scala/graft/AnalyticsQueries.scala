@@ -234,9 +234,10 @@ object AnalyticsQueries {
               |FROM e ORDER BY user_id, valid_from, event_id""".stripMargin)),
 
     // Equi-depth (ntile) histogram of event values: the EXACT form — a
-    // global sort, the right tool up to the scale where q64's
-    // approx-percentile sketch takes over. Only selection/count outputs
-    // (no cross-engine float folds).
+    // global sort, the right tool up to the scale where a quantile
+    // sketch takes over (q186's histogram-sketch quantile is the
+    // registered, fully aggregation-shaped path; see scaleLimited).
+    // Only selection/count outputs (no cross-engine float folds).
     Q("q135_ntile_histogram",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -256,7 +257,14 @@ object AnalyticsQueries {
               |FROM (SELECT event_id, value,
               |    ntile(10) OVER (ORDER BY value, event_id) AS decile
               |  FROM events)
-              |GROUP BY decile ORDER BY decile""".stripMargin)))
+              |GROUP BY decile ORDER BY decile""".stripMargin),
+      // An exact ntile is inherently one global sort window; past the
+      // scale where that sort fits, q186's histogram-sketch quantile —
+      // an ordinary two-level hash aggregation, no sort, no per-group
+      // value buffer (q64's exact percentile still buffers a group's
+      // values) — is the registered alternative (machine-checked by
+      // ScaleAnnotationSpec).
+      scaleLimited = Some("q186_hist_quantile")))
 
   private val rangeJoin: Seq[Q] = Seq(
     // Generic non-equi interval join via the lossless bucketed-overlap
@@ -419,11 +427,21 @@ object AnalyticsQueries {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
           .select(col("doc_id"), col("pos"), col("col").as("tok"))
-        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
-          .withColumn("id",
-            row_number().over(Window.orderBy(desc("freq"), asc("tok"))))
-          .filter(col("id") <= 32)
-          .select("tok", "id")
+        // Top-32 FIRST (orderBy+limit → TakeOrderedAndProject, a fully
+        // parallel partial top-k — no single-partition window over the
+        // web-scale distinct-token frame), THEN assign ids driver-side:
+        // the collect is constant-size by the limit directly above, and
+        // zipWithIndex over the already-ordered 32 rows avoids even the
+        // 32-row unpartitioned WindowExec. Identical total order (freq
+        // DESC, tok ASC) ⇒ identical ids ⇒ identical hashes.
+        val vocab = {
+          import s.implicits._
+          toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+            .orderBy(desc("freq"), asc("tok")).limit(32)
+            .collect().map(_.getString(0))
+            .zipWithIndex.map { case (t, i) => (t, i + 1) }
+            .toSeq.toDF("tok", "id")
+        }
         toks.join(broadcast(vocab), Seq("tok"), "left")
           .select(col("doc_id"), col("pos"),
             coalesce(col("id"), lit(0)).cast("long").as("token_id"))

@@ -61,6 +61,66 @@ object ExtraQueries {
   private[graft] def fitModulus(users: Long, targetUsers: Long = 215L): Long =
     math.max(7L, (users + targetUsers - 1) / targetUsers)
 
+  // Flagship constants shared by the flagship Q block and q204Pipeline.
+  private[graft] val FlagSeqLen = 24
+  private[graft] val FlagPred = 12
+  private[graft] val FlagStride = 24
+  private[graft] val FlagDim = 6
+
+  /** q204's exact registered pipeline, with optional per-stage wall-time
+    * capture (used by Bench's post-suite q204 profile — round-8 verdict
+    * item 1: the driver bench measured 36.4 s warm vs a 2.9 s local
+    * minimum, and the artifact must attribute the gap to a NAMED stage).
+    * Stages recorded when `stages` is non-null: `users_count` (the
+    * fit-modulus distinct count), `fit` (window pipeline + MLlib PCA),
+    * `artifact` (S5 matrix save/load round-trip). The returned frame is
+    * lazy — the caller times its action as the `search` stage.
+    */
+  def q204Pipeline(s: SparkSession, d: String,
+      stages: scala.collection.mutable.Map[String, Double] = null): DataFrame = {
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (stages != null) stages(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+    // Fit pass: sample at the SERIES level so the key filter prunes
+    // before the window pipeline even runs, then thin rows with an
+    // explicit fraction (no count() pass, no persist of the wide z-array
+    // frame). The user modulus is derived from the corpus (one
+    // column-pruned distinct-count, the same planning action q207 pays)
+    // so the fit SAMPLE IS CAPPED at ~215 series regardless of corpus
+    // size — a 24-dim covariance converges long before that — instead of
+    // growing as a fixed 1-in-7 fraction. At the verify/bench corpora
+    // (U ≤ 1500) the modulus is exactly the historical 7, so hashes are
+    // unchanged; the cap engages only past ~1500 users.
+    val users = timed("users_count") {
+      Tables.events(s, d).select("user_id").distinct().count()
+    }
+    val fitted = timed("fit") {
+      val zwins = Windows.slidingZscored(
+        Flagship.filledSeries(s, d)
+          .filter(col("user_id") % lit(fitModulus(users)) === 0),
+        "user_id", "idx", "close", FlagSeqLen)
+        .filter(col("scale") > 1e-6)
+        .select(col("zvalues").cast("array<double>").as("z"))
+      Encode.pcaMatrix(zwins, "z", FlagSeqLen, FlagDim,
+        sampleFraction = Some(0.35))
+    }
+    val m = timed("artifact") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q204").toString + "/pca_matrix"
+      Encode.saveMatrix(s, fitted, path)
+      Encode.loadMatrix(s, path)
+    }
+    PcaFit.put(d, m)
+    Flagship.scoredQueries(s, d, metric = "l1", seqLen = FlagSeqLen,
+      predWindow = FlagPred, stride = FlagStride, k = 2, embedDim = FlagDim,
+      projection = Some(m))
+      .select(col("q_key"), col("q_start"),
+        pround(col("mae_err"), 6).as("mae_err"))
+      .orderBy("q_key", "q_start")
+  }
+
   /** DuckDB L1 over two list expressions (numeric struct indices —
     * list_zip yields unnamed structs).
     */
@@ -610,10 +670,10 @@ object ExtraQueries {
   // ------------------------------------------------------------------
 
   private val flagship: Seq[Q] = {
-    val SeqLen = 24
-    val Pred = 12
-    val Stride = 24
-    val Dim = 6
+    val SeqLen = FlagSeqLen
+    val Pred = FlagPred
+    val Stride = FlagStride
+    val Dim = FlagDim
     val Bucket = SeqLen / Dim
     val meanPool = (0 until Dim).map { i =>
       s"list_sum(z[(${i * Bucket} + 1):(${i * Bucket} + $Bucket)]) / $Bucket"
@@ -726,40 +786,7 @@ object ExtraQueries {
       // the hash check covers fit, artifact round-trip, AND the learned
       // projection's downstream search/forecast math.
       Q("q204_flagship_pca",
-        (s, d) => {
-          import graft.ohlcv.Windows
-          // Fit pass: sample at the SERIES level so the key filter
-          // prunes before the window pipeline even runs, then thin rows
-          // with an explicit fraction (no count() pass, no persist of
-          // the wide z-array frame). The user modulus is derived from
-          // the corpus (one column-pruned distinct-count, the same
-          // planning action q207 pays) so the fit SAMPLE IS CAPPED at
-          // ~215 series regardless of corpus size — a 24-dim covariance
-          // converges long before that — instead of growing as a fixed
-          // 1-in-7 fraction. At the verify/bench corpora (U ≤ 1500) the
-          // modulus is exactly the historical 7, so hashes are
-          // unchanged; the cap engages only past ~1500 users.
-          val users = Tables.events(s, d).select("user_id").distinct().count()
-          val zwins = Windows.slidingZscored(
-            Flagship.filledSeries(s, d)
-              .filter(col("user_id") % lit(fitModulus(users)) === 0),
-            "user_id", "idx", "close", SeqLen)
-            .filter(col("scale") > 1e-6)
-            .select(col("zvalues").cast("array<double>").as("z"))
-          val fitted = Encode.pcaMatrix(zwins, "z", SeqLen, Dim,
-            sampleFraction = Some(0.35))
-          val path = java.nio.file.Files
-            .createTempDirectory("graft_q204").toString + "/pca_matrix"
-          Encode.saveMatrix(s, fitted, path)
-          val m = Encode.loadMatrix(s, path)
-          PcaFit.put(d, m)
-          Flagship.scoredQueries(s, d, metric = "l1", seqLen = SeqLen,
-            predWindow = Pred, stride = Stride, k = 2, embedDim = Dim,
-            projection = Some(m))
-            .select(col("q_key"), col("q_start"),
-              pround(col("mae_err"), 6).as("mae_err"))
-            .orderBy("q_key", "q_start")
-        },
+        (s, d) => q204Pipeline(s, d),
         oracle = None,
         oracleDyn = Some { () =>
           PcaFit.lookup(Queries.OracleDumpContext.sfDir) match {

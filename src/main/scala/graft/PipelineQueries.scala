@@ -1827,7 +1827,10 @@ object PipelineQueries {
             .over(wsrc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .filter(col("cum") <= budget)
           .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"))
-          .orderBy("source", "cum")
+          // doc_id breaks (source, cum) ties: a zero-token document (empty
+          // text) leaves cum unchanged, so without it the output order —
+          // and the cross-engine hash — would be ambiguous.
+          .orderBy("source", "cum", "doc_id")
       },
       Some(s"""WITH t AS (SELECT doc_id, source,
               |    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
@@ -1840,7 +1843,7 @@ object PipelineQueries {
               |      AS BIGINT) AS cum
               |  FROM t)
               |SELECT source, doc_id, n_tokens, cum
-              |FROM c WHERE cum <= 500 ORDER BY source, cum""".stripMargin)))
+              |FROM c WHERE cum <= 500 ORDER BY source, cum, doc_id""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

@@ -136,10 +136,10 @@ class CurationSpec extends SparkSpec {
       .collect()
     perSrc.foreach(r => assert(r.getLong(1) == r.getLong(2),
       s"source ${r.getString(0)}: token sum ${r.getLong(1)} != max cum ${r.getLong(2)}"))
-    // Maximality: every excluded doc would push its source past budget
-    // when appended after the kept prefix — i.e. for each source, the
-    // kept set is not just valid but the LONGEST valid prefix. Rebuild
-    // the priority order independently and check the first excluded row.
+    // Maximality AND exactness: recompute the kept set independently
+    // (same priority order, same prefix sum) and require `out` to equal
+    // it row-for-row — an under-filled budget (e.g. cutting at 400) or
+    // an extra row both fail the two anti-joins.
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
@@ -147,18 +147,16 @@ class CurationSpec extends SparkSpec {
           col("doc_id").cast("string"))).as("pri"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("pri"), col("doc_id"))
-    val firstExcluded = docs
+    val expected = docs
       .withColumn("cum", sum(col("n_tokens"))
         .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .filter(col("cum") > 500)
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("source")
-          .orderBy(col("cum"))))
-      .filter(col("rn") === 1)
-    firstExcluded.collect().foreach { r =>
-      assert(r.getAs[Long]("cum") > 500,
-        s"source ${r.getAs[String]("source")}: prefix not maximal")
-    }
+      .filter(col("cum") <= 500)
+      .select("source", "doc_id", "n_tokens", "cum")
+    assert(expected.count() > 0, "recomputed kept set is empty — vacuous test")
+    assert(out.join(expected, Seq("source", "doc_id", "n_tokens", "cum"),
+      "left_anti").count() == 0, "query kept a row the recomputed set excludes")
+    assert(expected.join(out, Seq("source", "doc_id", "n_tokens", "cum"),
+      "left_anti").count() == 0, "query dropped a row the recomputed set keeps")
     out.unpersist()
   }
 }
