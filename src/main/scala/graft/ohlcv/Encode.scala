@@ -81,12 +81,19 @@ object Encode {
   /** Fixed linear projection `arr · M` (inLen → outDim) with a literal
     * projection matrix — the PCA/ random-projection family. The matrix is
     * broadcast as literals inside the plan; rows never leave executors.
+    *
+    * Each component is a native codegen'd [[org.apache.spark.sql.graft.ArrayDot]]
+    * against a constant-folded literal row — a bare primitive loop in the
+    * generated code — instead of the interpreted HOF chain
+    * `aggregate(zip_with(...))` (same sequential summation order, so
+    * results and the DuckDB `list_dot_product` oracle stay bit-identical;
+    * measured ~2× on q204's uncached transform+search stage).
     */
   def linearProject(arr: Column, matrix: Array[Array[Double]]): Column = {
-    val rows = matrix.map(r => array(r.map(lit): _*))
-    val cols = array(rows.toIndexedSeq: _*)
-    transform(cols, row =>
-      aggregate(zip_with(arr, row, (x, w) => x * w), lit(0.0), (a, x) => a + x))
+    import org.apache.spark.sql.graft.GraftExpressions.arrayDot
+    array(matrix.toIndexedSeq.map { r =>
+      arrayDot(arr, array(r.toIndexedSeq.map(lit): _*))
+    }: _*)
   }
 
   /** Deterministic pseudo-random projection matrix (outDim × inLen) seeded
@@ -158,6 +165,17 @@ object Encode {
     }
     val mat = new RowMatrix(rows)
     val pc = mat.computePrincipalComponents(outDim) // inLen × outDim
-    Array.tabulate(outDim, inLen)((i, j) => pc(j, i))
+    // Quantize the fitted components to 1e-9: the covariance treeAggregate
+    // sums in task-completion order, so refitting the same data can drift
+    // the raw components by ~1e-13 ulps run to run. Under quantization the
+    // FIT IS REPRODUCIBLE — same data ⇒ bit-identical artifact on any
+    // cluster layout — which also makes the projection's plan literals
+    // identical across re-runs, so Spark's cache manager recognizes a
+    // refit pipeline as the already-persisted plan instead of rebuilding
+    // it (a re-fit whose literals drift one ulp invalidates every
+    // downstream cached frame). 1e-9 is ~4 orders above the drift and ~7
+    // below the components' scale; the dynamic oracle reads the same
+    // quantized values, so parity is unaffected.
+    Array.tabulate(outDim, inLen)((i, j) => math.rint(pc(j, i) * 1e9) / 1e9)
   }
 }
