@@ -43,7 +43,9 @@ object Bench {
     "q199_ivol_portfolio", "q204_flagship_pca", "q206_exact_substr",
     "q207_pair_corr_lsh", "q209_stream_decontam", "q212_semdedup",
     "q213_dsir_weights", "q214_semdedup_lsh", "q215_nb_quality",
-    "q216_pmi_collocations", "q217_token_budget_sample")
+    "q216_pmi_collocations", "q217_token_budget_sample",
+    "q218_ngram_diversity", "q219_quality_budget_sample",
+    "q220_cluster_sample")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")

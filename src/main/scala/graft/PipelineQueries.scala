@@ -42,6 +42,71 @@ object PipelineQueries {
   private[graft] def semPlanes(n: Long): Int =
     math.max(1, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
 
+  /** Per-doc naive-Bayes quality scores — the shared core of q215 (the
+    * CCNet-style classifier stage) and q219 (quality-first budget
+    * selection). Returns (doc_id, source, n_tokens, score_q) where
+    * score_q = Σ_tokens count·log-odds in exact nano-quantized BIGINTs
+    * (the q213 trick), so both the score AND any ordering built on it are
+    * order-free and engine-independent. 100 TB shape: one tokenize pass
+    * materialized once (localCheckpoint), two vocab-sized hash
+    * aggregations, a 1-row totals broadcast, and a vocab equi-join —
+    * the weights side is vocab-sized (orders of magnitude under the
+    * corpus in any NB model; 399 rows at the 30× octave) so the scoring
+    * join broadcasts: the corpus side never shuffles and the per-doc
+    * aggregation feeds on map-side partials (measured 5.3 → 2.2 s at
+    * 30×). A vocabulary too large to broadcast (hundreds of MB) should
+    * drop the hint and let the equi-join shuffle — same rows either way.
+    */
+  private def nbDocScores(s: SparkSession, d: String): DataFrame = {
+    def qln(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
+    val nb = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("w0"))
+      .select(col("doc_id"), col("source"), lower(col("w0")).as("w"))
+      .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("nb"))
+      .localCheckpoint(true)
+    val byTok = nb.groupBy("w").agg(
+      sum(when(col("source") === "src0", col("nb")).otherwise(0L)).as("chi"),
+      sum(when(col("source") =!= "src0", col("nb")).otherwise(0L)).as("clo"))
+    val totals = byTok.agg(sum("chi").as("thi"), sum("clo").as("tlo"),
+      count(lit(1)).as("v"))
+    val weights = byTok.crossJoin(broadcast(totals))
+      .select(col("w"),
+        (qln(col("chi") + 1) - qln(col("thi") + col("v")) -
+          qln(col("clo") + 1) + qln(col("tlo") + col("v"))).as("lo_q"))
+    nb.join(broadcast(weights), "w")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("nb")).as("n_tokens"),
+        sum(col("nb") * col("lo_q")).as("score_q"))
+  }
+
+  /** DuckDB mirror of [[nbDocScores]]: CTE chain ending in
+    * `ds(doc_id, source, n_tokens, score_q)`.
+    */
+  private val nbScoreSqlCtes: String =
+    s"""t AS (SELECT doc_id, source, lower(unnest($sqlToks)) AS w
+       |  FROM documents),
+       |nb AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS nb
+       |  FROM t GROUP BY 1, 2, 3),
+       |bt AS (SELECT w,
+       |    CAST(sum(CASE WHEN source = 'src0' THEN nb ELSE 0 END) AS BIGINT) AS chi,
+       |    CAST(sum(CASE WHEN source <> 'src0' THEN nb ELSE 0 END) AS BIGINT) AS clo
+       |  FROM nb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(chi) AS BIGINT) AS thi,
+       |    CAST(sum(clo) AS BIGINT) AS tlo,
+       |    CAST(count(*) AS BIGINT) AS v FROM bt),
+       |wt AS (SELECT bt.w,
+       |    CAST(floor(ln(bt.chi + 1) * 1e9 + 0.5) AS BIGINT)
+       |    - CAST(floor(ln(tot.thi + tot.v) * 1e9 + 0.5) AS BIGINT)
+       |    - CAST(floor(ln(bt.clo + 1) * 1e9 + 0.5) AS BIGINT)
+       |    + CAST(floor(ln(tot.tlo + tot.v) * 1e9 + 0.5) AS BIGINT) AS lo_q
+       |  FROM bt CROSS JOIN tot),
+       |ds AS (SELECT nb.doc_id, nb.source,
+       |    CAST(sum(nb.nb) AS BIGINT) AS n_tokens,
+       |    CAST(sum(nb.nb * wt.lo_q) AS BIGINT) AS score_q
+       |  FROM nb JOIN wt USING (w) GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB mirror of q214: hyperplane signature over plane literals for
     * the stored P, then the q212 SemDeDup verdict within sig buckets.
     */
@@ -1687,58 +1752,15 @@ object PipelineQueries {
     // while the vocab is small; a web-scale vocab shuffles — still one
     // linear join); no stage is super-linear and the driver sees no rows.
     Q("q215_nb_quality",
-      (s, d) => {
-        def qln(c: org.apache.spark.sql.Column) =
-          floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
-        val nb = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            explode(TextOps.tokens(col("text"))).as("w0"))
-          .select(col("doc_id"), col("source"), lower(col("w0")).as("w"))
-          .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("nb"))
-          .localCheckpoint(true)
-        val byTok = nb.groupBy("w").agg(
-          sum(when(col("source") === "src0", col("nb")).otherwise(0L)).as("chi"),
-          sum(when(col("source") =!= "src0", col("nb")).otherwise(0L)).as("clo"))
-        val totals = byTok.agg(sum("chi").as("thi"), sum("clo").as("tlo"),
-          count(lit(1)).as("v"))
-        val weights = byTok.crossJoin(broadcast(totals))
-          .select(col("w"),
-            (qln(col("chi") + 1) - qln(col("thi") + col("v")) -
-              qln(col("clo") + 1) + qln(col("tlo") + col("v"))).as("lo_q"))
-        // The weights side is vocab-sized — orders of magnitude under the
-        // corpus in any NB model (399 rows at the 30x octave) — so the
-        // scoring join broadcasts: the 3.5M-row nb side never shuffles
-        // and the per-doc aggregation feeds on map-side partials
-        // (measured 5.3 -> 2.2 s at 30x). A vocabulary too large to
-        // broadcast (hundreds of MB) should drop the hint and let the
-        // equi-join shuffle — same rows either way.
-        nb.join(broadcast(weights), "w")
-          .groupBy("doc_id")
-          .agg(sum(col("nb")).as("n_tokens"),
-            pround(sum(col("nb") * col("lo_q")).cast("double") / 1e9, 6)
-              .as("nb_score"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH t AS (SELECT doc_id, source, lower(unnest($sqlToks)) AS w
-              |  FROM documents),
-              |nb AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS nb
-              |  FROM t GROUP BY 1, 2, 3),
-              |bt AS (SELECT w,
-              |    CAST(sum(CASE WHEN source = 'src0' THEN nb ELSE 0 END) AS BIGINT) AS chi,
-              |    CAST(sum(CASE WHEN source <> 'src0' THEN nb ELSE 0 END) AS BIGINT) AS clo
-              |  FROM nb GROUP BY 1),
-              |tot AS (SELECT CAST(sum(chi) AS BIGINT) AS thi,
-              |    CAST(sum(clo) AS BIGINT) AS tlo,
-              |    CAST(count(*) AS BIGINT) AS v FROM bt),
-              |wt AS (SELECT bt.w,
-              |    CAST(floor(ln(bt.chi + 1) * 1e9 + 0.5) AS BIGINT)
-              |    - CAST(floor(ln(tot.thi + tot.v) * 1e9 + 0.5) AS BIGINT)
-              |    - CAST(floor(ln(bt.clo + 1) * 1e9 + 0.5) AS BIGINT)
-              |    + CAST(floor(ln(tot.tlo + tot.v) * 1e9 + 0.5) AS BIGINT) AS lo_q
-              |  FROM bt CROSS JOIN tot)
-              |SELECT nb.doc_id, CAST(sum(nb.nb) AS BIGINT) AS n_tokens,
-              |  ${sqlRound("CAST(sum(nb.nb * wt.lo_q) AS DOUBLE) / 1e9", 6)} AS nb_score
-              |FROM nb JOIN wt USING (w) GROUP BY 1 ORDER BY 1""".stripMargin)),
+      (s, d) =>
+        nbDocScores(s, d)
+          .select(col("doc_id"), col("n_tokens"),
+            pround(col("score_q").cast("double") / 1e9, 6).as("nb_score"))
+          .orderBy("doc_id"),
+      Some(s"""WITH $nbScoreSqlCtes
+              |SELECT doc_id, n_tokens,
+              |  ${sqlRound("CAST(score_q AS DOUBLE) / 1e9", 6)} AS nb_score
+              |FROM ds ORDER BY doc_id""".stripMargin)),
 
     // PMI collocations: the classic corpus-linguistics screen for
     // multi-word expressions — pointwise mutual information of adjacent
@@ -1843,7 +1865,124 @@ object PipelineQueries {
               |      AS BIGINT) AS cum
               |  FROM t)
               |SELECT source, doc_id, n_tokens, cum
-              |FROM c WHERE cum <= 500 ORDER BY source, cum, doc_id""".stripMargin)))
+              |FROM c WHERE cum <= 500 ORDER BY source, cum, doc_id""".stripMargin)),
+
+    // Per-source n-gram diversity report — the curation analytics that
+    // catches mode collapse in synthetic/low-quality slices (a source
+    // whose trigram type-token ratio craters, or whose top trigram owns
+    // an outsized share, is TEMPLATED text; cf. the diversity screens in
+    // self-instruct-style dataset papers). All counts are exact integers;
+    // the two ratios are single double divisions rounded at 6 dp. 100 TB
+    // shape: one explode + one (source, gram) hash aggregation (the only
+    // corpus-sized shuffle, map-side combined) + a per-source rollup of
+    // vocab-sized partials — aggregation-shaped end to end, no windows,
+    // no joins, driver sees one row per source.
+    Q("q218_ngram_diversity",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .filter(size(TextOps.tokens(col("text"))) >= 3)
+          .select(col("source"),
+            explode(TextOps.wordShingles(col("text"), 3)).as("g"))
+          .groupBy("source", "g").agg(count(lit(1)).as("n"))
+        counts.groupBy("source")
+          .agg(sum("n").as("total_ngrams"),
+            count(lit(1)).as("distinct_ngrams"),
+            max("n").as("mx"))
+          .select(col("source"), col("total_ngrams"), col("distinct_ngrams"),
+            pround(col("distinct_ngrams").cast("double") /
+              col("total_ngrams").cast("double"), 6).as("ttr"),
+            pround(col("mx").cast("double") /
+              col("total_ngrams").cast("double"), 6).as("top_share"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT source, $sqlToks AS toks FROM documents),
+              |tt AS (SELECT source, toks FROM t WHERE len(toks) >= 3),
+              |gr AS (SELECT source, unnest(${sqlShingles(3)}) AS g FROM tt),
+              |c AS (SELECT source, g, CAST(count(*) AS BIGINT) AS n
+              |  FROM gr GROUP BY 1, 2)
+              |SELECT source, CAST(sum(n) AS BIGINT) AS total_ngrams,
+              |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+              |  ${sqlRound("CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)", 6)} AS ttr,
+              |  ${sqlRound("CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)", 6)} AS top_share
+              |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Quality-FIRST token-budget selection — the composition CCNet/LLaMA
+    // pipelines actually run: rank each source's documents by classifier
+    // quality (q215's naive-Bayes log-odds) and keep the best-scoring
+    // prefix whose token sum fits the budget, instead of q217's
+    // hash-random prefix. The rank key is the exact nano-quantized
+    // BIGINT score (doc_id tie-break), so the per-source order — and the
+    // kept set — is engine-independent with no float comparisons. Same
+    // 100 TB shape as q217 (one window keyed by source) on top of
+    // q215's aggregation pipeline; the budget caps each source's cost.
+    Q("q219_quality_budget_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 600L
+        val w = Window.partitionBy("source")
+          .orderBy(col("score_q").desc, col("doc_id"))
+        nbDocScores(s, d)
+          .withColumn("cum", sum(col("n_tokens"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum") <= budget)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            pround(col("score_q").cast("double") / 1e9, 6).as("nb_score"),
+            col("cum"))
+          .orderBy("source", "cum", "doc_id")
+      },
+      Some(s"""WITH $nbScoreSqlCtes,
+              |c AS (SELECT source, doc_id, n_tokens, score_q,
+              |    CAST(sum(n_tokens) OVER (PARTITION BY source
+              |      ORDER BY score_q DESC, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS cum
+              |  FROM ds)
+              |SELECT source, doc_id, n_tokens,
+              |  ${sqlRound("CAST(score_q AS DOUBLE) / 1e9", 6)} AS nb_score, cum
+              |FROM c WHERE cum <= 600 ORDER BY source, cum, doc_id""".stripMargin)),
+
+    // Cluster-balanced sampling (diversity coreset): partition the
+    // embedding space into hyperplane-LSH buckets and keep at most m
+    // hash-priority-ranked members per bucket — the "spread the sample
+    // across semantic clusters" selection step (the cheap cousin of
+    // k-center coresets; SemDeDup's cluster machinery reused for
+    // SELECTION instead of removal). Deterministic: bucket = sign
+    // pattern of 4 seeded hyperplanes, priority = md5 of the vec id.
+    // 100 TB shape: signature is N×P flops in one projection, and the
+    // per-bucket top-m compiles to WindowGroupLimit — a map-side partial
+    // top-m per partition, NOT a full per-bucket sort — so the pass
+    // stays linear even when buckets grow with the corpus.
+    Q("q220_cluster_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val mat = graft.ohlcv.Encode.randomProjectionMatrix(64, 4, 11L)
+        val sig = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .withColumn("bucket", graft.sim.Lsh.hyperplaneSignature(col("emb"), mat))
+          .withColumn("pri", TextOps.md5Hash60(
+            concat(lit("cs:"), col("vec_id").cast("string"))))
+        sig.withColumn("rk", row_number().over(
+            Window.partitionBy("bucket").orderBy(col("pri"), col("vec_id"))))
+          .filter(col("rk") <= 8)
+          .select(col("bucket"), col("vec_id"), col("rk"))
+          .orderBy("bucket", "rk")
+      },
+      Some {
+        val mat = graft.ohlcv.Encode.randomProjectionMatrix(64, 4, 11L)
+        val sigSql = mat.zipWithIndex.map { case (pl, i) =>
+          s"(CASE WHEN list_dot_product(emb, ${VectorTextQueries.arrLit(pl)}) >= 0" +
+            s" THEN ${1L << i} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |sg AS (SELECT vec_id, $sigSql AS bucket FROM v),
+           |p AS (SELECT vec_id, bucket,
+           |    ${sqlHash60("'cs:' || CAST(vec_id AS VARCHAR)")} AS pri FROM sg),
+           |r AS (SELECT bucket, vec_id,
+           |    row_number() OVER (PARTITION BY bucket ORDER BY pri, vec_id) AS rk
+           |  FROM p)
+           |SELECT bucket, vec_id, rk FROM r WHERE rk <= 8
+           |ORDER BY bucket, rk""".stripMargin
+      }))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

@@ -159,4 +159,79 @@ class CurationSpec extends SparkSpec {
       "left_anti").count() == 0, "query dropped a row the recomputed set keeps")
     out.unpersist()
   }
+
+  test("q218: per-source diversity ratios are consistent exact counts") {
+    val out = q("q218_ngram_diversity").cache()
+    // Exactly the sources that have at least one >=3-token doc.
+    val srcs = graft.Tables.documents(spark, sf)
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select("source").distinct().count()
+    assert(out.count() == srcs)
+    out.collect().foreach { r =>
+      val total = r.getAs[Long]("total_ngrams")
+      val distinct = r.getAs[Long]("distinct_ngrams")
+      val ttr = r.getAs[Double]("ttr")
+      val top = r.getAs[Double]("top_share")
+      assert(total >= distinct && distinct > 0)
+      assert(ttr > 0 && ttr <= 1.0 + 1e-9)
+      assert(top > 0 && top <= 1.0 + 1e-9)
+      // ttr is the rounded quotient of the two exact counts it sits next to.
+      assert(math.abs(ttr - distinct.toDouble / total.toDouble) < 1e-5)
+    }
+    // Independent recount for one source: shingle count equals
+    // sum over docs of max(0, n_tokens - 2).
+    val expected = graft.Tables.documents(spark, sf)
+      .select(col("source"), size(TextOps.tokens(col("text"))).as("nt"))
+      .filter(col("nt") >= 3)
+      .groupBy("source").agg(sum(col("nt") - 2).as("tot"))
+    val joined = out.join(expected, "source")
+      .filter(col("total_ngrams") =!= col("tot")).count()
+    assert(joined == 0, "total_ngrams != sum(n_tokens - 2)")
+    out.unpersist()
+  }
+
+  test("q219: kept set is the maximal QUALITY-ordered prefix per source") {
+    val out = q("q219_quality_budget_sample").cache()
+    assert(out.filter(col("cum") > 600).count() == 0)
+    // Quality ordering: within a source, every kept doc's score is >= any
+    // dropped doc's score (ties broken by doc_id, so allow equality).
+    val kept = out.groupBy("source").agg(
+      min("nb_score").as("min_kept"), sum("n_tokens").as("tok_sum"),
+      max("cum").as("cum_max"))
+    kept.collect().foreach { r =>
+      assert(r.getAs[Long]("tok_sum") == r.getAs[Long]("cum_max"),
+        s"source ${r.getAs[String]("source")}: prefix-sum inconsistency")
+    }
+    val dropped = graft.Tables.documents(spark, sf).select("doc_id", "source")
+      .join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+    // Recompute every doc's score independently through the registered
+    // q215 output (same quantized scoring) and check the order property.
+    val scores = q("q215_nb_quality").select(col("doc_id"), col("nb_score"))
+    val dmax = dropped.join(scores, "doc_id")
+      .groupBy("source").agg(max("nb_score").as("max_dropped"))
+    // 1e-5 slack: the displayed scores are rounded at 6 dp while the
+    // ordering used the exact BIGINT key, so a dropped doc can appear
+    // up to ~1e-6 above a kept doc without violating the exact order.
+    val bad = kept.join(dmax, "source")
+      .filter(col("max_dropped") > col("min_kept") + 1e-5).count()
+    assert(bad == 0, "a dropped doc outscores a kept doc in the same source")
+    out.unpersist()
+  }
+
+  test("q220: at most 8 per bucket, contiguous ranks, deterministic") {
+    val out = q("q220_cluster_sample").cache()
+    val per = out.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+      .collect()
+    per.foreach { r =>
+      assert(r.getAs[Long]("n") <= 8)
+      assert(r.getAs[Int]("mn") == 1 && r.getAs[Int]("mx") == r.getAs[Long]("n"),
+        s"bucket ${r.get(0)}: ranks not contiguous from 1")
+    }
+    assert(out.select("vec_id").distinct().count() == out.count())
+    // Deterministic: a second run is row-identical.
+    val again = q("q220_cluster_sample")
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
 }
