@@ -26,18 +26,22 @@ object Bench {
     * multimodal). The full suite is still timed; see bench_full.json.
     */
   private val headline = Seq(
-    "q01_pricing_summary", "q06_broadcast_join", "q13_json_extract",
+    // Trimmed to one entry per operator family (round 9): the stdout
+    // line must stay well under the driver's ~2 KB tail capture even on
+    // a day the error field is populated; dropped names (q13/q41/q43/
+    // q56/q58/q163) keep their full per-round numbers in bench_full.json.
+    "q01_pricing_summary", "q06_broadcast_join",
     "q20_resample_ohlcv", "q21_gapfill_ffill", "q23_window_zscore",
-    "q27_ema", "q28_savgol", "q41_minhash_sig", "q42_ngram_jaccard",
-    "q43_simhash", "q49_simhash_neardup", "q52_minhash_pairs",
-    "q56_adx", "q58_cci", "q60_flagship_mae", "q61_flagship_cosine",
+    "q27_ema", "q28_savgol", "q42_ngram_jaccard",
+    "q49_simhash_neardup", "q52_minhash_pairs",
+    "q60_flagship_mae", "q61_flagship_cosine",
     "q75_seq_packing", "q99_psar", "q101_flagship_lsh",
     "q103_stream_upsert", "q105_winnowing", "q107_dedup_clusters",
     "q109_repetition", "q111_pq_adc", "q112_stream_ohlcv", "q116_bm25",
     "q117_pipeline_e2e", "q126_funnel", "q127_bloom_decontam",
     "q131_stream_join", "q142_bucketed_join", "q146_tfidf_topk",
     "q150_trailing_window", "q152_symspell_join", "q157_partition_prune",
-    "q161_asof_native", "q163_holt", "q168_passage_dedup",
+    "q161_asof_native", "q168_passage_dedup",
     "q170_seasonal", "q174_ar1_forecast", "q180_holt_winters",
     "q186_hist_quantile", "q191_ivfpq_rerank", "q196_sma_backtest",
     "q199_ivol_portfolio", "q204_flagship_pca", "q206_exact_substr",
