@@ -1982,6 +1982,91 @@ object PipelineQueries {
            |  FROM p)
            |SELECT bucket, vec_id, rk FROM r WHERE rk <= 8
            |ORDER BY bucket, rk""".stripMargin
+      }),
+
+    // Distributed BPE TRAINING (Sennrich et al. 2016, arXiv:1508.07909 —
+    // the public byte-pair-encoding merge-learning loop, distinct from
+    // q128's single pair count): k merge steps, each picking the
+    // highest-frequency adjacent symbol pair (ties → lexicographic) and
+    // merging it corpus-wide. Exactly like production BPE trainers, the
+    // loop runs on the WORD-TYPE frequency table, not the corpus: the
+    // only corpus-sized work is the initial tokenize+count aggregation
+    // (map-side combined, materialized once); each step is then one
+    // vocab-sized pair aggregation (Heaps' law: |vocab| ≪ corpus) + a
+    // constant-size TakeOrdered argmax collect (1 row — the learned
+    // hyperparameter, like q210's epoch loop) + a per-row merge.
+    //
+    // The merge itself is ONE literal string replace on a boundary-safe
+    // encoding — each symbol stored as ";sym;" so word "aab" is
+    // ";a;;a;;b;" — because replace(";l;;r;" → ";lr;") scans leftmost,
+    // non-overlapping, never rescanning its own output, in BOTH engines:
+    // it implements BPE's left-to-right merge bit-identically with zero
+    // custom code, and the ';' boundaries make interior false matches
+    // (symbol "xa" vs pair (a,b)) impossible on the [A-Za-z0-9]+ word
+    // universe. The oracle UNROLLS all k steps as pure SQL CTEs — the
+    // argmax of each step feeds the next step's replace — so the hash
+    // check covers the whole training trajectory with no dynamic oracle.
+    Q("q221_bpe_train",
+      (s, d) => {
+        val K = 4
+        val words = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .withColumn("enc", regexp_replace(col("w"), "(.)", ";$1;"))
+          .localCheckpoint(true)
+        val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+        var cur = words
+        (1 to K).foreach { step =>
+          val pairs = cur
+            .select(col("freq"),
+              split(expr("trim(BOTH ';' FROM enc)"), ";;").as("ss"))
+            // sequence(1, 0) DESCENDS in Spark, so a fully-merged or
+            // single-char word would index past its 1-element array;
+            // pairless rows contribute nothing on either engine.
+            .filter(size(col("ss")) >= 2)
+            .select(col("freq"), explode(expr(
+              "transform(sequence(1, size(ss) - 1), " +
+                "i -> named_struct('l', element_at(ss, i), " +
+                "'r', element_at(ss, i + 1)))")).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum("freq").as("cnt"))
+          val best = pairs.orderBy(desc("cnt"), asc("l"), asc("r"))
+            .limit(1).collect()(0)
+          val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((step.toLong, l, r, c))
+          cur = cur.withColumn("enc",
+            replace(col("enc"), lit(s";$l;;$r;"), lit(s";$l$r;")))
+        }
+        import s.implicits._
+        merges.toSeq.toDF("step", "lhs", "rhs", "cnt").orderBy("step")
+      },
+      Some {
+        val K = 4
+        val steps = (1 to K).map { i =>
+          val prev = s"e${i - 1}"
+          s"""c$i AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |  SELECT freq, unnest([{'l': s[j], 'r': s[j + 1]}
+             |      FOR j IN range(1, len(s))], recursive := true)
+             |  FROM (SELECT freq, string_split(trim(enc, ';'), ';;') AS s
+             |    FROM $prev)) GROUP BY 1, 2),
+             |b$i AS (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1),
+             |e$i AS (SELECT w, freq,
+             |    replace(enc, ';' || b$i.l || ';;' || b$i.r || ';',
+             |      ';' || b$i.l || b$i.r || ';') AS enc
+             |  FROM $prev CROSS JOIN b$i)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to K).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, cnt FROM b$i")
+          .mkString("\nUNION ALL ")
+        s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest($sqlToks) AS w FROM documents)
+           |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$') GROUP BY w),
+           |e0 AS (SELECT w, freq,
+           |    regexp_replace(w, '(.)', ';\\1;', 'g') AS enc FROM w0),
+           |$steps
+           |$out
+           |ORDER BY step""".stripMargin
       }))
 
   def all: Seq[Q] =

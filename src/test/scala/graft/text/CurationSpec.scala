@@ -218,6 +218,38 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q221: BPE training — step-1 argmax is the true char bigram max, counts non-increase") {
+    val out = q("q221_bpe_train").cache()
+    val rows = out.orderBy("step").collect()
+    assert(rows.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // BPE property: each step's best-pair count can never exceed the
+    // previous step's (new pairs created by a merge are bounded by the
+    // merged pair's own occurrence count).
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sorted.reverse, s"counts increase: $cnts")
+    // Independent recount of step 1: weighted char-bigram frequencies
+    // over the alphanumeric word types.
+    val words = graft.Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+    val big = words.select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> named_struct('l', substring(w, i, 1), " +
+          "'r', substring(w, i + 1, 1)))")).as("p"))
+      .groupBy("p.l", "p.r").agg(sum("freq").as("cnt"))
+      .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()(0)
+    assert(rows(0).getAs[String]("lhs") == big.getString(0) &&
+      rows(0).getAs[String]("rhs") == big.getString(1) &&
+      rows(0).getAs[Long]("cnt") == big.getLong(2),
+      s"step-1 merge ${rows(0)} != independent argmax $big")
+    // Deterministic across runs.
+    val again = q("q221_bpe_train")
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
   test("q220: at most 8 per bucket, contiguous ranks, deterministic") {
     val out = q("q220_cluster_sample").cache()
     val per = out.groupBy("bucket")
