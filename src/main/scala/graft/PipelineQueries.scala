@@ -107,6 +107,82 @@ object PipelineQueries {
        |    CAST(sum(nb.nb * wt.lo_q) AS BIGINT) AS score_q
        |  FROM nb JOIN wt USING (w) GROUP BY 1, 2)""".stripMargin
 
+  /** Merge steps for the q221/q222 BPE pair (Sennrich et al. 2016). */
+  private val BpeSteps = 4
+
+  /** Learn `k` BPE merges on the corpus's alphanumeric word types —
+    * shared by q221 (emits the merge table) and q222 (applies the merges
+    * corpus-wide). The loop runs on the WORD-TYPE frequency table: the
+    * only corpus-sized work is the tokenize+count aggregation
+    * (localCheckpointed once); each step is a vocab-sized pair
+    * aggregation plus a constant-size (LIMIT 1) argmax collect — the
+    * learned hyperparameter, the q210-epoch-loop pattern. The merge is
+    * ONE literal string replace on the boundary-safe ";sym;" encoding:
+    * leftmost non-overlapping replace implements BPE's left-to-right
+    * merge identically in Spark and DuckDB (and ';' boundaries make
+    * interior false matches impossible on the [A-Za-z0-9]+ universe).
+    * Ties break (count DESC, l ASC, r ASC) — binary string order on
+    * ASCII, identical in both engines.
+    */
+  private def bpeMerges(s: SparkSession, d: String,
+      k: Int): Seq[(Long, String, String, Long)] = {
+    val words = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("enc", regexp_replace(col("w"), "(.)", ";$1;"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var cur = words
+    (1 to k).foreach { step =>
+      val pairs = cur
+        .select(col("freq"),
+          split(expr("trim(BOTH ';' FROM enc)"), ";;").as("ss"))
+        // sequence(1, 0) DESCENDS in Spark, so a fully-merged or
+        // single-char word would index past its 1-element array;
+        // pairless rows contribute nothing on either engine.
+        .filter(size(col("ss")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), " +
+            "i -> named_struct('l', element_at(ss, i), " +
+            "'r', element_at(ss, i + 1)))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+      val best = pairs.orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step.toLong, l, r, c))
+      cur = cur.withColumn("enc",
+        replace(col("enc"), lit(s";$l;;$r;"), lit(s";$l$r;")))
+    }
+    merges.toSeq
+  }
+
+  /** DuckDB mirror of [[bpeMerges]]: CTE chain `w0, e0, (c_i, b_i, e_i)*`
+    * where each `b_i(l, r, cnt)` is step i's argmax merge.
+    */
+  private def bpeSqlCtes(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      val prev = s"e${i - 1}"
+      s"""c$i AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest([{'l': s[j], 'r': s[j + 1]}
+         |      FOR j IN range(1, len(s))], recursive := true)
+         |  FROM (SELECT freq, string_split(trim(enc, ';'), ';;') AS s
+         |    FROM $prev)) GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |e$i AS (SELECT w, freq,
+         |    replace(enc, ';' || b$i.l || ';;' || b$i.r || ';',
+         |      ';' || b$i.l || b$i.r || ';') AS enc
+         |  FROM $prev CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($sqlToks) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$') GROUP BY w),
+       |e0 AS (SELECT w, freq,
+       |    regexp_replace(w, '(.)', ';\\1;', 'g') AS enc FROM w0),
+       |$steps""".stripMargin
+  }
+
   /** DuckDB mirror of q214: hyperplane signature over plane literals for
     * the stored P, then the q212 SemDeDup verdict within sig buckets.
     */
@@ -2008,65 +2084,69 @@ object PipelineQueries {
     // check covers the whole training trajectory with no dynamic oracle.
     Q("q221_bpe_train",
       (s, d) => {
-        val K = 4
-        val words = Tables.documents(s, d)
-          .select(explode(TextOps.tokens(col("text"))).as("w"))
-          .filter(col("w").rlike("^[A-Za-z0-9]+$"))
-          .groupBy("w").agg(count(lit(1)).as("freq"))
-          .withColumn("enc", regexp_replace(col("w"), "(.)", ";$1;"))
-          .localCheckpoint(true)
-        val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-        var cur = words
-        (1 to K).foreach { step =>
-          val pairs = cur
-            .select(col("freq"),
-              split(expr("trim(BOTH ';' FROM enc)"), ";;").as("ss"))
-            // sequence(1, 0) DESCENDS in Spark, so a fully-merged or
-            // single-char word would index past its 1-element array;
-            // pairless rows contribute nothing on either engine.
-            .filter(size(col("ss")) >= 2)
-            .select(col("freq"), explode(expr(
-              "transform(sequence(1, size(ss) - 1), " +
-                "i -> named_struct('l', element_at(ss, i), " +
-                "'r', element_at(ss, i + 1)))")).as("p"))
-            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-            .agg(sum("freq").as("cnt"))
-          val best = pairs.orderBy(desc("cnt"), asc("l"), asc("r"))
-            .limit(1).collect()(0)
-          val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((step.toLong, l, r, c))
-          cur = cur.withColumn("enc",
-            replace(col("enc"), lit(s";$l;;$r;"), lit(s";$l$r;")))
-        }
         import s.implicits._
-        merges.toSeq.toDF("step", "lhs", "rhs", "cnt").orderBy("step")
+        bpeMerges(s, d, BpeSteps).toDF("step", "lhs", "rhs", "cnt")
+          .orderBy("step")
       },
       Some {
-        val K = 4
-        val steps = (1 to K).map { i =>
-          val prev = s"e${i - 1}"
-          s"""c$i AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-             |  SELECT freq, unnest([{'l': s[j], 'r': s[j + 1]}
-             |      FOR j IN range(1, len(s))], recursive := true)
-             |  FROM (SELECT freq, string_split(trim(enc, ';'), ';;') AS s
-             |    FROM $prev)) GROUP BY 1, 2),
-             |b$i AS (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1),
-             |e$i AS (SELECT w, freq,
+        val out = (1 to BpeSteps).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, cnt FROM b$i")
+          .mkString("\nUNION ALL ")
+        s"""WITH ${bpeSqlCtes(BpeSteps)}
+           |$out
+           |ORDER BY step""".stripMargin
+      }),
+
+    // BPE APPLY — tokenize the corpus with the merges q221 just learned:
+    // per document, the alphanumeric word count, the subword count after
+    // all k merges, and the fertility (subwords per word — the tokenizer
+    // health metric corpus curation tracks per slice). Train→apply is
+    // the composition a real pipeline runs; the apply side is one
+    // per-row chain of k literal replaces on the boundary-safe encoding
+    // (identical in both engines, see q221) plus a single per-doc
+    // aggregation — corpus-linear, one shuffle, merges enter the plan
+    // as literals learned from the vocab-sized training loop.
+    Q("q222_bpe_apply",
+      (s, d) => {
+        val merges = bpeMerges(s, d, BpeSteps)
+        val enc0 = regexp_replace(col("w"), "(.)", ";$1;")
+        val encK = merges.foldLeft(enc0) { case (e, (_, l, r, _)) =>
+          replace(e, lit(s";$l;;$r;"), lit(s";$l$r;"))
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+          .select(col("doc_id"), size(split(
+            trim(encK, ";"), ";;")).cast("long").as("ns"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("ns").as("n_subwords"))
+          .select(col("doc_id"), col("n_words"), col("n_subwords"),
+            pround(col("n_subwords").cast("double") /
+              col("n_words").cast("double"), 6).as("fertility"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val applies = (1 to BpeSteps).map { i =>
+          val prev = s"a${i - 1}"
+          s"""a$i AS (SELECT doc_id,
              |    replace(enc, ';' || b$i.l || ';;' || b$i.r || ';',
              |      ';' || b$i.l || b$i.r || ';') AS enc
              |  FROM $prev CROSS JOIN b$i)""".stripMargin
         }.mkString(",\n")
-        val out = (1 to K).map(i =>
-          s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, cnt FROM b$i")
-          .mkString("\nUNION ALL ")
-        s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
-           |  FROM (SELECT unnest($sqlToks) AS w FROM documents)
-           |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$') GROUP BY w),
-           |e0 AS (SELECT w, freq,
-           |    regexp_replace(w, '(.)', ';\\1;', 'g') AS enc FROM w0),
-           |$steps
-           |$out
-           |ORDER BY step""".stripMargin
+        s"""WITH ${bpeSqlCtes(BpeSteps)},
+           |d0 AS (SELECT doc_id, w FROM
+           |    (SELECT doc_id, unnest($sqlToks) AS w FROM documents)
+           |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$')),
+           |a0 AS (SELECT doc_id,
+           |    regexp_replace(w, '(.)', ';\\1;', 'g') AS enc FROM d0),
+           |$applies
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(len(string_split(trim(enc, ';'), ';;'))) AS BIGINT)
+           |    AS n_subwords,
+           |  ${sqlRound(
+             """CAST(sum(len(string_split(trim(enc, ';'), ';;'))) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE)""", 6)} AS fertility
+           |FROM a$BpeSteps GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }))
 
   def all: Seq[Q] =

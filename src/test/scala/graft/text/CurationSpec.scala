@@ -250,6 +250,27 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q222: BPE apply — fertility bounded by [1, chars/word], merges reduce subwords") {
+    val out = q("q222_bpe_apply").cache()
+    // Every doc with >=1 alphanumeric word appears exactly once.
+    val expected = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ew"), sum(length(col("w"))).as("echars"))
+    assert(out.count() == expected.count())
+    val j = out.join(expected, "doc_id").cache()
+    assert(j.filter(col("n_words") =!= col("ew")).count() == 0)
+    // 1 <= subwords-per-word; subwords <= total chars (merging only
+    // shrinks the initial one-symbol-per-char segmentation).
+    assert(j.filter(col("n_subwords") < col("n_words")).count() == 0)
+    assert(j.filter(col("n_subwords") > col("echars")).count() == 0)
+    // The 4 merges actually fire somewhere: total subwords < total chars.
+    val tot = j.agg(sum("n_subwords"), sum("echars")).collect()(0)
+    assert(tot.getLong(0) < tot.getLong(1), "no merge ever applied")
+    j.unpersist(); out.unpersist()
+  }
+
   test("q220: at most 8 per bucket, contiguous ranks, deterministic") {
     val out = q("q220_cluster_sample").cache()
     val per = out.groupBy("bucket")
