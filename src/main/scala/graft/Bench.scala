@@ -49,7 +49,8 @@ object Bench {
     "q213_dsir_weights", "q214_semdedup_lsh", "q215_nb_quality",
     "q216_pmi_collocations", "q217_token_budget_sample",
     "q218_ngram_diversity", "q219_quality_budget_sample",
-    "q220_cluster_sample", "q221_bpe_train", "q222_bpe_apply")
+    "q220_cluster_sample", "q221_bpe_train", "q222_bpe_apply",
+    "q223_lsh_dedup_eval")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")

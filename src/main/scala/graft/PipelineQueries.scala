@@ -2147,6 +2147,65 @@ object PipelineQueries {
              """CAST(sum(len(string_split(trim(enc, ';'), ';;'))) AS DOUBLE) /
                 CAST(count(*) AS DOUBLE)""", 6)} AS fertility
            |FROM a$BpeSteps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // Approximate-tier EVALUATION: measured precision/recall of the
+    // MinHash-LSH banded candidate generator (q52's 12-hash × 4-band
+    // configuration) against the exact n-gram-Jaccard ≥ 0.5 truth set
+    // (q42's PPJoin) — the companion number every approximate dedup
+    // tier must ship with, the way q184 scores the ANN tiers. All three
+    // counts are exact integers computed as 1-row aggregates (no
+    // driver-side rows); the ratios are single guarded divisions. 100 TB
+    // shape: both pair generators are the already-analyzed banded /
+    // prefix-filtered joins; the tp join is pair-list-sized.
+    Q("q223_lsh_dedup_eval",
+      (s, d) => {
+        import graft.text.Dedup
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val cand = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
+          "text", shingleN = 3, numHashes = 12, bands = 4)
+          .select("id_a", "id_b").persist(lvl)
+        val truth = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
+          "text", shingleN = 3, threshold = 0.5)
+          .select("id_a", "id_b").persist(lvl)
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .crossJoin(cand.join(truth, Seq("id_a", "id_b"))
+            .agg(count(lit(1)).as("tp")))
+          .select(col("n_candidates"), col("n_true"), col("tp"),
+            pround(when(col("n_candidates") === 0, 0.0)
+              .otherwise(col("tp").cast("double") /
+                col("n_candidates").cast("double")), 6).as("prec"),
+            pround(when(col("n_true") === 0, 0.0)
+              .otherwise(col("tp").cast("double") /
+                col("n_true").cast("double")), 6).as("rec"))
+      },
+      oracle = None,
+      // Deferred assembly (oracleDyn): the oracle nests q52's and q42's
+      // own registered oracle SQL as CTEs, so the eval's truth/candidate
+      // definitions can never drift from the queries it scores; building
+      // it lazily avoids object-initialization ordering between the
+      // query registries.
+      oracleDyn = Some { () =>
+        val byName = VectorTextQueries.all.map(q => q.name -> q).toMap
+        val q52 = byName("q52_minhash_pairs").oracle.get
+        val q42 = byName("q42_ngram_jaccard").oracle.get
+        s"""WITH cand AS ($q52),
+           |truth AS ($q42),
+           |tp0 AS (SELECT CAST(count(*) AS BIGINT) AS tp
+           |  FROM cand JOIN truth USING (id_a, id_b)),
+           |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth)
+           |SELECT n_candidates, n_true, tp,
+           |  ${sqlRound(
+             """CASE WHEN n_candidates = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE) END""",
+             6)} AS prec,
+           |  ${sqlRound(
+             """CASE WHEN n_true = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END""",
+             6)} AS rec
+           |FROM nc CROSS JOIN nt CROSS JOIN tp0""".stripMargin
       }))
 
   def all: Seq[Q] =

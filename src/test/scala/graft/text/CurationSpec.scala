@@ -271,6 +271,22 @@ class CurationSpec extends SparkSpec {
     j.unpersist(); out.unpersist()
   }
 
+  test("q223: LSH dedup eval — counts consistent, ratios in [0,1], tp bounded") {
+    val out = q("q223_lsh_dedup_eval").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (nc, nt, tp) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_true"),
+      r.getAs[Long]("tp"))
+    assert(tp <= nc && tp <= nt, s"tp $tp exceeds a side ($nc, $nt)")
+    val (p, rec) = (r.getAs[Double]("prec"), r.getAs[Double]("rec"))
+    assert(p >= 0 && p <= 1 && rec >= 0 && rec <= 1)
+    assert(math.abs(p - (if (nc == 0) 0.0 else tp.toDouble / nc)) < 1e-5)
+    assert(math.abs(rec - (if (nt == 0) 0.0 else tp.toDouble / nt)) < 1e-5)
+    // The banded tier must actually be useful on this corpus: it should
+    // recover most true pairs (recall well above chance).
+    assert(nt == 0 || rec >= 0.5, s"LSH recall $rec collapsed")
+  }
+
   test("q220: at most 8 per bucket, contiguous ranks, deterministic") {
     val out = q("q220_cluster_sample").cache()
     val per = out.groupBy("bucket")
