@@ -18,10 +18,14 @@ object Lsh {
     * long (bit i = sign of dot(v, plane_i)). `mat` is planes × dim.
     */
   def hyperplaneSignature(vec: Column, mat: Array[Array[Double]]): Column = {
+    // Native codegen'd ArrayDot per plane (bare primitive loop) instead
+    // of the interpreted aggregate(zip_with(...)) HOF chain — identical
+    // sequential summation order, so signatures (and every oracle's
+    // list_dot_product mirror) are bit-identical.
     val bits = mat.zipWithIndex.map { case (plane, i) =>
-      val planeLit = array(plane.map(lit): _*)
-      when(aggregate(zip_with(vec, planeLit, (x, w) => x * w),
-        lit(0.0), (a, x) => a + x) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      val planeLit = array(plane.toIndexedSeq.map(lit): _*)
+      when(org.apache.spark.sql.graft.GraftExpressions.arrayDot(vec, planeLit) >= 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
