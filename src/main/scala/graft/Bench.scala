@@ -115,8 +115,11 @@ object Bench {
     // min-of-2 — `revisit_first` records each revisited row's pre-revisit
     // warm alongside, so round-over-round comparisons can be made
     // like-for-like from the artifact alone.
-    val revisitNames = firstPass.filter(r => r._4 == null && r._3 > 2.0)
-      .sortBy(-_._3).take(12).map(_._1).toSet
+    // Threshold 1.0 s (was 2.0): the round-9 driver run had q61 poisoned
+    // at 1.36 s warm — real stall-affected rows sit below 2 s too, and a
+    // revisit rep costs about what the row itself does.
+    val revisitNames = firstPass.filter(r => r._4 == null && r._3 > 1.0)
+      .sortBy(-_._3).take(16).map(_._1).toSet
     val revisited: Map[String, Double] = revisitNames.toSeq.map { name =>
       val (t, err) = time(SparkEntry.queries(name))
       dropLeakedBlocks()
@@ -146,6 +149,32 @@ object Bench {
       q204Stages("search") = (System.nanoTime() - t0) / 1e9
     } catch { case _: Throwable => q204Stages("profile_error") = -1.0 }
     dropLeakedBlocks()
+    // q61 stage profile (round-9 verdict #2: the driver read q61 at
+    // 30.21 s cold / 1.36 s warm vs 7.0/0.8 local — a stall row, since
+    // the plan is metric-symmetric with q60 and no r9 commit touched it).
+    // Standalone post-suite regime like q204_stages: windows build+count,
+    // cosine top-k, forecast+score (score recomputes top-k — unpersisted
+    // inside the registered plan too, so the row mirrors the real cost).
+    val q61Stages = scala.collection.mutable.LinkedHashMap[String, Double]()
+    try {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def tSec[A](f: => A): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val wins = Flagship.embeddedWindows(Flagship.filledSeries(spark, sfDir),
+        ExtraQueries.FlagSeqLen, ExtraQueries.FlagDim, None).persist(lvl)
+      var nWins = 0L
+      q61Stages("windows") = tSec { nWins = wins.count() }
+      val top = graft.ohlcv.Forecast.evaluate(wins, "user_id",
+        ExtraQueries.FlagSeqLen, ExtraQueries.FlagPred, ExtraQueries.FlagStride,
+        2, "cosine_dist",
+        queryCountHint = Some(nWins / ExtraQueries.FlagStride + 1024))
+      q61Stages("topk") = tSec(top.count())
+      q61Stages("score") = tSec(graft.ohlcv.Forecast
+        .forecastAndScore(top, wins, "user_id",
+          ExtraQueries.FlagSeqLen, ExtraQueries.FlagPred).count())
+    } catch { case _: Throwable => q61Stages("profile_error") = -1.0 }
+    dropLeakedBlocks()
     def implName(f: => Any): String =
       try f.getClass.getSimpleName catch { case _: Throwable => "unavailable" }
     val blas = implName(dev.ludovic.netlib.blas.BLAS.getInstance())
@@ -165,10 +194,20 @@ object Bench {
     // intra-query persisted intermediates (see the flag above): for their
     // standalone cost read the cold column or SCALING.md.
     val scratch = graft.streaming.StreamHarness.scratchRootName
-    val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisited":${revisitNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisit_first":${jmap(revisitFirst.toSeq.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"blas":"$blas","lapack":"$lapack","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}"""
+    // The streaming family's measured floor (round-9 verdict #6): ~1.5 s
+    // per query of AvailableNow micro-batch machinery (one data batch +
+    // one mandatory watermark-flush batch), accepted as the semantic
+    // minimum. One artifact number so rounds compare it directly.
+    val streamFamily = Set("q103_stream_upsert", "q106_stream_ema",
+      "q112_stream_ohlcv", "q118_stream_sliding", "q124_stream_sessions",
+      "q131_stream_join", "q137_stream_enrich", "q151_stream_dedup",
+      "q175_stream_holt", "q190_late_data", "q201_stream_kalman",
+      "q209_stream_decontam")
+    val streamFamilyTotal = ok.filter(r => streamFamily(r._1)).map(_._3).sum
+    val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisited":${revisitNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisit_first":${jmap(revisitFirst.toSeq.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","lapack":"$lapack","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
     val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"n_warm_shares_cache":${cachedNames.size},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"blas":"$blas","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}""")
+    println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"n_warm_shares_cache":${cachedNames.size},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}""")
     spark.stop()
   }
 }
