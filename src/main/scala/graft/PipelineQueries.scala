@@ -107,8 +107,15 @@ object PipelineQueries {
        |    CAST(sum(nb.nb * wt.lo_q) AS BIGINT) AS score_q
        |  FROM nb JOIN wt USING (w) GROUP BY 1, 2)""".stripMargin
 
-  /** Merge steps for the q221/q222 BPE pair (Sennrich et al. 2016). */
-  private val BpeSteps = 4
+  /** Merge steps for the q221/q222 BPE pair (Sennrich et al. 2016).
+    * 32 since round 10 (was a demo-scale 4): real tokenizer training
+    * learns thousands of merges (Sennrich §3 uses 10k-60k); 32 is enough
+    * to demonstrate that the per-step cost is vocab-sized (flat octave
+    * row, SCALING.md) while keeping the unrolled-CTE oracle — which
+    * verifies the FULL 32-step trajectory, not just a hash — at ~15 KB
+    * of SQL.
+    */
+  private val BpeSteps = 32
 
   /** Learn `k` BPE merges on the corpus's alphanumeric word types —
     * shared by q221 (emits the merge table) and q222 (applies the merges
@@ -134,7 +141,10 @@ object PipelineQueries {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var cur = words
-    (1 to k).foreach { step =>
+    var step = 0
+    var exhausted = false
+    while (step < k && !exhausted) {
+      step += 1
       val pairs = cur
         .select(col("freq"),
           split(expr("trim(BOTH ';' FROM enc)"), ";;").as("ss"))
@@ -148,18 +158,29 @@ object PipelineQueries {
             "'r', element_at(ss, i + 1)))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
-      val best = pairs.orderBy(desc("cnt"), asc("l"), asc("r"))
-        .limit(1).collect()(0)
-      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((step.toLong, l, r, c))
-      cur = cur.withColumn("enc",
-        replace(col("enc"), lit(s";$l;;$r;"), lit(s";$l$r;")))
+      // headOption, not (0): on a degenerate corpus a step can run out
+      // of symbol pairs (all words fully merged); the SQL oracle's empty
+      // b_i then contributes nothing, so the engine must emit fewer than
+      // k steps rather than throw.
+      pairs.orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect().headOption match {
+        case Some(best) =>
+          val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((step.toLong, l, r, c))
+          cur = cur.withColumn("enc",
+            replace(col("enc"), lit(s";$l;;$r;"), lit(s";$l$r;")))
+        case None => exhausted = true
+      }
     }
     merges.toSeq
   }
 
   /** DuckDB mirror of [[bpeMerges]]: CTE chain `w0, e0, (c_i, b_i, e_i)*`
-    * where each `b_i(l, r, cnt)` is step i's argmax merge.
+    * where each `b_i(l, r, cnt)` is step i's argmax merge. The chain
+    * nodes are `AS MATERIALIZED`: each e_i is referenced twice (by
+    * c_{i+1} and e_{i+1}), so DuckDB's default inlining would double the
+    * plan per step — 2^k scans of `documents` at k=32. Materialization
+    * makes the oracle O(k · vocab), like the engine.
     */
   private def bpeSqlCtes(k: Int): String = {
     val steps = (1 to k).map { i =>
@@ -169,8 +190,8 @@ object PipelineQueries {
          |      FOR j IN range(1, len(s))], recursive := true)
          |  FROM (SELECT freq, string_split(trim(enc, ';'), ';;') AS s
          |    FROM $prev)) GROUP BY 1, 2),
-         |b$i AS (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1),
-         |e$i AS (SELECT w, freq,
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |e$i AS MATERIALIZED (SELECT w, freq,
          |    replace(enc, ';' || b$i.l || ';;' || b$i.r || ';',
          |      ';' || b$i.l || b$i.r || ';') AS enc
          |  FROM $prev CROSS JOIN b$i)""".stripMargin
@@ -178,7 +199,7 @@ object PipelineQueries {
     s"""w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest($sqlToks) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$') GROUP BY w),
-       |e0 AS (SELECT w, freq,
+       |e0 AS MATERIALIZED (SELECT w, freq,
        |    regexp_replace(w, '(.)', ';\\1;', 'g') AS enc FROM w0),
        |$steps""".stripMargin
   }
