@@ -592,19 +592,26 @@ object ForecastQueries {
     * candidates. Parameterized so the recall harness can raise the
     * support floor and sweep P.
     */
-  private[graft] def pairCorrLsh(s: SparkSession, d: String,
-      minSupport: Int = 8, p: Int = 10, t: Int = 16, dim: Int = 64,
-      k: Int = 20): DataFrame = {
-    val signs = rademacherSigns(dim, p * t)
-    val r = denseUsers(pairReturns(s, d), minSupport)
+  /** Dense quantized-return rows with the time-folded dimension column —
+    * stage 1 of [[pairCorrLsh]] (split out so DevQ207Profile times the
+    * registered plan's own segments, not a reimplementation).
+    */
+  private[graft] def lshDense(s: SparkSession, d: String, minSupport: Int,
+      dim: Int): DataFrame =
+    denseUsers(pairReturns(s, d), minSupport)
       .withColumn("dim", expr(s"cast((bucket_s div 3600) % $dim as int)"))
+
+  /** Per-(user, table) cohort signatures — stage 2 of [[pairCorrLsh]].
+    * One tiny row per (user, table): candidate generation never touches
+    * the fact rows — OR-amplification across T tables recovers the
+    * recall a single 2^P-bucket table loses.
+    */
+  private[graft] def lshSigs(r: DataFrame, p: Int, t: Int, dim: Int): DataFrame = {
+    val signs = rademacherSigns(dim, p * t)
     val sigCols = (0 until p * t).map(b =>
       sum(element_at(array(signs(b).map(lit): _*), col("dim") + 1) * col("r_q"))
         .as(s"__s$b"))
-    // One tiny row per (user, table): candidate generation never touches
-    // the fact rows — OR-amplification across T tables recovers the
-    // recall a single 2^P-bucket table loses.
-    val sigs = r.groupBy("user_id")
+    r.groupBy("user_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("user_id"), explode(array((0 until t).map { tt =>
         struct(lit(tt).as("t"),
@@ -613,16 +620,52 @@ object ForecastQueries {
             .reduce(_ + _).as("sig"))
       }: _*)).as("ts"))
       .select(col("user_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-    val cand = sigs.as("a").join(sigs.as("b"),
+  }
+
+  /** Distinct colliding user pairs — stage 3 of [[pairCorrLsh]]. */
+  private[graft] def lshCand(sigs: DataFrame): DataFrame =
+    sigs.as("a").join(sigs.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
       .distinct()
+
+  private[graft] def pairCorrLsh(s: SparkSession, d: String,
+      minSupport: Int = 8, p: Int = 10, t: Int = 16, dim: Int = 64,
+      k: Int = 20): DataFrame = {
+    // The dense-returns subtree (scan → resample → lag window → support
+    // prune) feeds FOUR plan consumers (both signature self-join sides
+    // via sigs, ra, rb); without a persist Spark computes it four times
+    // (no ReusedExchange fires — the consumers sit under different join
+    // operators; measured 4.1 s → 2.0 s standalone at sf0.1,
+    // DevQ207Profile, PLANS.md round 10). Both frames are small: r is
+    // the pruned per-(user, hour) return table, sigs is U × T rows. The
+    // eager sigs.count() materializes both in one tiny job so the main
+    // job's concurrent consumers can't race the cache fill.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val r = lshDense(s, d, minSupport, dim).persist(lvl)
+    val sigs = lshSigs(r, p, t, dim).persist(lvl)
+    sigs.count()
+    val cand = lshCand(sigs)
     val ra = r.select(col("user_id").as("u"), col("bucket_s"), col("r_q").as("x"))
     val rb = r.select(col("user_id").as("v"), col("bucket_s"), col("r_q").as("y"))
     val pairs = broadcast(cand).join(ra, "u").join(rb, Seq("v", "bucket_s"))
     pairTopCorr(pairs, minSupport, k)
   }
+
+  // Stage accessors for DevQ207Profile — each re-derives P(U) exactly the
+  // way the registered query does, so the profiled frames are the
+  // registered plan's own segments.
+  private[graft] def devStageUsers(s: SparkSession, d: String): Long =
+    Tables.events(s, d).select("user_id").distinct().count()
+  private[graft] def devStageDense(s: SparkSession, d: String): DataFrame =
+    lshDense(s, d, 8, 64)
+  private[graft] def devStageSigs(s: SparkSession, d: String): DataFrame =
+    lshSigs(devStageDense(s, d), cohortPlanes(devStageUsers(s, d)), 16, 64)
+  private[graft] def devStageCand(s: SparkSession, d: String): DataFrame =
+    lshCand(devStageSigs(s, d))
+  private[graft] def devStageFull(s: SparkSession, d: String): DataFrame =
+    pairCorrLsh(s, d, 8, cohortPlanes(devStageUsers(s, d)))
 
   /** DuckDB mirror of [[pairCorrLsh]] for the given parameters. */
   private def pairCorrLshSql(minSupport: Int, p: Int, t: Int = 16,
