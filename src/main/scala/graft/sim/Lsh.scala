@@ -18,14 +18,22 @@ object Lsh {
     * long (bit i = sign of dot(v, plane_i)). `mat` is planes × dim.
     */
   def hyperplaneSignature(vec: Column, mat: Array[Array[Double]]): Column = {
-    // Native codegen'd ArrayDot per plane (bare primitive loop) instead
-    // of the interpreted aggregate(zip_with(...)) HOF chain — identical
-    // sequential summation order, so signatures (and every oracle's
-    // list_dot_product mirror) are bit-identical.
+    // Native codegen'd STRICT ArrayDot per plane (bare primitive loop)
+    // instead of the interpreted aggregate(zip_with(...)) HOF chain —
+    // identical sequential summation order, so signatures (and every
+    // oracle's list_dot_product mirror) are bit-identical. Strict
+    // matters here (ADVICE r9 #2): a too-short or null-holding vector
+    // under the skip-nulls ArrayDot would produce a PLAUSIBLE partial
+    // signature — collapsed sign bits, the exact failure mode
+    // embeddingNearDup guards against. The strict dot yields NULL, the
+    // bit below has no otherwise-branch so the NULL propagates through
+    // the bitwise OR, and a NULL signature never equi-joins: the
+    // malformed row drops out observably (oracle row-count mismatch)
+    // instead of landing in a wrong bucket.
     val bits = mat.zipWithIndex.map { case (plane, i) =>
       val planeLit = array(plane.toIndexedSeq.map(lit): _*)
-      when(org.apache.spark.sql.graft.GraftExpressions.arrayDot(vec, planeLit) >= 0,
-        shiftleft(lit(1L), i)).otherwise(lit(0L))
+      val d = org.apache.spark.sql.graft.GraftExpressions.arrayDotStrict(vec, planeLit)
+      when(d >= 0, shiftleft(lit(1L), i)).when(d < 0, lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -174,6 +174,15 @@ object GraftExpressions {
     ExpressionUtils.column(ArrayDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Null-faithful dot (NULL on length mismatch or any NULL element) —
+    * [[ArrayDotStrict]]. Callers that cannot guarantee fixed-width,
+    * null-free arrays should use this: a malformed input becomes an
+    * observable NULL instead of [[ArrayDot]]'s silent partial sum.
+    */
+  def arrayDotStrict(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayDotStrict(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def arrayL1(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayL1(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

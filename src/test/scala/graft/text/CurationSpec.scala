@@ -221,7 +221,12 @@ class CurationSpec extends SparkSpec {
   test("q221: BPE training — step-1 argmax is the true char bigram max, counts non-increase") {
     val out = q("q221_bpe_train").cache()
     val rows = out.orderBy("step").collect()
-    assert(rows.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // Contiguous steps from 1; 32 on this corpus (BpeSteps) — fewer only
+    // if a degenerate corpus exhausts its symbol pairs (the engine's
+    // early-exit mirrors the oracle's empty-b_i degradation).
+    val steps = rows.map(_.getAs[Long]("step")).toSeq
+    assert(steps == (1L to steps.size.toLong))
+    assert(steps.size == 32, s"expected BpeSteps=32 merges, got ${steps.size}")
     // BPE property: each step's best-pair count can never exceed the
     // previous step's (new pairs created by a merge are bounded by the
     // merged pair's own occurrence count).
