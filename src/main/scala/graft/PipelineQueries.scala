@@ -2298,7 +2298,120 @@ object PipelineQueries {
                 ELSE CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END""",
              6)} AS rec
            |FROM nc CROSS JOIN nt CROSS JOIN tp0""".stripMargin
-      }))
+      }),
+
+    // Rule-based PII redaction — the scrub stage every public pretraining
+    // pipeline runs before anything else touches the text (C4 strips
+    // pages by keyword; the BigScience ROOTS pipeline and CCNet-style
+    // cleaners mask emails/IPs/phones with regex rules — public
+    // knowledge). The synthetic corpus contains no organic PII, so the
+    // query derives a PII-bearing variant of each row IN PLAN — the same
+    // doc_id-driven concat in both engines, no data synthesized outside
+    // the table — and then redacts it, so the match/replace/count
+    // machinery is exercised on real matches. Patterns stay inside the
+    // Java-regex ∩ RE2 common subset (character classes, bounded repeats,
+    // \b anchors; no lookaround, no backreferences) so both engines
+    // compile the same automaton. Replacement ORDER is load-bearing:
+    // emails first (their domain part would otherwise feed the IP rule a
+    // dotted token), then IPs, then phones. 100 TB shape: a per-row
+    // chain of six codegen'd regexp ops — embarrassingly parallel, zero
+    // shuffles, zero UDFs; counts are computed pre-redaction so the
+    // audit row survives even though the raw text does not.
+    Q("q225_pii_redact",
+      (s, d) => {
+        val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+        val phoneRe = """\+\d{1,2}-\d{3}-\d{4}"""
+        val aug = Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@mail"), col("doc_id") % lit(7L), lit(".com from "),
+            col("doc_id") % lit(223L) + lit(1L), lit("."),
+            col("doc_id") % lit(251L), lit("."),
+            (col("doc_id") * lit(7L)) % lit(253L), lit("."),
+            col("doc_id") % lit(254L) + lit(1L),
+            lit(" call +1-555-"),
+            lpad((col("doc_id") % lit(10000L)).cast("string"), 4, "0"))
+            .as("aug"))
+        aug.select(
+          col("doc_id"), col("source"),
+          regexp_count(col("aug"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("aug"), lit(ipRe)).cast("long").as("n_ip"),
+          regexp_count(col("aug"), lit(phoneRe)).cast("long").as("n_phone"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>"),
+            phoneRe, "<PHONE>").as("redacted"))
+      },
+      Some("""WITH aug AS (SELECT doc_id, source,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com from '
+             |      || CAST(doc_id % 223 + 1 AS VARCHAR) || '.'
+             |      || CAST(doc_id % 251 AS VARCHAR) || '.'
+             |      || CAST((doc_id * 7) % 253 AS VARCHAR) || '.'
+             |      || CAST(doc_id % 254 + 1 AS VARCHAR)
+             |      || ' call +1-555-'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+             |  FROM documents)
+             |SELECT doc_id, source,
+             |  CAST(len(regexp_extract_all(aug,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |    AS n_email,
+             |  CAST(len(regexp_extract_all(aug,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+             |    AS n_ip,
+             |  CAST(len(regexp_extract_all(aug,
+             |    '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+             |  regexp_replace(regexp_replace(regexp_replace(aug,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+             |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic train/val/test split manifest — the "data card" the
+    // split step of every corpus release publishes (per-source × split
+    // doc/char/token counts). Assignment is a multiplicative hash of
+    // doc_id (Knuth constant, same literal both engines) bucketed 90/5/5,
+    // NOT doc_id % k: a modulus split is systematic w.r.t. ingestion
+    // order and silently correlates with any id-ordered attribute, while
+    // the hash is uniform and — critically for reproducible releases —
+    // a pure function of the stable id, so re-running the split on a
+    // grown corpus never reassigns an old document. 100 TB shape: one
+    // per-row hash + one (source, split) hash aggregation with map-side
+    // combine; output is catalog-sized.
+    Q("q226_split_manifest",
+      (s, d) => {
+        // floor(), not cast-to-int: DuckDB's double→INT cast ROUNDS while
+        // Spark's truncates; floor() is the one form both compute alike.
+        val bucket = floor((col("doc_id") * lit(2654435761L))
+          % lit(4294967296L) / lit(42949672.96))
+        val split = when(bucket < 90, "train")
+          .when(bucket < 95, "val").otherwise("test")
+        Tables.documents(s, d)
+          .select(col("source"), split.as("split"),
+            col("n_chars"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum("n_toks").as("sum_tokens"))
+      },
+      Some(s"""WITH a AS (SELECT source,
+              |    CASE WHEN floor((doc_id * 2654435761) % 4294967296
+              |        / 42949672.96) < 90 THEN 'train'
+              |      WHEN floor((doc_id * 2654435761) % 4294967296
+              |        / 42949672.96) < 95 THEN 'val'
+              |      ELSE 'test' END AS split,
+              |    n_chars, CAST(len($sqlToks) AS BIGINT) AS n_toks
+              |  FROM documents)
+              |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+              |FROM a GROUP BY source, split
+              |ORDER BY source, split""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

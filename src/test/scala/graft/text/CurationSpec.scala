@@ -308,4 +308,50 @@ class CurationSpec extends SparkSpec {
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
     out.unpersist()
   }
+
+  test("q225: redaction is complete — no PII pattern survives, counts match") {
+    val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+    val phoneRe = """\+\d{1,2}-\d{3}-\d{4}"""
+    val out = q("q225_pii_redact").cache()
+    assert(out.count() == graft.Tables.documents(spark, sf).count())
+    // Every augmented row carried exactly one of each PII kind by
+    // construction, and the output must account for all of them.
+    assert(out.filter(col("n_email") =!= 1 || col("n_ip") =!= 1 ||
+      col("n_phone") =!= 1).count() == 0)
+    // The scrub is total: re-running the matchers on the redacted text
+    // finds nothing, and every placeholder token is present.
+    val leftover = out.filter(
+      regexp_count(col("redacted"), lit(emailRe)) > 0 ||
+        regexp_count(col("redacted"), lit(ipRe)) > 0 ||
+        regexp_count(col("redacted"), lit(phoneRe)) > 0)
+    assert(leftover.count() == 0, "PII pattern survived redaction")
+    assert(out.filter(!col("redacted").contains("<EMAIL>") ||
+      !col("redacted").contains("<IP>") ||
+      !col("redacted").contains("<PHONE>")).count() == 0)
+    out.unpersist()
+  }
+
+  test("q226: manifest partitions the corpus; split is a pure function of doc_id") {
+    val out = q("q226_split_manifest").cache()
+    val totalDocs = graft.Tables.documents(spark, sf).count()
+    val agg = out.agg(sum("n_docs"), sum("sum_chars")).collect()(0)
+    assert(agg.getLong(0) == totalDocs, "split manifest lost/duplicated docs")
+    val charSum = graft.Tables.documents(spark, sf)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    assert(agg.getLong(1) == charSum)
+    val splits = out.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // 90/5/5 hash buckets: train must dominate (loose bound — the
+    // sf0.001 corpus is small, so allow wide sampling noise).
+    val byt = out.groupBy("split").agg(sum("n_docs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byt.getOrElse("train", 0L).toDouble / totalDocs > 0.6,
+      s"train share ${byt.getOrElse("train", 0L)}/$totalDocs below 0.6")
+    // Pure function of doc_id: a second run is row-identical.
+    val again = q("q226_split_manifest")
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
 }
