@@ -632,7 +632,7 @@ object ForecastQueries {
 
   private[graft] def pairCorrLsh(s: SparkSession, d: String,
       minSupport: Int = 8, p: Int = 10, t: Int = 16, dim: Int = 64,
-      k: Int = 20): DataFrame = {
+      k: Int = 20, persistFrames: Boolean = true): DataFrame = {
     // The dense-returns subtree (scan → resample → lag window → support
     // prune) feeds FOUR plan consumers (both signature self-join sides
     // via sigs, ra, rb); without a persist Spark computes it four times
@@ -643,9 +643,11 @@ object ForecastQueries {
     // eager sigs.count() materializes both in one tiny job so the main
     // job's concurrent consumers can't race the cache fill.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val r = lshDense(s, d, minSupport, dim).persist(lvl)
-    val sigs = lshSigs(r, p, t, dim).persist(lvl)
-    sigs.count()
+    val r0 = lshDense(s, d, minSupport, dim)
+    val r = if (persistFrames) r0.persist(lvl) else r0
+    val sigs0 = lshSigs(r, p, t, dim)
+    val sigs = if (persistFrames) sigs0.persist(lvl) else sigs0
+    if (persistFrames) sigs.count()
     val cand = lshCand(sigs)
     val ra = r.select(col("user_id").as("u"), col("bucket_s"), col("r_q").as("x"))
     val rb = r.select(col("user_id").as("v"), col("bucket_s"), col("r_q").as("y"))
