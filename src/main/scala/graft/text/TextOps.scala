@@ -69,41 +69,28 @@ object TextOps {
     * substring of length ≥ k + w − 1 contributes at least one common
     * fingerprint — the rolling-hash document-fingerprint family.
     *
-    * Shape: k-grams posexplode to rows (the array and each md5 evaluate
-    * ONCE — an array-of-windows HOF would re-evaluate the hash array per
-    * window position, quadratic md5s), then one bounded-frame window min
-    * per doc. Linear work, one shuffle on the id; per-doc state never
-    * exceeds the w-row frame, so documents of any length stream.
+    * Shape: winnowing is per-DOCUMENT local, so the whole kernel
+    * (k-gram MD5 → monotonic-deque sliding min → distinct) runs as ONE
+    * codegen'd projection expression
+    * ([[org.apache.spark.sql.graft.WinnowFingerprints]]) — zero
+    * corpus-sized exchanges. The earlier explode → Window → distinct
+    * formulation shuffled every gram row by id and paid two interpreted
+    * WindowExec passes (measured ~3.1 s warm at sf0.1 vs ~0.6 s for
+    * this shape, DevQ105Profile / PLANS.md round 10); at 100 TB the
+    * fingerprint scan should be embarrassingly parallel map work, and
+    * now is. The 60-bit hash is bit-identical to
+    * `conv(substring(md5(g), 1, 15), 16, 10)` — oracle parity holds.
     * Output: (idCol, fp) — distinct fingerprints per document.
     */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // sequence(1, n) DESCENDS for n < 1 — build 1..n as a slice of a
-    // never-empty ascending sequence so short docs yield empty arrays.
-    def upTo(n: Column): Column =
-      slice(sequence(lit(1), greatest(n, lit(1))), lit(1), greatest(n, lit(0)))
-    // The normalization (regexp) must run once per DOCUMENT: building the
-    // gram strings inside a transform lambda re-evaluates the whole
-    // normalized text per element (1.5M regexp calls at sf0.1, ~17 s).
-    // Instead explode the POSITIONS and slice the carried normalized
-    // string per row — regexp once per doc, substr/md5 per gram row.
+    // The normalization (regexp) runs once per document in its own
+    // projection; the kernel sees the materialized normalized string.
     val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
-    val hashed = df
-      .select(col(idCol), norm.as("__t"))
-      .select(col(idCol), col("__t"),
-        explode(upTo(length(col("__t")) - (k - 1))).as("pos"))
-      .select(col(idCol), col("pos"),
-        md5Hash60(col("__t").substr(col("pos"), lit(k))).as("__h"))
-    val frame = Window.partitionBy(idCol).orderBy("pos").rowsBetween(0, w - 1)
-    hashed
-      // min and count share one frame -> a single Window pass; positions
-      // near the doc tail (frame shorter than w) yield no fingerprint.
-      .withColumn("__min", min("__h").over(frame))
-      .withColumn("__wc", count(lit(1)).over(frame))
-      .filter(col("__wc") === w)
-      .select(col(idCol), col("__min").as("fp"))
-      .distinct()
+    df.select(col(idCol), norm.as("__t"))
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graft.WinnowExpressions
+          .winnowFingerprints(col("__t"), k, w)).as("fp"))
   }
 
   /** Quality features (length / punctuation / stopword ratios — the

@@ -44,4 +44,49 @@ class ExpressionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_dot"), plan)
     assert(q.agg(sum("d")).head().getDouble(0) == (0 until 8).map(i => 3.0 * i + 2.0 * i).sum)
   }
+
+  test("WinnowFingerprints equals the SQL-expression formulation, ASCII and multi-byte") {
+    import org.apache.spark.sql.graft.WinnowExpressions
+    val k = 4; val w = 5
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaa",            // degenerate: one distinct gram
+      "short",                      // g = 2 < w -> empty
+      "abc",                        // no gram at all
+      "héllo wörld — ünïcode ünïcode ünïcode padding tail", // multi-byte path
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val native = df.select(col("id"),
+        explode(WinnowExpressions.winnowFingerprints(col("t"), k, w)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Reference formulation: per-position md5Hash60 grams, sliding min
+    // via a window, distinct — the shape the DuckDB oracle mirrors.
+    import org.apache.spark.sql.expressions.Window
+    def upTo(n: org.apache.spark.sql.Column) =
+      slice(sequence(lit(1), greatest(n, lit(1))), lit(1), greatest(n, lit(0)))
+    val frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    val ref = df
+      .select(col("id"), col("t"),
+        explode(upTo(length(col("t")) - (k - 1))).as("pos"))
+      .select(col("id"), col("pos"),
+        graft.text.TextOps.md5Hash60(col("t").substr(col("pos"), lit(k))).as("h"))
+      .withColumn("m", min("h").over(frame))
+      .withColumn("c", count(lit(1)).over(frame))
+      .filter(col("c") === w)
+      .select(col("id"), col("m")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == ref)
+    assert(!native.exists(_._1 >= 2L) || native.exists(_._1 == 4L)) // multi-byte doc fingerprinted
+    assert(!native.exists(p => p._1 == 2L || p._1 == 3L || p._1 == 5L)) // short/empty docs empty
+  }
+
+  test("WinnowFingerprints stays inside whole-stage codegen") {
+    import org.apache.spark.sql.graft.WinnowExpressions
+    val df = spark.range(4).select(concat(lit("abcdefghij"),
+      col("id").cast("string")).as("t"))
+    val q = df.select(WinnowExpressions.winnowFingerprints(col("t"), 4, 5).as("f"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_winnow_fps"), plan)
+    assert(q.select(explode(col("f"))).count() > 0)
+  }
 }
