@@ -2411,7 +2411,73 @@ object PipelineQueries {
               |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
               |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens
               |FROM a GROUP BY source, split
-              |ORDER BY source, split""".stripMargin)))
+              |ORDER BY source, split""".stripMargin)),
+
+    // MOSS-style match detection (Schleimer et al. 2003 §5, public
+    // knowledge): candidate near-dup pairs = documents sharing RARE
+    // winnowing fingerprints, scored by Jaccard over each doc's rare-
+    // fingerprint set. The df ≤ 64 prune is the paper's own "ignore
+    // very common fingerprints" rule and the 100 TB lever: it caps the
+    // per-fingerprint bucket at dfMax docs, so the self-join's pair mass
+    // is ≤ dfMax²/2 per bucket — pigeonhole-bounded like the banded LSH
+    // tiers, never quadratic in the corpus (measured here: Σdf² 7.7 k
+    // pruned vs 6.6 M unpruned at sf0.01). Fingerprints come from the
+    // q105 kernel (zero-shuffle per-doc expression); the rare-fp frame
+    // feeds three consumers (both join sides + per-doc sizes), so it is
+    // persisted and materialized once — the q207 pattern.
+    Q("q227_winnow_pairs",
+      (s, d) => {
+        val dfMax = 64; val minShared = 2; val kTop = 50
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val f = TextOps.winnowingFingerprints(
+          Tables.documents(s, d), "doc_id", "text", k = 4, w = 5)
+        val rare = f.groupBy("fp")
+          .agg(count(lit(1)).as("df")).filter(col("df") <= dfMax)
+          .select("fp")
+        val rf = f.join(rare, "fp").persist(lvl)
+        rf.count()
+        val sizes = rf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val a = rf.select(col("fp"), col("doc_id").as("doc_a"))
+        val b = rf.select(col("fp"), col("doc_id").as("doc_b"))
+        a.join(b, "fp").filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= minShared)
+          .join(sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("sz", "sa"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("sz", "sb"), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            pround(col("shared").cast("double") /
+              (col("sa") + col("sb") - col("shared")).cast("double"), 6)
+              .as("score"))
+          .orderBy(col("score").desc, col("doc_a"), col("doc_b"))
+          .limit(kTop)
+      },
+      oracle = None,
+      // Drift-proof nesting (the q223 pattern): the fingerprint relation
+      // is q105's own registered oracle SQL verbatim.
+      oracleDyn = Some { () =>
+        val q105 = VectorTextQueries.all
+          .find(_.name == "q105_winnowing").get.oracle.get
+        s"""WITH f AS ($q105),
+           |dfc AS (SELECT fp, CAST(count(*) AS BIGINT) AS df
+           |  FROM f GROUP BY fp),
+           |rf AS (SELECT f.doc_id, f.fp FROM f
+           |  JOIN dfc USING (fp) WHERE dfc.df <= 64),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+           |  FROM rf GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(count(*) AS BIGINT) AS shared
+           |  FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT doc_a, doc_b, shared,
+           |  ${sqlRound(
+             "CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE)",
+             6)} AS score
+           |FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+           |JOIN sz sb ON sb.doc_id = p.doc_b
+           |ORDER BY score DESC, doc_a, doc_b LIMIT 50""".stripMargin
+      }))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

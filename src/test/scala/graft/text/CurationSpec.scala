@@ -354,4 +354,28 @@ class CurationSpec extends SparkSpec {
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
     out.unpersist()
   }
+
+  test("q227: shared counts equal rare-fingerprint set intersections, scores valid") {
+    val out = q("q227_winnow_pairs").cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("doc_a") >= col("doc_b") || col("shared") < 2 ||
+      col("score") <= 0 || col("score") > 1).count() == 0)
+    // Recompute the rare-fp sets independently and check every emitted
+    // pair's shared count and Jaccard score against set arithmetic.
+    val fps = TextOps.winnowingFingerprints(
+      graft.Tables.documents(spark, sf), "doc_id", "text", k = 4, w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dfc = fps.groupBy(_._2).view.mapValues(_.length).toMap
+    val rare = fps.filter(p => dfc(p._2) <= 64)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (rare(a), rare(b))
+      val inter = (sa & sb).size
+      assert(r.getLong(2) == inter, s"pair ($a,$b) shared ${r.getLong(2)} != $inter")
+      val jac = inter.toDouble / (sa.size + sb.size - inter)
+      assert(math.abs(r.getDouble(3) - jac) < 1e-5)
+    }
+    out.unpersist()
+  }
 }
