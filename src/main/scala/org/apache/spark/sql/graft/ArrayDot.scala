@@ -199,5 +199,10 @@ object GraftExpressions {
       "graft_l1", exprs => ArrayL1(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sqdiff", exprs => ArraySqDiff(exprs.head, exprs(1)), "scala_udf")
+    // graft_winnow_fps(text, k, w) — k/w must be integer literals.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_fps", exprs => WinnowFingerprints(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "scala_udf")
   }
 }

@@ -88,5 +88,11 @@ class ExpressionsSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [graft_winnow_fps"), plan)
     assert(q.select(explode(col("f"))).count() > 0)
+    // SQL registration: literal k/w arguments plan the same expression.
+    GraftExpressions.register(spark)
+    df.createOrReplaceTempView("wf_t")
+    val viaSql = spark.sql("SELECT graft_winnow_fps(t, 4, 5) AS f FROM wf_t")
+    assert(viaSql.select(explode(col("f"))).count() ==
+      q.select(explode(col("f"))).count())
   }
 }
