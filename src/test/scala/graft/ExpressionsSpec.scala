@@ -95,4 +95,42 @@ class ExpressionsSpec extends SparkSpec {
     assert(viaSql.select(explode(col("f"))).count() ==
       q.select(explode(col("f"))).count())
   }
+
+  test("MinHashSig equals the explode+groupBy aggregation formulation") {
+    import org.apache.spark.sql.graft.MinHashExpressions
+    import graft.text.{Dedup, TextOps}
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val coeffs = Dedup.minhashCoeffs(12, 7L)
+    val native = docs.select(col("doc_id"),
+        MinHashExpressions.minhashSig(col("text"), 3, coeffs).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val aggs = (0 until 12).map { i =>
+      min(Dedup.universalHash(col("__h"), coeffs(i))).as(s"h$i")
+    }
+    val ref = docs.select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("__s"))
+      .withColumn("__h", TextOps.md5Hash60(col("__s")))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 12).map(r.getLong(_)).toVector).toMap
+    assert(native == ref)
+    // whitespace-variant and too-short docs behave like the groupBy shape
+    val edge = Seq((1L, "a  b\tc\nd"), (2L, "one two"), (3L, ""))
+      .toDF("doc_id", "text")
+    val e = edge.select(col("doc_id"),
+      MinHashExpressions.minhashSig(col("text"), 3, coeffs).as("sig"))
+    assert(e.filter(col("sig").isNotNull).count() == 1) // only doc 1 has >= 3 tokens
+  }
+
+  test("MinHashSig stays inside whole-stage codegen") {
+    import org.apache.spark.sql.graft.MinHashExpressions
+    val coeffs = graft.text.Dedup.minhashCoeffs(12, 7L)
+    val df = spark.range(4).select(concat(lit("alpha beta gamma delta "),
+      col("id").cast("string")).as("t"))
+    val q = df.select(MinHashExpressions.minhashSig(col("t"), 3, coeffs).as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_minhash_sig"), plan)
+    assert(q.filter(col("s").isNotNull).count() == 4)
+  }
 }
