@@ -123,6 +123,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(e.filter(col("sig").isNotNull).count() == 1) // only doc 1 has >= 3 tokens
   }
 
+  test("SimHashSig stays inside whole-stage codegen; empty shingles yield null") {
+    import org.apache.spark.sql.graft.SimHashExpressions
+    // range-based input so ConvertToLocalRelation can't fold the
+    // projection into a LocalTableScan at plan time
+    val df = spark.range(2).select(col("id"),
+      when(col("id") === 0,
+        array(lit("a b c"), lit("b c d"), lit("c d e")))
+        .otherwise(array().cast("array<string>")).as("sh"))
+    val q = df.select(col("id"),
+      SimHashExpressions.simhashSig(col("sh"), 32).as("fp"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_simhash") &&
+      plan.contains("*(1) Project"), plan)
+    val rows = q.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(0L).isDefined && rows(1L).isEmpty)
+    // parity with the HOF formulation on the same shingles
+    val hof = df.filter(size(col("sh")) > 0).select(col("id"),
+      graft.text.Dedup.simhash(col("sh"), 32).as("fp")).head()
+    assert(rows(0L).contains(hof.getLong(1)))
+  }
+
   test("MinHashSig stays inside whole-stage codegen") {
     import org.apache.spark.sql.graft.MinHashExpressions
     val coeffs = graft.text.Dedup.minhashCoeffs(12, 7L)
