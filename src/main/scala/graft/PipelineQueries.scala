@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
@@ -2477,6 +2477,58 @@ object PipelineQueries {
            |FROM p JOIN sz sa ON sa.doc_id = p.doc_a
            |JOIN sz sb ON sb.doc_id = p.doc_b
            |ORDER BY score DESC, doc_a, doc_b LIMIT 50""".stripMargin
+      }),
+
+    // Cross-split LEAKAGE audit — the check every corpus release runs
+    // after splitting: near-duplicate pairs that STRADDLE train/val/test
+    // mean the eval split is contaminated by training data (the
+    // Lee et al. 2022 "Deduplicating Training Data" motivation). The
+    // near-dup tier is q52's MinHash-LSH candidate generator and the
+    // split is q226's multiplicative-hash assignment — both reused by
+    // definition (the oracle nests q52's registered SQL verbatim and
+    // repeats q226's split expression), so the audit can never drift
+    // from the queries it composes. Output is split-pair × count — a
+    // catalog-sized report; the only corpus work is the signature scan
+    // and band join already analyzed under q52. A healthy split shows
+    // cross-pairs ∝ 2·p_a·p_b of the dup mass (hash assignment is
+    // independent of content); a zero cross row next to nonzero
+    // within-train dups would itself be suspicious.
+    Q("q228_split_leakage",
+      (s, d) => {
+        import graft.text.Dedup
+        def split(idc: Column) = {
+          val bucket = floor((idc * lit(2654435761L))
+            % lit(4294967296L) / lit(42949672.96))
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test")
+        }
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
+          "text", shingleN = 3, numHashes = 12, bands = 4)
+        pairs
+          .select(least(split(col("id_a")), split(col("id_b"))).as("split_lo"),
+            greatest(split(col("id_a")), split(col("id_b"))).as("split_hi"))
+          .groupBy("split_lo", "split_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("crosses_split",
+            (col("split_lo") =!= col("split_hi")).cast("int"))
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        val q52 = VectorTextQueries.all
+          .find(_.name == "q52_minhash_pairs").get.oracle.get
+        def sql(c: String) =
+          s"""CASE WHEN floor(($c * 2654435761) % 4294967296
+             |      / 42949672.96) < 90 THEN 'train'
+             |    WHEN floor(($c * 2654435761) % 4294967296
+             |      / 42949672.96) < 95 THEN 'val'
+             |    ELSE 'test' END""".stripMargin
+        s"""WITH pr AS ($q52),
+           |lab AS (SELECT least(${sql("id_a")}, ${sql("id_b")}) AS split_lo,
+           |    greatest(${sql("id_a")}, ${sql("id_b")}) AS split_hi
+           |  FROM pr)
+           |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(split_lo <> split_hi AS INT) AS crosses_split
+           |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }))
 
   def all: Seq[Q] =

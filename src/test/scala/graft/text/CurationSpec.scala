@@ -378,4 +378,33 @@ class CurationSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("q228: leakage report partitions q52's pairs; labels match the q226 split") {
+    val out = q("q228_split_leakage").cache()
+    val totalPairs = q("q52_minhash_pairs").count()
+    assert(out.agg(sum("n_pairs")).collect()(0).getLong(0) == totalPairs,
+      "split-pair counts must partition the candidate-pair set")
+    val splits = Set("train", "val", "test")
+    out.collect().foreach { r =>
+      val (lo, hi) = (r.getString(0), r.getString(1))
+      assert(splits(lo) && splits(hi) && lo <= hi)
+      assert(r.getInt(3) == (if (lo != hi) 1 else 0))
+    }
+    // Label ground truth: every pair's splits come from the same hash
+    // formula q226 assigns docs with.
+    def splitOf(id: Long): String = {
+      val b = math.floor((id * 2654435761L) % 4294967296L / 42949672.96)
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    val pairs = q("q52_minhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.view.mapValues(_.length.toLong).toMap
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    out.unpersist()
+  }
 }
