@@ -379,6 +379,24 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q224: sampled eval = q223's definition on exactly the hash-predicate subset") {
+    val out = q("q224_lsh_eval_sampled").collect()(0)
+    val (nc, nt, tp) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    assert(tp <= nc && tp <= nt)
+    assert(out.getDouble(3) >= 0 && out.getDouble(3) <= 1)
+    assert(out.getDouble(4) >= 0 && out.getDouble(4) <= 1)
+    // The sample is the multiplicative-hash predicate, nothing else:
+    // re-derive the kept doc set and check the candidate tier on it
+    // yields exactly n_candidates pairs.
+    import graft.text.Dedup
+    val sdocs = graft.Tables.documents(spark, sf)
+      .filter((col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+        < lit(2147483648L))
+    val cand = Dedup.minhashLshPairs(sdocs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4).count()
+    assert(cand == nc, s"sampled candidate count $cand != reported $nc")
+  }
+
   test("q228: leakage report partitions q52's pairs; labels match the q226 split") {
     val out = q("q228_split_leakage").cache()
     val totalPairs = q("q52_minhash_pairs").count()
