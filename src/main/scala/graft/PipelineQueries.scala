@@ -2056,6 +2056,14 @@ object PipelineQueries {
         val sig = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
           .withColumn("bucket", graft.sim.Lsh.hyperplaneSignature(col("emb"), mat))
+          // The strict dot yields a NULL signature for a malformed
+          // (wrong-dim / null-holding) vector. Under the JOIN consumers a
+          // NULL bucket drops out by itself, but row_number would give
+          // NULLs their own window partition and RETAIN them — filter so
+          // window and join consumers agree on malformed-row behavior
+          // (ADVICE r10 #4). No-op on well-formed data, where the DuckDB
+          // oracle's list_dot_product would have errored instead.
+          .filter(col("bucket").isNotNull)
           .withColumn("pri", TextOps.md5Hash60(
             concat(lit("cs:"), col("vec_id").cast("string"))))
         sig.withColumn("rk", row_number().over(
@@ -2239,10 +2247,12 @@ object PipelineQueries {
     // shape of dedup-tier evaluation (round-9 verdict item #4): the
     // exact PPJoin truth tier q223 must run is the expensive side, so at
     // scale precision/recall is estimated on a sample. The sample is a
-    // multiplicative-hash predicate on doc_id (Knuth constant; rate 1/2
-    // as a plan literal shared with the SQL below) — deterministic,
-    // engine-identical, and unbiased w.r.t. doc-id assignment order,
-    // unlike `doc_id % m` which is a systematic sample. Pair metrics on
+    // multiplicative-hash predicate on doc_id ([[Hashing.hash32]]: Knuth
+    // constant behind an overflow-safe prime fold; rate 1/2 as a plan
+    // literal shared with the SQL below) — deterministic,
+    // engine-identical over the full BIGINT id range, and unbiased
+    // w.r.t. doc-id assignment order, unlike `doc_id % m` which is a
+    // systematic sample. Pair metrics on
     // a rate-p sample see ~p² of the true pairs — the standard
     // estimator tradeoff (variance up, cost down p²·quadratic).
     Q("q224_lsh_eval_sampled",
@@ -2250,8 +2260,7 @@ object PipelineQueries {
         import graft.text.Dedup
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val sdocs = Tables.documents(s, d)
-          .filter((col("doc_id") * lit(2654435761L)) % lit(4294967296L)
-            < lit(2147483648L))
+          .filter(Hashing.hash32(col("doc_id")) < lit(2147483648L))
         val cand = Dedup.minhashLshPairs(sdocs, "doc_id",
           "text", shingleN = 3, numHashes = 12, bands = 4)
           .select("id_a", "id_b").persist(lvl)
@@ -2281,7 +2290,7 @@ object PipelineQueries {
         val q52 = byName("q52_minhash_pairs").oracle.get
         val q42 = byName("q42_ngram_jaccard").oracle.get
         s"""WITH documents AS (SELECT * FROM main.documents
-           |  WHERE ((doc_id * 2654435761) % 4294967296) < 2147483648),
+           |  WHERE ${Hashing.sqlHash32("doc_id")} < 2147483648),
            |cand AS ($q52),
            |truth AS ($q42),
            |tp0 AS (SELECT CAST(count(*) AS BIGINT) AS tp
@@ -2386,8 +2395,10 @@ object PipelineQueries {
       (s, d) => {
         // floor(), not cast-to-int: DuckDB's double→INT cast ROUNDS while
         // Spark's truncates; floor() is the one form both compute alike.
-        val bucket = floor((col("doc_id") * lit(2654435761L))
-          % lit(4294967296L) / lit(42949672.96))
+        // Hash via graft.Hashing — overflow-safe for the full BIGINT id
+        // range (the naive Knuth multiply wraps in Spark but RAISES in
+        // DuckDB past id ≈ 3.47e9; see Hashing's scaladoc).
+        val bucket = floor(Hashing.hash32(col("doc_id")) / lit(42949672.96))
         val split = when(bucket < 90, "train")
           .when(bucket < 95, "val").otherwise("test")
         Tables.documents(s, d)
@@ -2400,9 +2411,9 @@ object PipelineQueries {
             sum("n_toks").as("sum_tokens"))
       },
       Some(s"""WITH a AS (SELECT source,
-              |    CASE WHEN floor((doc_id * 2654435761) % 4294967296
+              |    CASE WHEN floor(${Hashing.sqlHash32("doc_id")}
               |        / 42949672.96) < 90 THEN 'train'
-              |      WHEN floor((doc_id * 2654435761) % 4294967296
+              |      WHEN floor(${Hashing.sqlHash32("doc_id")}
               |        / 42949672.96) < 95 THEN 'val'
               |      ELSE 'test' END AS split,
               |    n_chars, CAST(len($sqlToks) AS BIGINT) AS n_toks
@@ -2497,8 +2508,7 @@ object PipelineQueries {
       (s, d) => {
         import graft.text.Dedup
         def split(idc: Column) = {
-          val bucket = floor((idc * lit(2654435761L))
-            % lit(4294967296L) / lit(42949672.96))
+          val bucket = floor(Hashing.hash32(idc) / lit(42949672.96))
           when(bucket < 90, "train").when(bucket < 95, "val")
             .otherwise("test")
         }
@@ -2517,9 +2527,9 @@ object PipelineQueries {
         val q52 = VectorTextQueries.all
           .find(_.name == "q52_minhash_pairs").get.oracle.get
         def sql(c: String) =
-          s"""CASE WHEN floor(($c * 2654435761) % 4294967296
+          s"""CASE WHEN floor(${Hashing.sqlHash32(c)}
              |      / 42949672.96) < 90 THEN 'train'
-             |    WHEN floor(($c * 2654435761) % 4294967296
+             |    WHEN floor(${Hashing.sqlHash32(c)}
              |      / 42949672.96) < 95 THEN 'val'
              |    ELSE 'test' END""".stripMargin
         s"""WITH pr AS ($q52),

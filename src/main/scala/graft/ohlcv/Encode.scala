@@ -174,17 +174,24 @@ object Encode {
     // Sign-canonicalize each component BEFORE quantizing: an eigenvector
     // is defined only up to sign, and under near-degenerate eigenvalues
     // a refit can legitimately flip it. Forcing the largest-magnitude
-    // entry positive (ties broken by lowest index, which the strict
-    // inequality below implements) removes that whole failure axis from
-    // the reproducibility story.
+    // entry positive removes that whole failure axis. The pivot is
+    // chosen on 1e-9-QUANTIZED magnitudes (same grid the entries are
+    // published on) with lowest-index tie-break: two raw entries of
+    // opposite sign within the ~1e-13 refit drift of each other would
+    // otherwise make the pivot choice itself — and with it the whole
+    // component's sign — refit-dependent, the same hazard as the
+    // quantization-midpoint case documented below (ADVICE r10 #5). On
+    // the grid, a drift-sized perturbation cannot reorder two magnitudes
+    // unless both sit at a shared midpoint — the already-documented rare
+    // residual, no longer a second unbounded one.
     val canon = Array.tabulate(outDim) { i =>
       val colv = Array.tabulate(inLen)(j => pc(j, i))
       var best = 0
-      var bestAbs = math.abs(colv(0))
+      var bestQ = math.rint(math.abs(colv(0)) * 1e9)
       var j = 1
       while (j < inLen) {
-        val a = math.abs(colv(j))
-        if (a > bestAbs) { best = j; bestAbs = a }
+        val q = math.rint(math.abs(colv(j)) * 1e9)
+        if (q > bestQ) { best = j; bestQ = q }
         j += 1
       }
       if (colv(best) < 0) colv.map(-_) else colv

@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Native codegen'd dot product over two `array<double>` columns.
   *
@@ -200,9 +200,25 @@ object GraftExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sqdiff", exprs => ArraySqDiff(exprs.head, exprs(1)), "scala_udf")
     // graft_winnow_fps(text, k, w) — k/w must be integer literals.
+    // Validated by pattern match rather than an eager eval().asInstanceOf:
+    // a BIGINT literal (4L), CAST, or column argument used to surface as
+    // an opaque ClassCastException/NPE at plan-build time (ADVICE r10
+    // #3); now it is an AnalysisException naming the requirement.
+    def intLit(e: Expression, arg: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+      case Literal(v: Short, ShortType) => v.toInt
+      case Literal(v: Byte, ByteType) => v.toInt
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          (s"graft_winnow_fps: argument '$arg' must be an integer literal " +
+            s"(k-gram / window size are plan-time constants); got ${other.sql}")),
+        None)
+    }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow_fps", exprs => WinnowFingerprints(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        intLit(exprs(1), "k"), intLit(exprs(2), "w")),
       "scala_udf")
   }
 }

@@ -30,6 +30,17 @@ object SimHashKernel {
     val out = new Array[Byte](16)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) {
+        // Match the explode+groupBy formulation this kernel replaced: a
+        // null shingle hashed to a null bit-test, which the bit-sum
+        // aggregate counted as −1 on every position. The input type is
+        // ArrayType(StringType) with containsNull=true, so a public
+        // caller CAN pass null elements — skip-and-subtract instead of
+        // the NPE arr.getUTF8String(i) would throw (ADVICE r10 #2).
+        var b = 0
+        while (b < bits) { counts(b) -= 1L; b += 1 }
+        i += 1
+      } else {
       digest.update(arr.getUTF8String(i).getBytes)
       digest.digest(out, 0, 16)
       val h = (((out(0) & 0xffL) << 56) | ((out(1) & 0xffL) << 48) |
@@ -42,6 +53,7 @@ object SimHashKernel {
         b += 1
       }
       i += 1
+      }
     }
     var fp = 0L
     var b = 0

@@ -145,6 +145,60 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows(0L).contains(hof.getLong(1)))
   }
 
+  test("SimHashSig: null shingle elements contribute -1 per bit, no NPE") {
+    import org.apache.spark.sql.graft.SimHashExpressions
+    // ADVICE r10 #2: the kernel accepts ArrayType(StringType,
+    // containsNull=true), so a public caller can pass null elements; the
+    // replaced explode+groupBy formulation counted a null hash as -1 on
+    // every bit position rather than crashing.
+    val df = spark.range(3).select(col("id"),
+      when(col("id") === 0, array(lit("a b c"), lit("a b c"),
+          lit(null).cast("string")))
+        .when(col("id") === 1, array(lit(null).cast("string")))
+        .otherwise(array(lit("a b c"))).as("sh"))
+    val rows = df.select(col("id"),
+        SimHashExpressions.simhashSig(col("sh"), 32).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // [s, s, null]: counts are 2(±1)−1, same sign as ±1 → equals sig([s]).
+    assert(rows(0L) == rows(2L) && rows(0L).isDefined)
+    // [null]: every count −1 → every bit 0.
+    assert(rows(1L).contains(0L))
+  }
+
+  test("graft_winnow_fps SQL: long literals accepted, non-literals rejected") {
+    import org.apache.spark.sql.AnalysisException
+    GraftExpressions.register(spark)
+    spark.range(2).select(concat(lit("abcdefghij"),
+        col("id").cast("string")).as("t"), col("id"))
+      .createOrReplaceTempView("wf_lit_t")
+    // A BIGINT literal (4L) used to die with an opaque
+    // ClassCastException at plan-build time (ADVICE r10 #3).
+    val viaLong = spark.sql(
+      "SELECT graft_winnow_fps(t, 4L, 5L) AS f FROM wf_lit_t")
+    assert(viaLong.select(explode(col("f"))).count() > 0)
+    // A column argument gets a named AnalysisException, not a CCE/NPE.
+    val ex = intercept[AnalysisException] {
+      spark.sql("SELECT graft_winnow_fps(t, id, 5) FROM wf_lit_t").collect()
+    }
+    assert(ex.getMessage.contains("integer literal"), ex.getMessage)
+  }
+
+  test("Hashing.hash32: engine/JVM parity, in-range over the full id range") {
+    // ADVICE r10 #1: the prime-folded form must not overflow signed
+    // 64-bit even at Long.MaxValue, and Spark must agree with the
+    // spec-side JVM re-derivation everywhere.
+    val ids = Seq(0L, 1L, 2L, 1073741788L, 1073741789L, 3470000000L,
+      1L << 40, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(col("id"), graft.Hashing.hash32(col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val h = graft.Hashing.jvmHash32(id)
+      assert(got(id) == h && h >= 0L && h < 4294967296L, s"id=$id h=$h")
+    }
+  }
+
   test("MinHashSig stays inside whole-stage codegen") {
     import org.apache.spark.sql.graft.MinHashExpressions
     val coeffs = graft.text.Dedup.minhashCoeffs(12, 7L)

@@ -390,8 +390,7 @@ class CurationSpec extends SparkSpec {
     // yields exactly n_candidates pairs.
     import graft.text.Dedup
     val sdocs = graft.Tables.documents(spark, sf)
-      .filter((col("doc_id") * lit(2654435761L)) % lit(4294967296L)
-        < lit(2147483648L))
+      .filter(graft.Hashing.hash32(col("doc_id")) < lit(2147483648L))
     val cand = Dedup.minhashLshPairs(sdocs, "doc_id", "text",
       shingleN = 3, numHashes = 12, bands = 4).count()
     assert(cand == nc, s"sampled candidate count $cand != reported $nc")
@@ -411,7 +410,7 @@ class CurationSpec extends SparkSpec {
     // Label ground truth: every pair's splits come from the same hash
     // formula q226 assigns docs with.
     def splitOf(id: Long): String = {
-      val b = math.floor((id * 2654435761L) % 4294967296L / 42949672.96)
+      val b = math.floor(graft.Hashing.jvmHash32(id) / 42949672.96)
       if (b < 90) "train" else if (b < 95) "val" else "test"
     }
     val pairs = q("q52_minhash_pairs").collect()
