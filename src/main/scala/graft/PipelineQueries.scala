@@ -2241,7 +2241,9 @@ object PipelineQueries {
              6)} AS rec
            |FROM nc CROSS JOIN nt CROSS JOIN tp0""".stripMargin
       },
-      scaleLimited = Some("q224_lsh_eval_sampled")),
+      // Terminal scale path is the fixed-BUDGET eval (q229): q224's
+      // fixed-rate sample cuts the constant but keeps the growth.
+      scaleLimited = Some("q229_dedup_eval_budget")),
 
     // q223 on a DETERMINISTIC HASH-SAMPLE of the corpus — the 100 TB
     // shape of dedup-tier evaluation (round-9 verdict item #4): the
@@ -2307,6 +2309,100 @@ object PipelineQueries {
                 ELSE CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END""",
              6)} AS rec
            |FROM nc CROSS JOIN nt CROSS JOIN tp0""".stripMargin
+      },
+      // A fixed RATE halves the pair-mass constant but keeps its growth
+      // (measured 4.46× @30× in round 10 — the suite's highest octave
+      // ratio); the fixed-BUDGET form below is the terminal scale path.
+      scaleLimited = Some("q229_dedup_eval_budget")),
+
+    // Fixed-BUDGET dedup-tier eval — the scale-PROOF form of the
+    // sampled evaluation (round-10 verdict #1). q224's fixed-rate
+    // sample (p = 1/2) halves the truth tier's pair-mass constant but
+    // keeps its growth: pair mass on a rate-p sample is still
+    // p²·O(pairs(N)). Here the hash threshold is computed FROM the
+    // corpus count — keep doc iff hash32(doc_id) < floor(M·2^32 / N),
+    // M = 250 — so expected sampled docs ≈ M REGARDLESS of corpus
+    // size: the eval's cost is one linear count scan + one corpus scan
+    // for the filter + an O(M²)-bounded pair stage. Deterministic (same
+    // overflow-safe multiplicative hash as q224/q226), collect-free
+    // (the threshold is a broadcast 1-row aggregate, not a plan
+    // literal), and oracle-expressible (the threshold CTE computes
+    // identically in DuckDB — pure IEEE double division + floor).
+    // Continuity: at N = 500 (the sf0.001/sf0.01 corpus)
+    // floor(250·2^32/500) = 2^31 is exactly q224's rate-1/2 cut, so the
+    // two evals coincide at base scale and diverge only as the corpus
+    // grows. Estimator caveat (documented, inherent): a budget sample's
+    // rate p = M/N shrinks with N, so pair-metric variance grows with
+    // corpus size — the standard monitoring tradeoff (bounded cost,
+    // loosening confidence), to be read as a health indicator, not a
+    // census.
+    Q("q229_dedup_eval_budget",
+      (s, d) => {
+        import graft.text.Dedup
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val docs = Tables.documents(s, d)
+        val thr = docs.agg(count(lit(1)).as("c"))
+          .select(floor(lit(250L * 4294967296L).cast("double") /
+            col("c").cast("double")).as("thr"))
+        // Persist the M-sized sample: one corpus scan feeds the filter;
+        // candidate tier, truth tier, and the n_docs audit column all
+        // reuse the cached bounded set.
+        val sdocs = docs.crossJoin(broadcast(thr))
+          .filter(Hashing.hash32(col("doc_id")) < col("thr"))
+          .drop("thr").persist(lvl)
+        val cand = Dedup.minhashLshPairs(sdocs, "doc_id",
+          "text", shingleN = 3, numHashes = 12, bands = 4)
+          .select("id_a", "id_b").persist(lvl)
+        val truth = Dedup.ngramJaccardPairs(sdocs, "doc_id",
+          "text", shingleN = 3, threshold = 0.5)
+          .select("id_a", "id_b").persist(lvl)
+        sdocs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .crossJoin(cand.join(truth, Seq("id_a", "id_b"))
+            .agg(count(lit(1)).as("tp")))
+          .select(col("n_docs"), col("n_candidates"), col("n_true"),
+            col("tp"),
+            pround(when(col("n_candidates") === 0, 0.0)
+              .otherwise(col("tp").cast("double") /
+                col("n_candidates").cast("double")), 6).as("prec"),
+            pround(when(col("n_true") === 0, 0.0)
+              .otherwise(col("tp").cast("double") /
+                col("n_true").cast("double")), 6).as("rec"))
+      },
+      oracle = None,
+      // Same drift-proof nesting as q223/q224 — q52's/q42's registered
+      // SQL verbatim over a `documents` CTE holding the budget sample;
+      // the threshold CTE makes the oracle corpus-size-generic (no
+      // baked-in N).
+      oracleDyn = Some { () =>
+        val byName = VectorTextQueries.all.map(q => q.name -> q).toMap
+        val q52 = byName("q52_minhash_pairs").oracle.get
+        val q42 = byName("q42_ngram_jaccard").oracle.get
+        s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c
+           |  FROM main.documents),
+           |thr AS (SELECT floor(CAST(250 * 4294967296 AS DOUBLE)
+           |    / CAST(c AS DOUBLE)) AS t FROM nn),
+           |documents AS (SELECT d.* FROM main.documents d, thr
+           |  WHERE ${Hashing.sqlHash32("d.doc_id")} < t),
+           |cand AS ($q52),
+           |truth AS ($q42),
+           |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM documents),
+           |tp0 AS (SELECT CAST(count(*) AS BIGINT) AS tp
+           |  FROM cand JOIN truth USING (id_a, id_b)),
+           |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth)
+           |SELECT n_docs, n_candidates, n_true, tp,
+           |  ${sqlRound(
+             """CASE WHEN n_candidates = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE) END""",
+             6)} AS prec,
+           |  ${sqlRound(
+             """CASE WHEN n_true = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END""",
+             6)} AS rec
+           |FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN tp0""".stripMargin
       }),
 
     // Rule-based PII redaction — the scrub stage every public pretraining

@@ -396,6 +396,32 @@ class CurationSpec extends SparkSpec {
     assert(cand == nc, s"sampled candidate count $cand != reported $nc")
   }
 
+  test("q229: budget sample = count-derived threshold; coincides with q224 at N=500") {
+    val out = q("q229_dedup_eval_budget").collect()(0)
+    val (nd, nc, nt, tp) =
+      (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    assert(tp <= nc && tp <= nt)
+    assert(out.getDouble(4) >= 0 && out.getDouble(4) <= 1)
+    assert(out.getDouble(5) >= 0 && out.getDouble(5) <= 1)
+    // The sample is exactly the count-derived hash threshold: re-derive
+    // the kept set driver-side and compare the audit count.
+    val ids = graft.Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val thr = math.floor(250.0 * 4294967296.0 / n.toDouble)
+    val kept = ids.count(id => graft.Hashing.jvmHash32(id) < thr)
+    assert(nd.toInt == kept, s"n_docs $nd != re-derived kept-set size $kept")
+    // Budget property: expected kept ≈ 250 (uniform hash; loose band).
+    assert(nd >= 125 && nd <= 400, s"n_docs $nd far from budget 250")
+    // Continuity: at N = 500 the threshold floor(250·2^32/500) = 2^31 is
+    // exactly q224's rate-1/2 cut, so both evals see the same sample.
+    if (n == 500L) {
+      val q224row = q("q224_lsh_eval_sampled").collect()(0)
+      assert(nc == q224row.getLong(0) && nt == q224row.getLong(1) &&
+        tp == q224row.getLong(2))
+    }
+  }
+
   test("q228: leakage report partitions q52's pairs; labels match the q226 split") {
     val out = q("q228_split_leakage").cache()
     val totalPairs = q("q52_minhash_pairs").count()
