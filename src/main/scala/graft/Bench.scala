@@ -118,8 +118,33 @@ object Bench {
     // Threshold 1.0 s (was 2.0): the round-9 driver run had q61 poisoned
     // at 1.36 s warm — real stall-affected rows sit below 2 s too, and a
     // revisit rep costs about what the row itself does.
-    val revisitNames = firstPass.filter(r => r._4 == null && r._3 > 1.0)
-      .sortBy(-_._3).take(16).map(_._1).toSet
+    //
+    // Round-over-round DELTA trigger (round-10 verdict #2): the absolute
+    // threshold misses drift on sub-1 s rows — q206 drifted +0.69 s and
+    // q42 +0.25 s between driver rounds with neither plan touched, and
+    // nothing re-timed them. Read the PREVIOUS round's committed
+    // bench_full.json (this file is overwritten only at the END of the
+    // run, so at this point it still holds last round's numbers) and
+    // also revisit any row that regressed ≥ 0.25 s AND ≥ 25% against its
+    // prior warm value — a stall-poisoned row recovers its real number,
+    // a genuine regression re-measures the same and stays LOUD in the
+    // artifact's `revisited`/`revisit_first` fields.
+    val priorWarm: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        val qobj = """"queries":\{(.*?)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(qobj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val drifted = firstPass.filter { r =>
+      r._4 == null && priorWarm.get(r._1).exists(prev =>
+        prev > 0 && r._3 >= prev + 0.25 && r._3 >= prev * 1.25)
+    }.map(_._1).toSet
+    val revisitNames = (firstPass.filter(r => r._4 == null && r._3 > 1.0)
+      .sortBy(-_._3).take(16).map(_._1).toSet ++ drifted)
     val revisited: Map[String, Double] = revisitNames.toSeq.map { name =>
       val (t, err) = time(SparkEntry.queries(name))
       dropLeakedBlocks()
@@ -143,6 +168,11 @@ object Bench {
     // suspect for a persistent environmental constant in the MLlib fit.
     val q204Stages = scala.collection.mutable.LinkedHashMap[String, Double]()
     try {
+      // Clear the fit-artifact cache first: the suite's q204 rows measure
+      // the registered artifact-REUSE semantics (fit once per dataset,
+      // then search-only — round-10 verdict #3), so this profile is the
+      // one place a true refit's stage costs stay observable.
+      ExtraQueries.FitArtifacts.clear()
       val df = ExtraQueries.q204Pipeline(spark, sfDir, q204Stages)
       val t0 = System.nanoTime()
       df.count()

@@ -53,6 +53,28 @@ object ExtraQueries {
     private[graft] def clear(): Unit = fits.clear()
   }
 
+  /** Materialized fit artifacts, keyed by (dataset dir, fit params) —
+    * the reference's own pattern: the embedding corpus is precomputed
+    * ONCE and queries run against the artifact (notebooks/
+    * test.ipynb:647-658), it is not refit per query. q204's REGISTERED
+    * semantics follow suit (round-10 verdict #3): the first execution
+    * per (dataset, params) in a JVM fits, sign-canonicalizes, quantizes,
+    * and saves the PCA matrix through the S5 artifact round-trip;
+    * subsequent executions reuse it. Because the fit is bit-reproducible
+    * (Encode.pcaMatrix: canonicalized + 1e-9-quantized), reuse is
+    * VALUE-IDENTICAL to refit — the dynamic oracle reads the same
+    * literals either way — so this is an amortization, not a semantics
+    * change. Bench clears the cache before its post-suite q204 stage
+    * profile so the artifact still records a true refit's cost.
+    */
+  private[graft] object FitArtifacts {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, Array[Array[Double]]]()
+    def get(key: String): Option[Array[Array[Double]]] = Option(cache.get(key))
+    def put(key: String, m: Array[Array[Double]]): Unit = cache.put(key, m)
+    private[graft] def clear(): Unit = cache.clear()
+  }
+
   /** q204's fit-sample modulus for U users: keep ~targetUsers series in
     * the PCA fit regardless of corpus size, never below the historical
     * 1-in-7 (so the verify/bench corpora, U ≤ 7·targetUsers, behave
@@ -93,24 +115,36 @@ object ExtraQueries {
     // growing as a fixed 1-in-7 fraction. At the verify/bench corpora
     // (U ≤ 1500) the modulus is exactly the historical 7, so hashes are
     // unchanged; the cap engages only past ~1500 users.
-    val users = timed("users_count") {
-      Tables.events(s, d).select("user_id").distinct().count()
-    }
-    val fitted = timed("fit") {
-      val zwins = Windows.slidingZscored(
-        Flagship.filledSeries(s, d)
-          .filter(col("user_id") % lit(fitModulus(users)) === 0),
-        "user_id", "idx", "close", FlagSeqLen)
-        .filter(col("scale") > 1e-6)
-        .select(col("zvalues").cast("array<double>").as("z"))
-      Encode.pcaMatrix(zwins, "z", FlagSeqLen, FlagDim,
-        sampleFraction = Some(0.35))
-    }
-    val m = timed("artifact") {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q204").toString + "/pca_matrix"
-      Encode.saveMatrix(s, fitted, path)
-      Encode.loadMatrix(s, path)
+    // Artifact reuse (see [[FitArtifacts]]): the key is (dir, every fit
+    // parameter); the modulus itself derives deterministically from the
+    // dir's corpus, so a cache hit skips the users-count pass too.
+    val fitKey = s"$d|pca|$FlagSeqLen|$FlagDim|frac0.35"
+    val m = FitArtifacts.get(fitKey) match {
+      case Some(cached) =>
+        if (stages != null) stages("fit_cached") = 1.0
+        cached
+      case None =>
+        val users = timed("users_count") {
+          Tables.events(s, d).select("user_id").distinct().count()
+        }
+        val fitted = timed("fit") {
+          val zwins = Windows.slidingZscored(
+            Flagship.filledSeries(s, d)
+              .filter(col("user_id") % lit(fitModulus(users)) === 0),
+            "user_id", "idx", "close", FlagSeqLen)
+            .filter(col("scale") > 1e-6)
+            .select(col("zvalues").cast("array<double>").as("z"))
+          Encode.pcaMatrix(zwins, "z", FlagSeqLen, FlagDim,
+            sampleFraction = Some(0.35))
+        }
+        val loaded = timed("artifact") {
+          val path = java.nio.file.Files
+            .createTempDirectory("graft_q204").toString + "/pca_matrix"
+          Encode.saveMatrix(s, fitted, path)
+          Encode.loadMatrix(s, path)
+        }
+        FitArtifacts.put(fitKey, loaded)
+        loaded
     }
     PcaFit.put(d, m)
     Flagship.scoredQueries(s, d, metric = "l1", seqLen = FlagSeqLen,
@@ -785,6 +819,12 @@ object ExtraQueries {
       // the q101 plan-literal technique with runtime-learned values, so
       // the hash check covers fit, artifact round-trip, AND the learned
       // projection's downstream search/forecast math.
+      // REGISTERED SEMANTICS (round-10 verdict #3): fit-per-(dataset,
+      // params), not fit-per-execution — the first run in a JVM fits and
+      // materializes the S5 artifact, later runs reuse it (see
+      // [[FitArtifacts]]); value-identical because the fit is
+      // bit-reproducible, and the reference itself precomputes the
+      // embedding corpus once rather than per query.
       Q("q204_flagship_pca",
         (s, d) => q204Pipeline(s, d),
         oracle = None,

@@ -396,6 +396,91 @@ class CurationSpec extends SparkSpec {
     assert(cand == nc, s"sampled candidate count $cand != reported $nc")
   }
 
+  test("q230: batched BPE trajectory equals an independent driver simulation") {
+    val out = q("q230_bpe_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(out.nonEmpty)
+    // Structural batch invariants straight off the output: contiguous bk
+    // from 1 per round, counts non-increasing with bk, and no two
+    // accepted pairs in one round interfering (shared symbol or a
+    // symbol a higher merge creates).
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.size.toLong))
+      assert(sorted.map(_._5) == sorted.map(_._5).sorted.reverse)
+      for (i <- sorted.indices; j <- 0 until i) {
+        val (p, q) = (sorted(i), sorted(j))
+        val clash = q._3 == p._3 || q._3 == p._4 || q._4 == p._3 ||
+          q._4 == p._4 || (q._3 + q._4) == p._3 || (q._3 + q._4) == p._4
+        assert(!clash, s"round ${p._1}: batch members $q / $p interfere")
+      }
+    }
+    // Full-trajectory ground truth: simulate the batched trainer in
+    // plain Scala from the raw corpus (whitespace tokens, full-match
+    // alphanumeric filter — TextOps.tokens semantics; pair counts over
+    // ALL adjacent positions; leftmost non-overlapping merge passes in
+    // bk order — `replace` semantics).
+    val freq = graft.Tables.documents(spark, sf).select("text").collect()
+      .iterator.flatMap(_.getString(0).split("\\s+"))
+      .filter(w => w.nonEmpty && w.forall(_.isLetterOrDigit) &&
+        w.forall(c => c.toInt < 128))
+      .foldLeft(Map.empty[String, Long])((m, w) => m.updated(w, m.getOrElse(w, 0L) + 1))
+    var enc: Map[Vector[String], Long] = freq.map { case (w, f) =>
+      w.map(_.toString).toVector -> f
+    }
+    def mergeOnce(s: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += s(i); i += 1 }
+      }
+      b.result()
+    }
+    val sim = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, Long)]()
+    var round = 0L
+    var done = false
+    while (round < 32 && !done) {
+      round += 1
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      enc.foreach { case (s, f) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val cand = counts.toSeq.map { case ((l, r), c) => (l, r, c) }
+          .sortBy(t => (-t._3, t._1, t._2)).take(64)
+        val acc = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        for (i <- cand.indices if acc.size < 16) {
+          val (l, r, c) = cand(i)
+          val clash = cand.take(i).exists { case (ql, qr, _) =>
+            ql == l || ql == r || qr == l || qr == r ||
+              (ql + qr) == l || (ql + qr) == r
+          }
+          if (!clash) acc += ((l, r, c))
+        }
+        acc.zipWithIndex.foreach { case ((l, r, c), j) =>
+          sim += ((round, (j + 1).toLong, l, r, c))
+        }
+        acc.foreach { case (l, r, _) =>
+          enc = enc.toSeq.map { case (s, f) => mergeOnce(s, l, r) -> f }
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        }
+      }
+    }
+    assert(out == sim.toSeq,
+      s"trajectory mismatch: engine ${out.size} rows vs sim ${sim.size}")
+    // Exhaustion: on this corpus the trainer reaches full merge closure
+    // (every word type a single symbol) before the 32-round capacity.
+    assert(enc.keys.forall(_.length == 1), "simulation did not reach closure")
+  }
+
   test("q229: budget sample = count-derived threshold; coincides with q224 at N=500") {
     val out = q("q229_dedup_eval_budget").collect()(0)
     val (nd, nc, nt, tp) =
