@@ -10,7 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * Budget: a perfectly linear operator at 10× data shows ratio ≈ 10 ÷
   * parallel slack; everything measured linear in SCALING.md sits ≤ ~5,
   * so 6.0 is the 10× budget. Rows tagged `@30x` (the extended sweep)
-  * get 3× that budget — same slack argument at 30× data.
+  * get 3× that budget, and `@100x` rows (round 11's deep sweep over the
+  * most expensive families) get 10× — the same slack argument scaled to
+  * the data factor (linear ≈ ≤60 at 100×).
   */
 class ScaleAnnotationSpec extends AnyFunSuite {
 
@@ -30,7 +32,8 @@ class ScaleAnnotationSpec extends AnyFunSuite {
         val cells = line.split("\\|").map(_.trim).filter(_.nonEmpty)
         val nameCell = cells.head
         val name = nameCell.split("[\\s(]")(0)
-        val tag = if (nameCell.contains("@30x")) "@30x" else "@10x"
+        val tag = if (nameCell.contains("@100x")) "@100x"
+          else if (nameCell.contains("@30x")) "@30x" else "@10x"
         val nums = cells.tail.flatMap { c =>
           val bare = c.replace("*", "").trim
           if (bare.matches("-?\\d+(\\.\\d+)?")) Some(bare.toDouble) else None
@@ -53,9 +56,10 @@ class ScaleAnnotationSpec extends AnyFunSuite {
 
   test("no unannotated query is measured super-linear") {
     val annotated = Queries.all.filter(_.scaleLimited.isDefined).map(_.name).toSet
+    val budgets = Map("@10x" -> 6.0, "@30x" -> 18.0, "@100x" -> 60.0)
     val offenders = parsedRows.collect {
       case (name, tag, ratio)
-          if ratio > (if (tag == "@30x") 18.0 else 6.0) && !annotated(name) =>
+          if ratio > budgets(tag) && !annotated(name) =>
         s"$name $tag ratio=$ratio"
     }
     assert(offenders.isEmpty,
