@@ -1041,6 +1041,44 @@ object PipelineQueries {
              |FROM g, wm WHERE end_us <= wm.wm_us
              |ORDER BY user_id, start_us""".stripMargin)))
 
+  /** q125's surviving corpus (every unclustered doc plus each simhash
+    * cluster's min-id keeper) — shared by q125 and the q232 token
+    * accounting so the APPLY rule has exactly one definition. */
+  private def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Dedup
+    val docs = Tables.documents(s, d)
+    val fps = Dedup.simhashAgg(docs, "doc_id",
+      TextOps.wordShingles(col("text"), 3), 60)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.count()
+    val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "simhash",
+      maxHamming = 6, bits = 60)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    val out = docs.join(losers, Seq("doc_id"), "left_anti")
+    fps.unpersist()
+    out
+  }
+
+  /** DuckDB CTE chain mirroring [[dedupSurvivors]]; callers append their
+    * own SELECT over `documents d WHERE d.doc_id NOT IN losers`. Must be
+    * opened with `WITH RECURSIVE`. */
+  private def dedupSurvivorsSqlCtes: String = {
+    val sub = VectorTextQueries.simhashSql(60)
+    s"""fps AS ($sub),
+       |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM fps a, fps b
+       |  WHERE a.doc_id <> b.doc_id
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+       |reach AS (
+       |  SELECT src, dst FROM e0
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src),
+       |losers AS (SELECT src AS doc_id FROM reach GROUP BY src
+       |  HAVING least(src, min(dst)) <> src)""".stripMargin
+  }
+
   private val dedupApply: Seq[Q] = Seq(
     // The APPLY step of near-dup dedup: q107 detects clusters (simhash
     // pairs → connected components); this query emits the surviving
@@ -1048,37 +1086,11 @@ object PipelineQueries {
     // i.e. what a pipeline actually writes out after dedup. Non-keepers
     // are removed by a left-anti join (no fan-out, keeps corpus order).
     Q("q125_dedup_apply",
-      (s, d) => {
-        import graft.text.Dedup
-        val docs = Tables.documents(s, d)
-        val fps = Dedup.simhashAgg(docs, "doc_id",
-          TextOps.wordShingles(col("text"), 3), 60)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        fps.count()
-        val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "simhash",
-          maxHamming = 6, bits = 60)
-        val losers = Dedup.connectedComponents(pairs)
-          .filter(col("id") =!= col("cluster"))
-          .select(col("id").as("doc_id"))
-        val out = docs.join(losers, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("lang"), col("source"))
-          .orderBy("doc_id")
-        fps.unpersist()
-        out
-      },
+      (s, d) => dedupSurvivors(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
       Some {
-        val sub = VectorTextQueries.simhashSql(60)
-        s"""WITH RECURSIVE fps AS ($sub),
-           |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
-           |  FROM fps a, fps b
-           |  WHERE a.doc_id <> b.doc_id
-           |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
-           |reach AS (
-           |  SELECT src, dst FROM e0
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src),
-           |losers AS (SELECT src AS doc_id FROM reach GROUP BY src
-           |  HAVING least(src, min(dst)) <> src)
+        s"""WITH RECURSIVE $dedupSurvivorsSqlCtes
            |SELECT d.doc_id, d.lang, d.source FROM documents d
            |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
            |ORDER BY d.doc_id""".stripMargin
@@ -2816,6 +2828,108 @@ object PipelineQueries {
            |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
            |  CAST(split_lo <> split_hi AS INT) AS crosses_split
            |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // Temperature-based source mixing weights — the multilingual/
+    // multi-domain sampling formula every large pretraining run uses
+    // (public knowledge: XLM/XLM-R sample language i with probability
+    // p_i^α / Σ p_j^α to up-weight low-resource sources; mT5 §3.2 calls
+    // it temperature sampling). α = 1/2 here — square-root sampling —
+    // deliberately: IEEE-754 sqrt is CORRECTLY ROUNDED in both engines
+    // (pow is not), and the per-source √n weights are quantized to
+    // 1e-6-grid BIGINTs before the normalizing sum so the sum is
+    // order-free integer arithmetic — no float-summation-order parity
+    // risk. Output is catalog-sized (one row per source): n_tokens, the
+    // natural share p, the tempered share q, and boost = q/p (the
+    // up/down-weight factor a sampler applies). 100 TB shape: one
+    // map-side-combined token-count aggregation; everything after is
+    // per-source scalar math on a broadcast 1-row total.
+    Q("q231_source_temperature",
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("source").agg(sum("nt").as("n_tokens"))
+          .withColumn("s_q",
+            floor(sqrt(col("n_tokens").cast("double")) * 1e6 + 0.5)
+              .cast("long"))
+        val tot = per.agg(sum("n_tokens").as("tot_n"), sum("s_q").as("tot_s"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            pround(col("n_tokens").cast("double") /
+              col("tot_n").cast("double"), 6).as("p"),
+            pround(col("s_q").cast("double") /
+              col("tot_s").cast("double"), 6).as("q"),
+            pround((col("s_q").cast("double") / col("tot_s").cast("double")) /
+              (col("n_tokens").cast("double") / col("tot_n").cast("double")),
+              6).as("boost"))
+          .orderBy("source")
+      },
+      Some(s"""WITH per AS (SELECT source,
+              |    CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY source),
+              |w AS (SELECT source, n_tokens,
+              |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+              |      AS BIGINT) AS s_q
+              |  FROM per),
+              |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_n,
+              |    CAST(sum(s_q) AS BIGINT) AS tot_s FROM w)
+              |SELECT source, n_tokens,
+              |  ${sqlRound("CAST(n_tokens AS DOUBLE) / CAST(tot_n AS DOUBLE)", 6)} AS p,
+              |  ${sqlRound("CAST(s_q AS DOUBLE) / CAST(tot_s AS DOUBLE)", 6)} AS q,
+              |  ${sqlRound(
+                """(CAST(s_q AS DOUBLE) / CAST(tot_s AS DOUBLE)) /
+                   (CAST(n_tokens AS DOUBLE) / CAST(tot_n AS DOUBLE))""", 6)} AS boost
+              |FROM w CROSS JOIN tot ORDER BY source""".stripMargin)),
+
+    // Effective-token accounting after near-dup dedup — the release
+    // metric Lee et al. 2022 motivates (dedup removes a measurable
+    // fraction of the training tokens, and the honest dataset size is
+    // the POST-dedup one): per source, docs/tokens before vs after
+    // q125's APPLY rule (keep every unclustered doc + each simhash
+    // cluster's min-id keeper). The survivor definition is shared CODE
+    // with q125 ([[dedupSurvivors]]) and the oracle reuses q125's CTE
+    // chain verbatim, so the accounting can never drift from the apply
+    // it audits. 100 TB shape: q125's pigeonhole band join + a
+    // catalog-sized rollup; the left join adds one doc_id-keyed hash
+    // join over the corpus.
+    Q("q232_effective_tokens",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        val kept = dedupSurvivors(s, d)
+          .select(col("doc_id")).withColumn("__kept", lit(1L))
+        tok.join(kept, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nt").as("n_tokens"),
+            sum(coalesce(col("__kept"), lit(0L))).as("kept_docs"),
+            sum(when(col("__kept") === 1L, col("nt")).otherwise(0L))
+              .as("kept_tokens"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("kept_docs"), col("kept_tokens"),
+            pround(col("kept_tokens").cast("double") /
+              col("n_tokens").cast("double"), 6).as("kept_ratio"))
+          .orderBy("source")
+      },
+      Some {
+        s"""WITH RECURSIVE $dedupSurvivorsSqlCtes,
+           |tok AS (SELECT doc_id, source,
+           |    CAST(len($sqlToks) AS BIGINT) AS nt FROM documents),
+           |k AS (SELECT doc_id FROM documents
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+           |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(t.nt) AS BIGINT) AS n_tokens,
+           |  CAST(count(k.doc_id) AS BIGINT) AS kept_docs,
+           |  CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL THEN t.nt
+           |    ELSE 0 END), 0) AS BIGINT) AS kept_tokens,
+           |  ${sqlRound(
+             """CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL THEN t.nt
+                  ELSE 0 END), 0) AS DOUBLE) / CAST(sum(t.nt) AS DOUBLE)""",
+             6)} AS kept_ratio
+           |FROM tok t LEFT JOIN k ON k.doc_id = t.doc_id
+           |GROUP BY t.source ORDER BY t.source""".stripMargin
       }))
 
   def all: Seq[Q] =

@@ -396,6 +396,68 @@ class CurationSpec extends SparkSpec {
     assert(cand == nc, s"sampled candidate count $cand != reported $nc")
   }
 
+  test("q231: temperature weights re-derive from raw counts; boost direction correct") {
+    val out = q("q231_source_temperature").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.nonEmpty)
+    // Independent re-derivation: whitespace token counts per source,
+    // quantized sqrt weights, order-free integer sums.
+    val counts = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(r =>
+        r.getString(1).split("\\s+").count(_.nonEmpty).toLong).sum).toMap
+    val totN = counts.values.sum
+    val sq = counts.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong).toMap
+    val totS = sq.values.sum
+    counts.foreach { case (src, n) =>
+      val (gotN, p, qv, boost) = out(src)
+      assert(gotN == n, s"$src tokens $gotN != $n")
+      assert(math.abs(p - n.toDouble / totN) < 1e-5)
+      assert(math.abs(qv - sq(src).toDouble / totS) < 1e-5)
+      assert(math.abs(boost - (sq(src).toDouble / totS) / (n.toDouble / totN)) < 1e-4)
+      // α = 1/2 tempering: boost crosses 1 exactly at n* = (N/Σ√n)² —
+      // smaller sources up-weighted, larger damped.
+      val nStar = math.pow(totN.toDouble / totS * 1e6, 2)
+      if (n < nStar * 0.999) assert(boost > 1.0, s"$src n=$n nStar=$nStar")
+      if (n > nStar * 1.001) assert(boost < 1.0, s"$src n=$n nStar=$nStar")
+    }
+    // boost is strictly decreasing in source size.
+    val byN = out.values.toSeq.sortBy(_._1)
+    byN.sliding(2).foreach {
+      case Seq((n1, _, _, b1), (n2, _, _, b2)) =>
+        if (n1 < n2) assert(b1 >= b2 - 1e-9, s"boost not decreasing: $n1/$b1 vs $n2/$b2")
+      case _ =>
+    }
+    // Tempered shares still sum to ~1.
+    val qsum = out.values.map(_._3).sum
+    assert(math.abs(qsum - 1.0) < 1e-4, s"sum(q) = $qsum")
+  }
+
+  test("q232: effective-token accounting agrees with q125's survivor set") {
+    val out = q("q232_effective_tokens").cache()
+    val kept = q("q125_dedup_apply").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").count(_.nonEmpty).toLong))
+    val bySrc = docs.groupBy(_._2)
+    out.collect().foreach { r =>
+      val (src, nd, nt, kd, kt, ratio) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      val rows = bySrc(src)
+      assert(nd == rows.length && nt == rows.map(_._3).sum)
+      val keptRows = rows.filter(x => kept(x._1))
+      assert(kd == keptRows.length, s"$src kept_docs $kd != ${keptRows.length}")
+      assert(kt == keptRows.map(_._3).sum)
+      assert(kt <= nt && kd <= nd)
+      assert(math.abs(ratio - kt.toDouble / nt) < 1e-5)
+    }
+    out.unpersist()
+  }
+
   test("q230: batched BPE trajectory equals an independent driver simulation") {
     val out = q("q230_bpe_batch").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
