@@ -2930,7 +2930,73 @@ object PipelineQueries {
              6)} AS kept_ratio
            |FROM tok t LEFT JOIN k ON k.doc_id = t.doc_id
            |GROUP BY t.source ORDER BY t.source""".stripMargin
-      }))
+      }),
+
+    // Mixing schedule under a token budget — q231's tempered shares
+    // turned into the plan a data loader actually executes. Budget
+    // T = 3 × total corpus tokens (three corpus-epochs, so the budget
+    // scales WITH the corpus and the query stays scale-free); source i
+    // is allotted target_i = T·q_i tokens, i.e. epochs_i = target_i/n_i
+    // passes over its data. Epochs are capped at 4 — Muennighoff et al.
+    // 2023 ("Scaling Data-Constrained LMs", public): repeating data up
+    // to ~4 epochs is nearly as good as fresh data, beyond that returns
+    // decay rapidly — so eff_tokens = least(target, 4·n) is pure BIGINT
+    // arithmetic (no float-boundary parity risk) and `capped` marks the
+    // sources whose tempered allotment exceeds the repeat ceiling.
+    // Parity notes: the only float products are 3.0·tot_n·(s_q/tot_s),
+    // written with identical association in both engines (left-assoc
+    // multiply, one division), and the pround'd epoch ratios. 100 TB
+    // shape: identical to q231 — one map-side-combined token count,
+    // then catalog-sized scalar math on a broadcast 1-row total.
+    Q("q233_mix_schedule",
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy("source").agg(sum("nt").as("n_tokens"))
+          .withColumn("s_q",
+            floor(sqrt(col("n_tokens").cast("double")) * 1e6 + 0.5)
+              .cast("long"))
+        val tot = per.agg(sum("n_tokens").as("tot_n"), sum("s_q").as("tot_s"))
+        val target = floor(lit(3.0) * col("tot_n").cast("double") *
+          (col("s_q").cast("double") / col("tot_s").cast("double")))
+          .cast("long")
+        per.crossJoin(broadcast(tot))
+          .withColumn("target_tokens", target)
+          .select(col("source"), col("n_tokens"), col("target_tokens"),
+            pround(col("target_tokens").cast("double") /
+              col("n_tokens").cast("double"), 6).as("epochs"),
+            (col("target_tokens") > col("n_tokens") * 4L).cast("int")
+              .as("capped"),
+            least(col("target_tokens"), col("n_tokens") * 4L)
+              .as("eff_tokens"),
+            pround(least(col("target_tokens"), col("n_tokens") * 4L)
+              .cast("double") / col("n_tokens").cast("double"), 6)
+              .as("epochs_eff"))
+          .orderBy("source")
+      },
+      Some(s"""WITH per AS (SELECT source,
+              |    CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY source),
+              |w AS (SELECT source, n_tokens,
+              |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5)
+              |      AS BIGINT) AS s_q
+              |  FROM per),
+              |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_n,
+              |    CAST(sum(s_q) AS BIGINT) AS tot_s FROM w),
+              |t AS (SELECT source, n_tokens,
+              |    CAST(floor(3.0 * CAST(tot_n AS DOUBLE) *
+              |      (CAST(s_q AS DOUBLE) / CAST(tot_s AS DOUBLE)))
+              |      AS BIGINT) AS target_tokens
+              |  FROM w CROSS JOIN tot)
+              |SELECT source, n_tokens, target_tokens,
+              |  ${sqlRound("CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS epochs,
+              |  CAST(target_tokens > n_tokens * 4 AS INT) AS capped,
+              |  least(target_tokens, n_tokens * 4) AS eff_tokens,
+              |  ${sqlRound(
+                """CAST(least(target_tokens, n_tokens * 4) AS DOUBLE) /
+                   CAST(n_tokens AS DOUBLE)""", 6)} AS epochs_eff
+              |FROM t ORDER BY source""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

@@ -458,6 +458,46 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q233: mix schedule re-derives from raw counts; budget and cap laws hold") {
+    val out = q("q233_mix_schedule").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out.nonEmpty)
+    val counts = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(r =>
+        r.getString(1).split("\\s+").count(_.nonEmpty).toLong).sum).toMap
+    val totN = counts.values.sum
+    val sq = counts.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong).toMap
+    val totS = sq.values.sum
+    counts.foreach { case (src, n) =>
+      val (gotN, target, epochs, capped, eff, epochsEff) = out(src)
+      assert(gotN == n)
+      val expTarget =
+        math.floor(3.0 * totN.toDouble * (sq(src).toDouble / totS)).toLong
+      assert(target == expTarget, s"$src target $target != $expTarget")
+      assert(math.abs(epochs - target.toDouble / n) < 1e-5)
+      assert(capped == (if (target > 4L * n) 1 else 0))
+      assert(eff == math.min(target, 4L * n))
+      assert(math.abs(epochsEff - eff.toDouble / n) < 1e-5)
+      assert(epochsEff <= 4.0 + 1e-9, s"$src epochs_eff $epochsEff > cap")
+      assert(eff <= target)
+    }
+    // The per-source floors lose < 1 token each: Σ target ∈ (T - #src, T].
+    val t = 3L * totN
+    val sumTarget = out.values.map(_._2).sum
+    assert(sumTarget <= t && sumTarget > t - out.size,
+      s"sum(target) $sumTarget vs budget $t")
+    // Tempering + a uniform budget can only cap SMALL sources (boost > 1
+    // is the up-weighted side): every capped source must be smaller than
+    // every uncapped one.
+    val cappedMax = out.values.filter(_._4 == 1).map(_._1)
+    val uncappedMin = out.values.filter(_._4 == 0).map(_._1)
+    if (cappedMax.nonEmpty && uncappedMin.nonEmpty)
+      assert(cappedMax.max < uncappedMin.min)
+  }
+
   test("q230: batched BPE trajectory equals an independent driver simulation") {
     val out = q("q230_bpe_batch").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
