@@ -641,7 +641,79 @@ object ExtraQueries {
                |SELECT la AS label, CAST(count(*) AS BIGINT) AS n_vecs,
                |  ${sqlRound("CAST(sum(n_same) AS DOUBLE) / sum(n_nb)", 6)} AS pooled_agreement,
                |  CAST(sum(CASE WHEN n_same * 2 < n_nb THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
-               |FROM votes GROUP BY la ORDER BY label""".stripMargin)))
+               |FROM votes GROUP BY la ORDER BY label""".stripMargin)),
+
+      // ANN recall eval — the vector-tier counterpart of q229's dedup
+      // eval: recall@10 of the LSH-bucketed k-NN (q34's exact bucketing,
+      // same planes/seed) against the exact brute-force top-10, per
+      // query. The query set is FIXED-BUDGET, not fixed-fraction (the
+      // q229 lesson, learned on q224's 11.9× @100× octave row): an
+      // overflow-safe multiplicative hash threshold derived from one
+      // corpus count keeps the expected query count ≈ 64 regardless of
+      // corpus size, so the brute-force truth tier costs O(64·N) —
+      // corpus-LINEAR — while a fixed-fraction sample would be O(N²/50).
+      // Both tiers break distance ties by (dist, vec_id); parity of the
+      // exact doubles across engines is the same sequential-sum argument
+      // q30/q31/q34 already rest on. 100 TB shape: one count, one
+      // filter, a 64-row broadcast against the corpus for the truth
+      // tier, and q34's bucket equi-join for the approx tier.
+      Q("q236_ann_recall",
+        (s, d) => {
+          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          val emb = Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+          val thr = emb.agg(count(lit(1)).as("c"))
+            .select(floor(lit(64L * 4294967296L).cast("double") /
+              col("c").cast("double")).as("thr"))
+          val tagged = emb.crossJoin(broadcast(thr))
+            .withColumn("is_q", Hashing.hash32(col("vec_id")) < col("thr"))
+            .persist(lvl)
+          val queries = tagged.filter(col("is_q"))
+            .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          val corpus = tagged.filter(!col("is_q")).select("vec_id", "embedding")
+          val crossed = corpus.crossJoin(broadcast(queries))
+            .withColumn("dist", graft.ohlcv.Search.metric("l2")(
+              col("embedding"), col("query_vec")))
+          val w = Window.partitionBy("query_id")
+            .orderBy(col("dist").asc, col("vec_id").asc)
+          val truth = crossed.withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 10).select("query_id", "vec_id")
+          val approx = Lsh.approxKnn(corpus, queries, "vec_id", "embedding",
+            "query_id", "query_vec", k = 10, metricName = "l2",
+            planes = LshPlanes, dim = 64, seed = LshSeed)
+            .select("query_id", "vec_id")
+          val hits = truth.join(approx, Seq("query_id", "vec_id"))
+            .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          queries.select("query_id").join(hits, Seq("query_id"), "left")
+            .select(col("query_id"),
+              coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+              pround(coalesce(col("n_hits"), lit(0L)).cast("double") / lit(10.0), 6)
+                .as("recall_at_10"))
+            .orderBy("query_id")
+        },
+        Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               |nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM e),
+               |thr AS (SELECT floor(CAST(64 * 4294967296 AS DOUBLE)
+               |    / CAST(c AS DOUBLE)) AS t FROM nn),
+               |q AS (SELECT vec_id AS query_id, v AS qv, ${sigSql("v")} AS sig
+               |  FROM e, thr WHERE ${Hashing.sqlHash32("vec_id")} < t),
+               |c AS (SELECT vec_id, v, ${sigSql("v")} AS sig
+               |  FROM e, thr WHERE ${Hashing.sqlHash32("vec_id")} >= t),
+               |bt AS (SELECT query_id, vec_id FROM (
+               |    SELECT q.query_id, c.vec_id,
+               |      row_number() OVER (PARTITION BY q.query_id
+               |        ORDER BY list_distance(c.v, q.qv) ASC, c.vec_id ASC) AS rnk
+               |    FROM c CROSS JOIN q) WHERE rnk <= 10),
+               |ap AS (SELECT query_id, vec_id FROM (
+               |    SELECT q.query_id, c.vec_id,
+               |      row_number() OVER (PARTITION BY q.query_id
+               |        ORDER BY list_distance(c.v, q.qv) ASC, c.vec_id ASC) AS rnk
+               |    FROM c JOIN q ON c.sig = q.sig) WHERE rnk <= 10),
+               |h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+               |  FROM bt JOIN ap USING (query_id, vec_id) GROUP BY query_id)
+               |SELECT query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+               |  ${sqlRound("CAST(coalesce(n_hits, 0) AS DOUBLE) / 10.0", 6)} AS recall_at_10
+               |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin)))
   }
 
   // ------------------------------------------------------------------

@@ -2996,7 +2996,43 @@ object PipelineQueries {
               |  ${sqlRound(
                 """CAST(least(target_tokens, n_tokens * 4) AS DOUBLE) /
                    CAST(n_tokens AS DOUBLE)""", 6)} AS epochs_eff
-              |FROM t ORDER BY source""".stripMargin)))
+              |FROM t ORDER BY source""".stripMargin)),
+
+    // Token-balanced shard manifest — the loader-side layout step after
+    // the mix is decided (q233): a 1000-worker data loader wants S
+    // shards of near-equal TOKEN mass, not equal doc counts (doc length
+    // is heavy-tailed, so hash-random sharding leaves the largest shard
+    // several percent hot and every epoch waits on it). Folded ("snake")
+    // round-robin over the size-descending order is the classic
+    // deterministic balancer: rank docs by (n_tokens DESC, doc_id), deal
+    // rank r to shard r%S on even passes and S-1-r%S on odd passes —
+    // after each pass pair every shard holds one long and one short
+    // pick, so shard totals differ by at most a few document lengths,
+    // and the assignment is a pure function of the corpus (greedy LPT
+    // is not: its argmin depends on accumulation order). 100 TB shape:
+    // the global rank is [[graft.text.Packing.snakeShards]]'s two-pass
+    // distributed pattern (range-partition by the sort key, per-
+    // partition counts prefix-summed on the driver, one streaming pass
+    // to assign ranks) — no global window, no single-partition
+    // collapse; the driver handles #partitions values, never rows.
+    // Per-doc manifest output, so the oracle checks every rank-level
+    // assignment, not just the shard totals (ShardManifestSpec asserts
+    // the balance law separately).
+    Q("q234_shard_manifest",
+      (s, d) =>
+        graft.text.Packing.snakeShards(
+          Tables.documents(s, d), "doc_id",
+          size(TextOps.tokens(col("text"))), numShards = 16)
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+              |r AS (SELECT doc_id, n_tokens,
+              |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+              |  FROM t)
+              |SELECT doc_id, n_tokens,
+              |  CAST(CASE WHEN (rk // 16) % 2 = 0 THEN rk % 16
+              |    ELSE 15 - (rk % 16) END AS BIGINT) AS shard
+              |FROM r ORDER BY doc_id""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

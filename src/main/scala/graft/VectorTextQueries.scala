@@ -271,6 +271,70 @@ object VectorTextQueries {
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
       }),
 
+    // Duplication-prevalence histogram over q107's clusters — the
+    // corpus-audit number Lee et al. 2022 (arXiv:2107.06499) report
+    // before deduplicating: how many documents sit at each duplication
+    // level (cluster size), including the unclustered singletons as
+    // level 1. The histogram is what decides whether near-dup removal
+    // is worth a full pass at 100 TB (a corpus whose mass is at level 1
+    // doesn't need it; one with fat high-level tails loses real epochs
+    // to clones). Composes q107's component resolution verbatim —
+    // fingerprint kernel, banded pairs, label propagation — then two
+    // catalog-sized aggregations; the singleton row is total-docs minus
+    // clustered-docs, so the histogram's n_docs column always sums to
+    // the corpus size (DupPrevalenceSpec asserts it).
+    Q("q235_dup_prevalence",
+      (s, d) => {
+        val fps = Dedup.simhashAgg(Tables.documents(s, d), "doc_id",
+          TextOps.wordShingles(col("text"), 3), 60)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fps.count()
+        val pairs = Dedup.simhashNearDupPairs(fps, "doc_id", "simhash",
+          maxHamming = 6, bits = 60)
+        val comp = Dedup.connectedComponents(pairs)
+        val hist = comp.groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+        val singles = Tables.documents(s, d).agg(count(lit(1)).as("tot"))
+          .crossJoin(comp.agg(count(lit(1)).as("n_in")))
+          .select(lit(1L).as("cluster_size"),
+            (col("tot") - col("n_in")).as("n_clusters"))
+          .filter(col("n_clusters") > 0)
+        hist.unionByName(singles)
+          .groupBy("cluster_size").agg(sum("n_clusters").as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      Some {
+        val sub = simhashSql(60)
+        s"""WITH RECURSIVE fps AS ($sub),
+           |e0 AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           |  FROM fps a, fps b
+           |  WHERE a.doc_id <> b.doc_id
+           |    AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+           |reach AS (
+           |  SELECT src, dst FROM e0
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           |  FROM reach GROUP BY src),
+           |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+           |  FROM comp GROUP BY cluster),
+           |h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+           |  FROM cs GROUP BY cluster_size),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents),
+           |nin AS (SELECT CAST(count(*) AS BIGINT) AS n FROM comp),
+           |s1 AS (SELECT CAST(1 AS BIGINT) AS cluster_size, t - n AS n_clusters
+           |  FROM tot CROSS JOIN nin WHERE t - n > 0),
+           |m AS (SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+           |  FROM (SELECT * FROM h UNION ALL SELECT * FROM s1)
+           |  GROUP BY cluster_size)
+           |SELECT cluster_size, n_clusters,
+           |  cluster_size * n_clusters AS n_docs
+           |FROM m ORDER BY cluster_size""".stripMargin
+      }),
+
     // MinHash LSH banded candidate pairs — the registered, oracle-checked
     // form of the banding scheme (12 hashes × 4 bands of 3). The
     // permutation family is one md5 + 12 universal hashes

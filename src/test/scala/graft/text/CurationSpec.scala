@@ -637,4 +637,74 @@ class CurationSpec extends SparkSpec {
     assert(got == expected)
     out.unpersist()
   }
+
+  test("q234: snake sharding — exact assignment, count balance, token balance") {
+    val out = q("q234_shard_manifest").cache()
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == n, "manifest must cover every doc once")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 16))
+    // Rank-level ground truth: the snake fold recomputed locally from
+    // the (n_tokens DESC, doc_id) order.
+    val expected = rows.sortBy(r => (-r._2, r._1)).zipWithIndex.map {
+      case ((id, _, _), rk) =>
+        val pos = rk % 16
+        id -> (if ((rk / 16) % 2 == 0) pos.toLong else 15L - pos)
+    }.toMap
+    rows.foreach { case (id, _, shard) =>
+      assert(shard == expected(id), s"doc $id: shard $shard != ${expected(id)}")
+    }
+    // Balance laws: doc counts differ by <= 1 across shards; token
+    // totals differ by at most 2x the largest document (the folded
+    // round-robin bound — each pass pair gives every shard one long and
+    // one short pick).
+    val byShard = rows.groupBy(_._3).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(byShard.size == 16 || n < 16)
+    val counts = byShard.values.map(_._1)
+    assert(counts.max - counts.min <= 1)
+    val toks = byShard.values.map(_._2)
+    val maxDoc = rows.map(_._2).max
+    assert(toks.max - toks.min <= 2 * maxDoc,
+      s"token imbalance ${toks.max - toks.min} > 2 * max doc $maxDoc")
+    out.unpersist()
+  }
+
+  test("q235: histogram mass equals the corpus; sizes >= 2 agree with q107") {
+    val out = q("q235_dup_prevalence").cache()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == n,
+      "every document must sit at exactly one duplication level")
+    out.collect().foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1))
+      assert(r.getLong(0) >= 1 && r.getLong(1) >= 1)
+    }
+    // Levels >= 2 must be exactly q107's cluster-size distribution.
+    val fromQ107 = q("q107_dedup_clusters")
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.collect().filter(_.getLong(0) >= 2)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == fromQ107)
+    out.unpersist()
+  }
+
+  test("q236: fixed-budget query set; hits bounded by k; recall consistent") {
+    val out = q("q236_ann_recall").cache()
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Expected ~64 queries of 500 vectors; the hash sample's spread is
+    // binomial — accept a generous band.
+    assert(rows.length >= 30 && rows.length <= 110,
+      s"query budget drifted: ${rows.length} queries")
+    rows.foreach { case (_, hits, rec) =>
+      assert(hits >= 0 && hits <= 10)
+      assert(math.abs(rec - hits / 10.0) < 1e-9)
+    }
+    // The LSH tier must find SOMETHING — all-zero recall means the
+    // bucket join or the truth tier is broken, not that recall is low.
+    assert(rows.map(_._2).sum > 0, "LSH recall identically zero")
+    out.unpersist()
+  }
 }
