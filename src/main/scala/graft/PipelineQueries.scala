@@ -3032,7 +3032,130 @@ object PipelineQueries {
               |SELECT doc_id, n_tokens,
               |  CAST(CASE WHEN (rk // 16) % 2 = 0 THEN rk % 16
               |    ELSE 15 - (rk % 16) END AS BIGINT) AS shard
-              |FROM r ORDER BY doc_id""".stripMargin)))
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Contrastive-pair mining over the LSH candidate tier — how
+    // retrieval/embedding training sets (E5, GTE; public recipes) are
+    // actually assembled: the band join proposes pairs that share
+    // SOMETHING, exact n-gram Jaccard then splits them into positives
+    // (J ≥ 0.5 — q42's near-dup bar) and HARD negatives (J < 0.2:
+    // lexically overlapping enough to collide in a band, yet not
+    // duplicates — exactly the pairs a bi-encoder learns the most
+    // from). The ambiguous middle band [0.2, 0.5) is dropped, standard
+    // practice so label noise doesn't straddle the margin. 100 TB
+    // shape: q52's banded candidate generation bounds the pair mass
+    // (never corpus-quadratic); scoring is one sorted-set intersect per
+    // candidate; the shingle-set frame is the same per-doc map work as
+    // q42's. Oracle nests q52's registered SQL verbatim (the q229
+    // drift-proofing pattern) and LEFT-joins the intersect counts so a
+    // zero-overlap band collision still surfaces as a hard negative in
+    // both engines.
+    Q("q237_contrastive_pairs",
+      (s, d) => {
+        import graft.text.Dedup
+        val docs = Tables.documents(s, d)
+        val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4)
+          .select("id_a", "id_b")
+        val sh = docs.select(col("doc_id"), explode(array_distinct(
+            TextOps.wordShingles(col("text"), 3))).as("__s"))
+          .select(col("doc_id"), TextOps.md5Hash60(col("__s")).as("shingle"))
+          .distinct()
+        val sets = sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("shingle"))).as("hs"),
+            count(lit(1)).as("n"))
+        val scored = cand
+          .join(sets.select(col("doc_id").as("id_a"),
+            col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"),
+            col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
+          .withColumn("n_inter",
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+          .withColumn("jac", col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        scored.filter(col("jac") >= 0.5 || col("jac") < 0.2)
+          .select(col("id_a"), col("id_b"),
+            pround(col("jac"), 6).as("jaccard"),
+            when(col("jac") >= 0.5, lit("pos"))
+              .otherwise(lit("hard_neg")).as("label"))
+          .orderBy("id_a", "id_b")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        val q52 = VectorTextQueries.all
+          .find(_.name == "q52_minhash_pairs").get.oracle.get
+        s"""WITH cand AS ($q52),
+           |toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, ${sqlHash60("s0")} AS s FROM (
+           |  SELECT doc_id, unnest(list_distinct(${sqlShingles(3)})) AS s0
+           |  FROM toks WHERE len(toks) >= 3)),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM sh GROUP BY doc_id),
+           |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS ni
+           |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+           |    JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+           |  GROUP BY c.id_a, c.id_b),
+           |j AS (SELECT c.id_a, c.id_b,
+           |    CAST(coalesce(i.ni, 0) AS BIGINT) AS n_inter
+           |  FROM cand c LEFT JOIN inter i
+           |    ON c.id_a = i.id_a AND c.id_b = i.id_b),
+           |sc AS (SELECT j.id_a, j.id_b,
+           |    CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jac
+           |  FROM j JOIN sz x ON j.id_a = x.doc_id
+           |    JOIN sz y ON j.id_b = y.doc_id)
+           |SELECT id_a, id_b, ${sqlRound("jac", 6)} AS jaccard,
+           |  CASE WHEN jac >= 0.5 THEN 'pos' ELSE 'hard_neg' END AS label
+           |FROM sc WHERE jac >= 0.5 OR jac < 0.2
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // Deterministic per-epoch shuffle plan over q234's shards — the
+    // last loader requirement the suite lacked: a trainer wants a
+    // DIFFERENT document order each epoch (shuffling between epochs
+    // measurably helps convergence — public knowledge since Bengio's
+    // curriculum/SGD practice notes) that is nonetheless REPRODUCIBLE
+    // for restarts and audits. Salting the portable hash with the epoch
+    // number gives both: within each (epoch, shard) the order is the
+    // hash order of ("ep<e>:<doc_id>") — uncorrelated across epochs,
+    // identical across runs and engines. 100 TB shape: the window is
+    // partitioned by (epoch, shard) — 64 bounded partitions of corpus/S
+    // rows each, no global window; the epoch multiplier is a constant
+    // 4× map-side explode.
+    Q("q238_epoch_order",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val manifest = graft.text.Packing.snakeShards(
+          Tables.documents(s, d), "doc_id",
+          size(TextOps.tokens(col("text"))), numShards = 16)
+        val e = manifest
+          .withColumn("epoch",
+            explode(array((0 to 3).map(i => lit(i.toLong)): _*)))
+          .withColumn("pri", TextOps.md5Hash60(
+            concat(lit("ep"), col("epoch").cast("string"),
+              lit(":"), col("doc_id").cast("string"))))
+        val w = Window.partitionBy("epoch", "shard")
+          .orderBy(col("pri"), col("doc_id"))
+        e.withColumn("ord", row_number().over(w).cast("long"))
+          .select(col("epoch"), col("shard"), col("doc_id"), col("ord"))
+          .orderBy("epoch", "shard", "ord")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+              |r AS (SELECT doc_id, n_tokens,
+              |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+              |  FROM t),
+              |m AS (SELECT doc_id,
+              |    CAST(CASE WHEN (rk // 16) % 2 = 0 THEN rk % 16
+              |      ELSE 15 - (rk % 16) END AS BIGINT) AS shard
+              |  FROM r),
+              |ep AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS epoch),
+              |p AS (SELECT epoch, shard, doc_id,
+              |    ${sqlHash60("'ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS pri
+              |  FROM m CROSS JOIN ep)
+              |SELECT epoch, shard, doc_id,
+              |  CAST(row_number() OVER (PARTITION BY epoch, shard
+              |    ORDER BY pri, doc_id) AS BIGINT) AS ord
+              |FROM p ORDER BY epoch, shard, ord""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

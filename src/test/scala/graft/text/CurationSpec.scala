@@ -707,4 +707,46 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_._2).sum > 0, "LSH recall identically zero")
     out.unpersist()
   }
+
+  test("q237: pos set = q52 candidates ∩ q42 truth; hard negatives under the bar") {
+    val out = q("q237_contrastive_pairs").cache()
+    val rows = out.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getString(3)))
+    rows.foreach { case (_, j, label) =>
+      if (label == "pos") assert(j >= 0.5)
+      else { assert(label == "hard_neg"); assert(j < 0.2) }
+    }
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate pairs")
+    val pos = rows.filter(_._3 == "pos").map(_._1).toSet
+    val cand = q("q52_minhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = q("q42_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pos == (cand intersect truth),
+      "positives must be exactly the candidate ∩ near-dup-truth set")
+    assert(rows.map(_._1).toSet.subsetOf(cand), "every pair must be a candidate")
+    out.unpersist()
+  }
+
+  test("q238: every epoch replays q234's shard content in a different, gapless order") {
+    val out = q("q238_epoch_order").cache()
+    val manifest = q("q234_shard_manifest").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == manifest.size * 4)
+    rows.foreach { case (_, shard, doc, _) =>
+      assert(manifest(doc) == shard, s"doc $doc moved shard between queries")
+    }
+    // ord is 1..n contiguous within each (epoch, shard).
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // Epochs shuffle: epoch 0 and epoch 1 must order at least one shard
+    // differently (identical orders would mean the salt is dead).
+    val byEpoch = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(r => (r._2, r._4)).map(_._3).toSeq).toMap
+    assert(byEpoch(0L) != byEpoch(1L), "epoch salt changes nothing")
+    out.unpersist()
+  }
 }
