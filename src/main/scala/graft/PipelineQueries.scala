@@ -3155,7 +3155,112 @@ object PipelineQueries {
               |SELECT epoch, shard, doc_id,
               |  CAST(row_number() OVER (PARTITION BY epoch, shard
               |    ORDER BY pri, doc_id) AS BIGINT) AS ord
-              |FROM p ORDER BY epoch, shard, ord""".stripMargin)))
+              |FROM p ORDER BY epoch, shard, ord""".stripMargin)),
+
+    // q232's accounting under the BANDED-VERIFIED tier — the designated
+    // 100 TB path for the near-dup apply/accounting consumers, chosen
+    // by measurement, not argument. The round-11 100× sweep timed all
+    // three pair tiers on the same blowup: minhash band join 3.79
+    // (LINEAR — its band-signature space grows with content, 4.5 M
+    // candidates in 2.1 s), simhash band join 48.45, PPJoin 52.80.
+    // The simhash bend is algorithmic: exact pigeonhole banding over a
+    // 60-bit fingerprint at hamming ≤ 6 needs ≥ 7 bands, so band width
+    // is capped at ~8.5 bits and the bucket space is a CONSTANT
+    // 7 × 2^8.5 — candidate mass grows N²/2^8.5 regardless of corpus,
+    // and widening the fingerprint doesn't escape (at a fixed RELATIVE
+    // hamming bar, W/(h+1) is invariant). So the production
+    // composition is Lee et al. 2022's own: banded minhash candidates
+    // (linear), exact Jaccard verification of candidates only
+    // (output-sensitive — q237's scored tier), components over the
+    // VERIFIED pairs, min-id keepers. Same output schema as q232, so
+    // the two accountings diff directly; the recall the banding trades
+    // away is exactly what the eval family (q223/q224/q229) measures.
+    // CurationSpec pins this query's pair set to q237's 'pos' set, so
+    // the two can never drift apart.
+    Q("q239_effective_tokens_banded",
+      (s, d) => {
+        import graft.text.Dedup
+        val docs = Tables.documents(s, d)
+        val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4)
+          .select("id_a", "id_b")
+        val sh = docs.select(col("doc_id"), explode(array_distinct(
+            TextOps.wordShingles(col("text"), 3))).as("__s"))
+          .select(col("doc_id"), TextOps.md5Hash60(col("__s")).as("shingle"))
+          .distinct()
+        val sets = sh.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("shingle"))).as("hs"),
+            count(lit(1)).as("n"))
+        val verified = cand
+          .join(sets.select(col("doc_id").as("id_a"),
+            col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"),
+            col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
+          .withColumn("n_inter",
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+          .filter(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= 0.5)
+          .select("id_a", "id_b")
+        val losers = Dedup.connectedComponents(verified)
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id")).withColumn("__lost", lit(1L))
+        val tok = docs.select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        tok.join(losers, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nt").as("n_tokens"),
+            sum(when(col("__lost").isNull, 1L).otherwise(0L)).as("kept_docs"),
+            sum(when(col("__lost").isNull, col("nt")).otherwise(0L))
+              .as("kept_tokens"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("kept_docs"), col("kept_tokens"),
+            pround(col("kept_tokens").cast("double") /
+              col("n_tokens").cast("double"), 6).as("kept_ratio"))
+          .orderBy("source")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        val q52 = VectorTextQueries.all
+          .find(_.name == "q52_minhash_pairs").get.oracle.get
+        s"""WITH RECURSIVE cand AS ($q52),
+           |toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, ${sqlHash60("s0")} AS s FROM (
+           |  SELECT doc_id, unnest(list_distinct(${sqlShingles(3)})) AS s0
+           |  FROM toks WHERE len(toks) >= 3)),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM sh GROUP BY doc_id),
+           |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS ni
+           |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+           |    JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+           |  GROUP BY c.id_a, c.id_b),
+           |p AS (SELECT i.id_a, i.id_b FROM inter i
+           |  JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+           |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.5),
+           |e0 AS (SELECT id_a AS src, id_b AS dst FROM p
+           |  UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+           |reach AS (
+           |  SELECT src, dst FROM e0
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src),
+           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+           |  FROM reach GROUP BY src),
+           |losers AS (SELECT doc_id FROM comp WHERE cluster <> doc_id),
+           |tok AS (SELECT doc_id, source,
+           |    CAST(len($sqlToks) AS BIGINT) AS nt FROM documents)
+           |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(t.nt) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS kept_docs,
+           |  CAST(sum(CASE WHEN l.doc_id IS NULL THEN t.nt ELSE 0 END)
+           |    AS BIGINT) AS kept_tokens,
+           |  ${sqlRound(
+             """CAST(sum(CASE WHEN l.doc_id IS NULL THEN t.nt ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(t.nt) AS DOUBLE)""",
+             6)} AS kept_ratio
+           |FROM tok t LEFT JOIN losers l ON l.doc_id = t.doc_id
+           |GROUP BY t.source ORDER BY t.source""".stripMargin
+      }))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

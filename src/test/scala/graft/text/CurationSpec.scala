@@ -749,4 +749,42 @@ class CurationSpec extends SparkSpec {
     assert(byEpoch(0L) != byEpoch(1L), "epoch salt changes nothing")
     out.unpersist()
   }
+
+  test("q239: banded-tier accounting — totals match q232, keepers match a local union-find over q237's pos set") {
+    val out = q("q239_effective_tokens_banded").cache()
+    val viaSimhash = q("q232_effective_tokens").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.collect().foreach { r =>
+      val (docs, toks) = viaSimhash(r.getString(0))
+      assert(r.getLong(1) == docs && r.getLong(2) == toks,
+        "before-columns must agree across tiers (same corpus)")
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(4) <= r.getLong(2))
+    }
+    // Keeper ground truth: union-find over q237's VERIFIED positives —
+    // the drift-proof link between the accounting and the mining tier.
+    val pairs = q("q237_contrastive_pairs").collect()
+      .filter(_.getString(3) == "pos")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expectedKept = docs.filter { case (id, _) =>
+      !clustered(id) || find(id) == id
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gotKept = out.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(gotKept == expectedKept,
+      s"keeper counts diverge from the union-find ground truth")
+    out.unpersist()
+  }
 }
