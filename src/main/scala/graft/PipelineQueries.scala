@@ -2930,7 +2930,13 @@ object PipelineQueries {
              6)} AS kept_ratio
            |FROM tok t LEFT JOIN k ON k.doc_id = t.doc_id
            |GROUP BY t.source ORDER BY t.source""".stripMargin
-      }),
+      },
+      // Under the 100× budget today (43.6), but the growth is structural
+      // (the simhash band join's fixed 7 × 2^8.5 bucket space — SCALING.md
+      // round 11); q239 is the same accounting on the measured-linear
+      // banded-verified tier. Annotated proactively so a 100 TB user is
+      // pointed at the right plan before the curve crosses the budget.
+      scaleLimited = Some("q239_effective_tokens_banded")),
 
     // Mixing schedule under a token budget — q231's tempered shares
     // turned into the plan a data loader actually executes. Budget
