@@ -1079,6 +1079,71 @@ object PipelineQueries {
        |  HAVING least(src, min(dst)) <> src)""".stripMargin
   }
 
+  /** Verified near-dup pairs on the BANDED tier — q52's minhash band
+    * join proposes candidates, exact n-gram Jaccard (q42's J ≥ 0.5 bar)
+    * verifies candidates only. The composition the round-11 100× tier
+    * sweep measured linear (SCALING.md), shared by q239 (accounting)
+    * and q240 (prevalence histogram); SQL twin below.
+    */
+  private def bandedVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Dedup
+    val docs = Tables.documents(s, d)
+    val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4)
+      .select("id_a", "id_b")
+    val sh = docs.select(col("doc_id"), explode(array_distinct(
+        TextOps.wordShingles(col("text"), 3))).as("__s"))
+      .select(col("doc_id"), TextOps.md5Hash60(col("__s")).as("shingle"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("hs"),
+        count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"),
+        col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"),
+        col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .filter(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= 0.5)
+      .select("id_a", "id_b")
+  }
+
+  /** DuckDB CTE chain mirroring [[bandedVerifiedPairs]] plus the
+    * connected components over them: verified pairs `p`, per-doc
+    * components `comp` (min-reachable-id cluster labels), and min-id
+    * `losers`. Nests q52's registered SQL verbatim (drift-proof). Must
+    * be opened with `WITH RECURSIVE`.
+    */
+  private def bandedVerifiedSqlCtes: String = {
+    val q52 = VectorTextQueries.all
+      .find(_.name == "q52_minhash_pairs").get.oracle.get
+    s"""cand AS ($q52),
+       |toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ${sqlHash60("s0")} AS s FROM (
+       |  SELECT doc_id, unnest(list_distinct(${sqlShingles(3)})) AS s0
+       |  FROM toks WHERE len(toks) >= 3)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS ni
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+       |    JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+       |  GROUP BY c.id_a, c.id_b),
+       |p AS (SELECT i.id_a, i.id_b FROM inter i
+       |  JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+       |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.5),
+       |e0 AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+       |reach AS (
+       |  SELECT src, dst FROM e0
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src),
+       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |losers AS (SELECT doc_id FROM comp WHERE cluster <> doc_id)""".stripMargin
+  }
+
   private val dedupApply: Seq[Q] = Seq(
     // The APPLY step of near-dup dedup: q107 detects clusters (simhash
     // pairs → connected components); this query emits the surviving
@@ -3187,27 +3252,7 @@ object PipelineQueries {
       (s, d) => {
         import graft.text.Dedup
         val docs = Tables.documents(s, d)
-        val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          shingleN = 3, numHashes = 12, bands = 4)
-          .select("id_a", "id_b")
-        val sh = docs.select(col("doc_id"), explode(array_distinct(
-            TextOps.wordShingles(col("text"), 3))).as("__s"))
-          .select(col("doc_id"), TextOps.md5Hash60(col("__s")).as("shingle"))
-          .distinct()
-        val sets = sh.groupBy("doc_id")
-          .agg(sort_array(collect_list(col("shingle"))).as("hs"),
-            count(lit(1)).as("n"))
-        val verified = cand
-          .join(sets.select(col("doc_id").as("id_a"),
-            col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
-          .join(sets.select(col("doc_id").as("id_b"),
-            col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
-          .withColumn("n_inter",
-            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
-          .filter(col("n_inter").cast("double") /
-            (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= 0.5)
-          .select("id_a", "id_b")
-        val losers = Dedup.connectedComponents(verified)
+        val losers = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
           .filter(col("id") =!= col("cluster"))
           .select(col("id").as("doc_id")).withColumn("__lost", lit(1L))
         val tok = docs.select(col("doc_id"), col("source"),
@@ -3227,31 +3272,7 @@ object PipelineQueries {
       },
       oracle = None,
       oracleDyn = Some { () =>
-        val q52 = VectorTextQueries.all
-          .find(_.name == "q52_minhash_pairs").get.oracle.get
-        s"""WITH RECURSIVE cand AS ($q52),
-           |toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, ${sqlHash60("s0")} AS s FROM (
-           |  SELECT doc_id, unnest(list_distinct(${sqlShingles(3)})) AS s0
-           |  FROM toks WHERE len(toks) >= 3)),
-           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-           |  FROM sh GROUP BY doc_id),
-           |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS ni
-           |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
-           |    JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
-           |  GROUP BY c.id_a, c.id_b),
-           |p AS (SELECT i.id_a, i.id_b FROM inter i
-           |  JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
-           |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.5),
-           |e0 AS (SELECT id_a AS src, id_b AS dst FROM p
-           |  UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
-           |reach AS (
-           |  SELECT src, dst FROM e0
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src),
-           |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
-           |  FROM reach GROUP BY src),
-           |losers AS (SELECT doc_id FROM comp WHERE cluster <> doc_id),
+        s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
            |tok AS (SELECT doc_id, source,
            |    CAST(len($sqlToks) AS BIGINT) AS nt FROM documents)
            |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3266,6 +3287,52 @@ object PipelineQueries {
              6)} AS kept_ratio
            |FROM tok t LEFT JOIN losers l ON l.doc_id = t.doc_id
            |GROUP BY t.source ORDER BY t.source""".stripMargin
+      }),
+
+    // q235's duplication-prevalence histogram on the banded-verified
+    // tier — completes the symmetry: both simhash-cluster consumers
+    // (accounting → q239, histogram → here) now have measured-linear
+    // counterparts, and q235 carries `scaleLimited → q240`. Same
+    // histogram semantics as q235 (docs per duplication level,
+    // singletons as level 1, n_docs sums to the corpus); only the
+    // cluster tier differs, so diffing q235 against q240 shows exactly
+    // what the banding trades: clusters the simhash tier finds at
+    // hamming ≤ 6 that the J ≥ 0.5 bar rejects, and vice versa.
+    Q("q240_dup_prevalence_banded",
+      (s, d) => {
+        import graft.text.Dedup
+        val comp = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
+        val hist = comp.groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+        val singles = Tables.documents(s, d).agg(count(lit(1)).as("tot"))
+          .crossJoin(comp.agg(count(lit(1)).as("n_in")))
+          .select(lit(1L).as("cluster_size"),
+            (col("tot") - col("n_in")).as("n_clusters"))
+          .filter(col("n_clusters") > 0)
+        hist.unionByName(singles)
+          .groupBy("cluster_size").agg(sum("n_clusters").as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
+           |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+           |  FROM comp GROUP BY cluster),
+           |h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+           |  FROM cs GROUP BY cluster_size),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents),
+           |nin AS (SELECT CAST(count(*) AS BIGINT) AS n FROM comp),
+           |s1 AS (SELECT CAST(1 AS BIGINT) AS cluster_size, t - n AS n_clusters
+           |  FROM tot CROSS JOIN nin WHERE t - n > 0),
+           |m AS (SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+           |  FROM (SELECT * FROM h UNION ALL SELECT * FROM s1)
+           |  GROUP BY cluster_size)
+           |SELECT cluster_size, n_clusters,
+           |  cluster_size * n_clusters AS n_docs
+           |FROM m ORDER BY cluster_size""".stripMargin
       }))
 
   def all: Seq[Q] =

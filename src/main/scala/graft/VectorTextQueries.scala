@@ -333,7 +333,12 @@ object VectorTextQueries {
            |SELECT cluster_size, n_clusters,
            |  cluster_size * n_clusters AS n_docs
            |FROM m ORDER BY cluster_size""".stripMargin
-      }),
+      },
+      // Same proactive annotation as q232: under the 100× budget (54.4)
+      // but structurally N² via the simhash band join's fixed bucket
+      // space; q240 is the same histogram on the measured-linear
+      // banded-verified tier.
+      scaleLimited = Some("q240_dup_prevalence_banded")),
 
     // MinHash LSH banded candidate pairs — the registered, oracle-checked
     // form of the banding scheme (12 hashes × 4 bands of 3). The

@@ -787,4 +787,31 @@ class CurationSpec extends SparkSpec {
       s"keeper counts diverge from the union-find ground truth")
     out.unpersist()
   }
+
+  test("q240: banded histogram mass equals the corpus; sizes match the q237-pos union-find") {
+    val out = q("q240_dup_prevalence_banded").cache()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == n)
+    // Cluster sizes from a union-find over q237's verified positives.
+    val pairs = q("q237_contrastive_pairs").collect()
+      .filter(_.getString(3) == "pos")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = members.groupBy(find).view.mapValues(_.length.toLong)
+      .values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = out.collect().filter(_.getLong(0) >= 2)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      "cluster-size histogram diverges from the union-find ground truth")
+    out.unpersist()
+  }
 }
