@@ -1079,13 +1079,15 @@ object PipelineQueries {
        |  HAVING least(src, min(dst)) <> src)""".stripMargin
   }
 
-  /** Verified near-dup pairs on the BANDED tier — q52's minhash band
-    * join proposes candidates, exact n-gram Jaccard (q42's J ≥ 0.5 bar)
-    * verifies candidates only. The composition the round-11 100× tier
-    * sweep measured linear (SCALING.md), shared by q239 (accounting)
-    * and q240 (prevalence histogram); SQL twin below.
+  /** Banded-tier CANDIDATE pairs with their exact shingle-set overlap:
+    * q52's minhash band join proposes candidates, then each candidate's
+    * exact 3-shingle intersection is counted — no threshold applied.
+    * Columns (id_a, id_b, n_a, n_b, n_inter); exact Jaccard is
+    * n_inter / (n_a + n_b − n_inter). Shared prefix of
+    * [[bandedVerifiedPairs]] (the J ≥ 0.5 verify) and q243's tier
+    * calibration grid (which needs the REJECTED candidates too).
     */
-  private def bandedVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandedCandidateOverlap(s: SparkSession, d: String): DataFrame = {
     import graft.text.Dedup
     val docs = Tables.documents(s, d)
     val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
@@ -1105,18 +1107,29 @@ object PipelineQueries {
         col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
       .withColumn("n_inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .select("id_a", "id_b", "n_a", "n_b", "n_inter")
+  }
+
+  /** Verified near-dup pairs on the BANDED tier — q52's minhash band
+    * join proposes candidates, exact n-gram Jaccard (q42's J ≥ 0.5 bar)
+    * verifies candidates only. The composition the round-11 100× tier
+    * sweep measured linear (SCALING.md), shared by q239 (accounting)
+    * and q240 (prevalence histogram); SQL twin below.
+    */
+  private[graft] def bandedVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    bandedCandidateOverlap(s, d)
       .filter(col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= 0.5)
       .select("id_a", "id_b")
-  }
 
-  /** DuckDB CTE chain mirroring [[bandedVerifiedPairs]] plus the
-    * connected components over them: verified pairs `p`, per-doc
-    * components `comp` (min-reachable-id cluster labels), and min-id
-    * `losers`. Nests q52's registered SQL verbatim (drift-proof). Must
-    * be opened with `WITH RECURSIVE`.
+  /** DuckDB CTE chain mirroring [[bandedCandidateOverlap]] up to
+    * per-candidate overlap counts: ends at `inter(id_a, id_b, ni)` with
+    * `sz(doc_id, n)` alongside. NOTE: candidates whose exact shingle
+    * intersection is EMPTY produce no `inter` row (the join-then-count
+    * form) — the Spark side's n_inter = 0 rows; consumers that need
+    * zero-overlap candidates must LEFT JOIN `cand` to `inter`.
     */
-  private def bandedVerifiedSqlCtes: String = {
+  private[graft] def bandedCandidateSqlCtes: String = {
     val q52 = VectorTextQueries.all
       .find(_.name == "q52_minhash_pairs").get.oracle.get
     s"""cand AS ($q52),
@@ -1129,7 +1142,17 @@ object PipelineQueries {
        |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS ni
        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
        |    JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
-       |  GROUP BY c.id_a, c.id_b),
+       |  GROUP BY c.id_a, c.id_b)""".stripMargin
+  }
+
+  /** DuckDB CTE chain mirroring [[bandedVerifiedPairs]] plus the
+    * connected components over them: verified pairs `p`, per-doc
+    * components `comp` (min-reachable-id cluster labels), and min-id
+    * `losers`. Nests q52's registered SQL verbatim (drift-proof). Must
+    * be opened with `WITH RECURSIVE`.
+    */
+  private[graft] def bandedVerifiedSqlCtes: String = {
+    s"""$bandedCandidateSqlCtes,
        |p AS (SELECT i.id_a, i.id_b FROM inter i
        |  JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
        |  WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= 0.5),

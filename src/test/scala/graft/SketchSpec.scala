@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Semantic invariants for the round-11 sketch/compression queries:
+  * q241 KMV corpus-overlap sketches (Beyer et al. 2007) and q242 SQ8
+  * scalar-quantization audit. Hash-level parity lives in the DuckDB
+  * oracles; these pin the ESTIMATOR contracts against exact ground
+  * truth computed independently on the sf0.001 corpus.
+  */
+class SketchSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    graft.Queries.all.find(_.name == name).get.run(spark, sf)
+
+  /** Distinct (source, shingle-hash) ground truth — the set the KMV
+    * sketch summarizes.
+    */
+  private def shingleSets = Tables.documents(spark, sf)
+    .select(col("source"), explode(array_distinct(
+      TextOps.wordShingles(col("text"), 3))).as("s"))
+    .select(col("source"), TextOps.md5Hash60(col("s")).as("h"))
+    .distinct()
+
+  test("q241: one row per source pair; sketch counters are bounded and ordered") {
+    val out = q("q241_kmv_overlap").cache()
+    val nSrc = shingleSets.select("source").distinct().count()
+    assert(out.count() == nSrc * (nSrc - 1) / 2)
+    assert(out.filter(col("ku") > 64 || col("inter_k") > col("ku")).count() == 0)
+    assert(out.filter(col("jaccard_est") < 0 || col("jaccard_est") > 1).count() == 0)
+    assert(out.filter(col("source_a") >= col("source_b")).count() == 0)
+    out.unpersist()
+  }
+
+  test("q241: KMV Jaccard tracks exact Jaccard within the k=64 error budget") {
+    val sh = shingleSets.cache()
+    val d = sh.groupBy("source").agg(count(lit(1)).as("nd"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("ni"))
+    val exact = inter
+      .join(d.select(col("source").as("sa"), col("nd").as("nda")), "sa")
+      .join(d.select(col("source").as("sb"), col("nd").as("ndb")), "sb")
+      .select(col("sa"), col("sb"), (col("ni").cast("double") /
+        (col("nda") + col("ndb") - col("ni")).cast("double")).as("jexact"))
+    val joined = q("q241_kmv_overlap")
+      .join(exact, col("source_a") === col("sa") && col("source_b") === col("sb"), "left")
+      .select(col("jaccard_est"), coalesce(col("jexact"), lit(0.0)).as("jexact"))
+      .collect()
+    val errs = joined.map(r => math.abs(r.getDouble(0) - r.getDouble(1)))
+    // k=64 ⇒ binomial SE ≤ 1/√64·√(J(1−J)) ≈ 0.0625 at worst; the
+    // sf0.001 corpus measures mean 0.015 / max 0.080 — bound with slack
+    // so the spec pins the estimator, not the corpus.
+    assert(errs.sum / errs.length <= 0.05,
+      s"mean |est−exact| = ${errs.sum / errs.length}")
+    assert(errs.max <= 0.20, s"max |est−exact| = ${errs.max}")
+    sh.unpersist()
+  }
+
+  test("q241: per-source distinct estimates track exact distinct counts") {
+    val d = shingleSets.groupBy("source").agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val out = q("q241_kmv_overlap")
+      .select("source_a", "est_distinct_a", "source_b", "est_distinct_b")
+      .collect()
+    val rel = out.flatMap(r => Seq(
+      math.abs(r.getDouble(1) - d(r.getString(0))) / d(r.getString(0)),
+      math.abs(r.getDouble(3) - d(r.getString(2))) / d(r.getString(2))))
+    // (k−1)/h_k has relative SE ≈ 1/√(k−2) ≈ 12.7% at k=64; measured
+    // mean 11.5% / max 18.7% on sf0.001.
+    assert(rel.sum / rel.length <= 0.20, s"mean rel err = ${rel.sum / rel.length}")
+    assert(rel.max <= 0.40, s"max rel err = ${rel.max}")
+  }
+
+  test("q242: every vector audited once per label; labels partition the store") {
+    val out = q("q242_sq8_quantize").cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.agg(sum("n_vecs")).collect()(0).getLong(0) == n)
+    assert(out.select("label").distinct().count() == out.count())
+    out.unpersist()
+  }
+
+  test("q242: midpoint reconstruction bounds MSE by the worst half-step squared") {
+    // |v − recon| ≤ step_d/2 per dimension (uniform grid, midpoint
+    // dequant), so every per-vector MSE — hence max_mse — is bounded by
+    // max_d (step_d/2)², computed here independently from the store.
+    val maxStep = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dpos", "v")))
+      .groupBy("dpos").agg(((max("v") - min("v")) / lit(256.0)).as("step"))
+      .agg(max("step")).collect()(0).getDouble(0)
+    val bound = math.pow(maxStep / 2.0, 2) + 1e-9
+    val out = q("q242_sq8_quantize").cache()
+    assert(out.filter(col("max_mse") > bound).count() == 0,
+      s"some label's max_mse exceeds the half-step bound $bound")
+    assert(out.filter(col("mean_mse") > col("max_mse")).count() == 0)
+    assert(out.filter(col("mean_mse") <= 0).count() == 0,
+      "quantization distortion should be strictly positive on real data")
+    out.unpersist()
+  }
+}
