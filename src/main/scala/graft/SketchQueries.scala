@@ -197,5 +197,105 @@ object SketchQueries {
               |FROM pv GROUP BY label ORDER BY label""".stripMargin))
   )
 
-  def all: Seq[Q] = sketches
+  // --------------------------------------------------------------------
+  // Dedup-tier calibration + apply: q243 cross-tabulates the two
+  // near-dup signals (exact n-gram Jaccard vs simhash hamming) on the
+  // SAME candidate set, q244 materializes the loser→canonical remap a
+  // release actually ships.
+  // --------------------------------------------------------------------
+  private val tiers: Seq[Q] = Seq(
+    // q243: tier-calibration grid. For every banded candidate pair
+    // (q52's minhash band join — the measured-linear proposer), bucket
+    // its exact 3-shingle Jaccard into deciles and its 60-bit simhash
+    // hamming distance into width-4 bins, and count pairs per cell. The
+    // grid is the pair-granular version of what diffing q232 vs q239
+    // shows in aggregate: which hamming bar (q49's ≤ 6) corresponds to
+    // which Jaccard bar (q42's ≥ 0.5) ON THIS CORPUS — i.e. the
+    // evidence for choosing either tier's threshold.
+    //
+    // Parity: both bucketings are INTEGER arithmetic (10·ni // union,
+    // bit_count(xor) // 4) — no float crosses an engine boundary.
+    // 100 TB shape: candidates come from the banded proposer (linear,
+    // SCALING.md round-11 sweep); fingerprints are per-doc codegen'd
+    // map work (SimHashSig kernel); the grid itself is ≤ 10 × 16 cells.
+    Q("q243_tier_calibration",
+      (s, d) => {
+        import graft.text.Dedup
+        val fps = Dedup.simhashAgg(Tables.documents(s, d), "doc_id",
+          TextOps.wordShingles(col("text"), 3), 60)
+        PipelineQueries.bandedCandidateOverlap(s, d)
+          .join(fps.select(col("doc_id").as("id_a"), col("simhash").as("fp_a")), "id_a")
+          .join(fps.select(col("doc_id").as("id_b"), col("simhash").as("fp_b")), "id_b")
+          .select(
+            expr("least(9L, (10L * n_inter) div (n_a + n_b - n_inter))")
+              .as("jacc_decile"),
+            expr("bit_count(fp_a ^ fp_b) div 4").cast("long").as("hamming_bin"))
+          .groupBy("jacc_decile", "hamming_bin")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("jacc_decile", "hamming_bin")
+      },
+      Some {
+        val fpsSub = VectorTextQueries.simhashSql(60)
+        s"""WITH ${PipelineQueries.bandedCandidateSqlCtes},
+           |fps AS ($fpsSub),
+           |cj AS (SELECT c.id_a, c.id_b, coalesce(i.ni, 0) AS ni,
+           |    x.n AS na, y.n AS nb
+           |  FROM cand c
+           |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+           |  JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id),
+           |g AS (SELECT least(9, (10 * ni) // (na + nb - ni)) AS jacc_decile,
+           |    (bit_count(xor(a.simhash, b.simhash)) // 4) AS hamming_bin
+           |  FROM cj JOIN fps a ON cj.id_a = a.doc_id
+           |    JOIN fps b ON cj.id_b = b.doc_id)
+           |SELECT CAST(jacc_decile AS BIGINT) AS jacc_decile,
+           |  CAST(hamming_bin AS BIGINT) AS hamming_bin,
+           |  CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // q244: the loser→canonical remap table the dedup APPLY step ships
+    // for provenance. Canonical member per banded-verified cluster is
+    // the LONGEST document (n_chars desc, doc_id asc tie-break — the
+    // keep-the-longest heuristic, deterministic); every non-canonical
+    // member gets one row mapping it to its survivor. Differs from
+    // q125/q239's min-id keeper rule exactly where a release needs it
+    // to: the surviving text is the most complete copy, and the remap
+    // table (not just the survivor set) is what downstream provenance /
+    // reference-rewriting consumes.
+    //
+    // 100 TB shape: clusters come from the banded tier (linear); the
+    // rank window partitions by cluster — bounded by the largest dup
+    // cluster, never corpus-sized; the canonical join is an equi-join
+    // on cluster id over cluster-count rows.
+    Q("q244_canonical_remap",
+      (s, d) => {
+        import graft.text.Dedup
+        val comp = Dedup.connectedComponents(
+          PipelineQueries.bandedVerifiedPairs(s, d))
+        val m = comp.join(Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("n_chars")), "id")
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("n_chars").desc, col("id").asc)
+        val ranked = m.withColumn("rn", row_number().over(w))
+        val canon = ranked.filter(col("rn") === 1)
+          .select(col("cluster"), col("id").as("canonical_id"))
+        ranked.filter(col("rn") > 1).join(canon, "cluster")
+          .select(col("id").as("doc_id"), col("canonical_id"))
+          .orderBy("doc_id")
+      },
+      Some {
+        s"""WITH RECURSIVE ${PipelineQueries.bandedVerifiedSqlCtes},
+           |m AS (SELECT c.doc_id, c.cluster, d.n_chars
+           |  FROM comp c JOIN documents d USING (doc_id)),
+           |r AS (SELECT doc_id, cluster,
+           |    row_number() OVER (PARTITION BY cluster
+           |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+           |  FROM m),
+           |canon AS (SELECT cluster, doc_id AS canonical_id FROM r WHERE rn = 1)
+           |SELECT r.doc_id, c2.canonical_id
+           |FROM r JOIN canon c2 USING (cluster)
+           |WHERE r.rn > 1 ORDER BY r.doc_id""".stripMargin
+      }))
+
+  def all: Seq[Q] = sketches ++ tiers
 }

@@ -84,6 +84,59 @@ class SketchSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q243: grid mass equals the candidate set; deciles >= 5 are exactly the verified tier") {
+    val out = q("q243_tier_calibration").cache()
+    val candRows = PipelineQueries.bandedCandidateOverlap(spark, sf).count()
+    assert(out.agg(sum("n_pairs")).collect()(0).getLong(0) == candRows,
+      "every banded candidate pair lands in exactly one grid cell")
+    // floor(10·J) ≥ 5 ⟺ J ≥ 0.5 for exact rationals, so the high-decile
+    // mass must equal the q239/q240 verified-pair tier bit-for-bit.
+    val hi = out.filter(col("jacc_decile") >= 5)
+      .agg(coalesce(sum("n_pairs"), lit(0L))).collect()(0).getLong(0)
+    assert(hi == PipelineQueries.bandedVerifiedPairs(spark, sf).count())
+    out.unpersist()
+  }
+
+  test("q243: hamming distance separates the accepted tier from the rejected one") {
+    val cells = q("q243_tier_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def wMean(p: ((Long, Long, Long)) => Boolean): Option[Double] = {
+      val xs = cells.filter(p)
+      if (xs.isEmpty) None
+      else Some(xs.map(c => c._2.toDouble * c._3).sum / xs.map(_._3).sum)
+    }
+    (wMean(_._1 >= 5), wMean(_._1 < 5)) match {
+      case (Some(acc), Some(rej)) =>
+        assert(acc < rej,
+          s"accepted-tier mean hamming bin $acc should sit below rejected-tier $rej")
+      case _ => // corpus produced only one side of the bar — nothing to compare
+    }
+  }
+
+  test("q244: remap covers exactly the non-canonical members and never demotes length") {
+    val out = q("q244_canonical_remap").cache()
+    import graft.text.Dedup
+    val comp = Dedup.connectedComponents(
+      PipelineQueries.bandedVerifiedPairs(spark, sf)).cache()
+    val members = comp.count()
+    val clusters = comp.select("cluster").distinct().count()
+    assert(out.count() == members - clusters,
+      "one remap row per non-canonical cluster member")
+    // Canonicals are fixed points: never remapped themselves.
+    assert(out.select("canonical_id").intersect(out.select("doc_id")).count() == 0)
+    // Keep-the-longest: the canonical is never shorter than the doc it
+    // replaces, and ties break to the smaller id.
+    val nc = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val bad = out
+      .join(nc.select(col("doc_id"), col("n_chars").as("nc_loser")), "doc_id")
+      .join(nc.select(col("doc_id").as("canonical_id"),
+        col("n_chars").as("nc_canon")), "canonical_id")
+      .filter(col("nc_canon") < col("nc_loser") ||
+        (col("nc_canon") === col("nc_loser") && col("canonical_id") > col("doc_id")))
+    assert(bad.count() == 0, "canonical must win on (n_chars desc, doc_id asc)")
+    comp.unpersist(); out.unpersist()
+  }
+
   test("q242: midpoint reconstruction bounds MSE by the worst half-step squared") {
     // |v − recon| ≤ step_d/2 per dimension (uniform grid, midpoint
     // dequant), so every per-vector MSE — hence max_mse — is bounded by
