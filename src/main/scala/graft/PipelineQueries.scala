@@ -3358,8 +3358,142 @@ object PipelineQueries {
            |FROM m ORDER BY cluster_size""".stripMargin
       }))
 
+  // --------------------------------------------------------------------
+  // Corpus-policy operators: source-level filtering decisions and
+  // document-boundary repair — the curation steps that act on WHOLE
+  // sources / document seams rather than individual rows.
+  // --------------------------------------------------------------------
+  private val policy: Seq[Q] = Seq(
+    // Source-level blocklist (the domain-filtering pattern of C4,
+    // Raffel et al. 2020 §2.2, and RefinedWeb, Penedo et al. 2023 —
+    // public curation practice: drop an entire origin when its
+    // aggregate signal is anomalous, instead of sniping documents).
+    // The signal here is the duplication rate on the banded-verified
+    // tier (q239's losers): a source whose members are displaced by
+    // dedup at more than 2× the corpus mean rate is a mirror/spam
+    // candidate and gets blocked wholesale. The decision table IS the
+    // output: per source, its size, its dup members, the 0/1 verdict,
+    // and the post-filter accounting (kept_docs/kept_tokens collapse to
+    // 0 for blocked sources) — so the hash check covers both the policy
+    // and its application.
+    //
+    // Parity + overflow: rates are compared in integer PPM —
+    // (dup·1e6 div n) vs (2·tot_dup·1e6 div tot) — floored identically
+    // in both engines and overflow-safe to ~9e12 documents (the
+    // cross-multiply form dup·tot_docs would overflow BIGINT at
+    // ~3e9 docs; the round-10 hash-overflow advice generalized).
+    // 100 TB shape: one corpus token scan + the banded loser tier
+    // (measured linear, SCALING.md round-11 sweep) + catalog-sized
+    // rollups; the verdict table is |sources| rows and the 'tot' side
+    // of the final join is ONE row, broadcast.
+    Q("q245_source_blocklist",
+      (s, d) => {
+        import graft.text.Dedup
+        val losers = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id")).withColumn("__lost", lit(1L))
+        val per = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+          .join(losers, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+            sum(when(col("__lost").isNotNull, 1L).otherwise(0L))
+              .as("dup_members"))
+        val tot = per.agg(sum("n_docs").as("tot_docs"),
+          sum("dup_members").as("tot_dup"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("blocked",
+            when(expr("(dup_members * 1000000L) div n_docs") >
+              expr("(2L * tot_dup * 1000000L) div tot_docs"), 1L)
+              .otherwise(0L))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("dup_members"), col("blocked"),
+            when(col("blocked") === 1L, 0L).otherwise(col("n_docs"))
+              .as("kept_docs"),
+            when(col("blocked") === 1L, 0L).otherwise(col("n_tokens"))
+              .as("kept_tokens"))
+          .orderBy("source")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
+           |tok AS (SELECT doc_id, source,
+           |    CAST(len($sqlToks) AS BIGINT) AS nt FROM documents),
+           |per AS (SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(t.nt) AS BIGINT) AS n_tokens,
+           |    CAST(sum(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END)
+           |      AS BIGINT) AS dup_members
+           |  FROM tok t LEFT JOIN losers l ON l.doc_id = t.doc_id
+           |  GROUP BY t.source),
+           |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+           |    CAST(sum(dup_members) AS BIGINT) AS tot_dup FROM per),
+           |v AS (SELECT per.*, CAST(CASE WHEN
+           |      (dup_members * 1000000) // n_docs >
+           |      (2 * tot_dup * 1000000) // tot_docs
+           |    THEN 1 ELSE 0 END AS BIGINT) AS blocked
+           |  FROM per CROSS JOIN tot)
+           |SELECT source, n_docs, n_tokens, dup_members, blocked,
+           |  CAST(CASE WHEN blocked = 1 THEN 0 ELSE n_docs END AS BIGINT)
+           |    AS kept_docs,
+           |  CAST(CASE WHEN blocked = 1 THEN 0 ELSE n_tokens END AS BIGINT)
+           |    AS kept_tokens
+           |FROM v ORDER BY source""".stripMargin
+      }),
+
+    // Document-boundary stitch candidates: a doc whose last-3-token
+    // boundary exactly equals another doc's first-3-token boundary is a
+    // split-document seam candidate (crawl/shard processing cuts long
+    // pages into fragments; re-stitching needs exactly this
+    // suffix→prefix join). Per LEFT fragment the query emits its best
+    // continuation (min doc_id — deterministic) plus the candidate
+    // count, so output is ≤ one row per document BY CONSTRUCTION.
+    //
+    // 100 TB shape: two fixed-size boundary keys per doc (map work), a
+    // df ≤ 64 prune on the prefix side (q227's pigeonhole cap — hot
+    // boilerplate boundaries like headers are exactly the keys that
+    // mean nothing for stitching), then one equi-join whose fan-out is
+    // structurally ≤ 64 per doc and a per-doc min/count partial agg.
+    // No stage is ever super-linear in the corpus.
+    Q("q246_boundary_stitch",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 6)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(col("w"), 1, 3)).as("pre"),
+            concat_ws(" ", slice(col("w"), -3, 3)).as("suf"))
+        val keep = b.groupBy("pre").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= 64).select("pre")
+        val heads = b.join(keep, "pre")
+          .select(col("doc_id").as("cand_id"), col("pre"))
+        b.select(col("doc_id"), col("suf"))
+          .join(heads,
+            col("suf") === col("pre") && col("doc_id") =!= col("cand_id"))
+          .groupBy(col("doc_id"), col("suf"))
+          .agg(min(col("cand_id")).as("cont_id"),
+            count(lit(1)).as("n_cand"))
+          .select(col("doc_id"), col("suf").as("boundary"),
+            col("cont_id"), col("n_cand"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+             |b AS (SELECT doc_id, array_to_string(w[1:3], ' ') AS pre,
+             |    array_to_string(w[-3:], ' ') AS suf
+             |  FROM t WHERE len(w) >= 6),
+             |keep AS (SELECT pre FROM (
+             |    SELECT pre, count(*) AS df FROM b GROUP BY pre)
+             |  WHERE df <= 64),
+             |h AS (SELECT b.doc_id AS cand_id, b.pre
+             |  FROM b JOIN keep USING (pre))
+             |SELECT a.doc_id, a.suf AS boundary,
+             |  CAST(min(h.cand_id) AS BIGINT) AS cont_id,
+             |  CAST(count(*) AS BIGINT) AS n_cand
+             |FROM b a JOIN h ON a.suf = h.pre AND a.doc_id <> h.cand_id
+             |GROUP BY a.doc_id, a.suf ORDER BY a.doc_id""".stripMargin)))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
       ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
-      retrievalEval ++ lm2 ++ whiten ++ curation
+      retrievalEval ++ lm2 ++ whiten ++ curation ++ policy
 }

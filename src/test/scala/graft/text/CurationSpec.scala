@@ -814,4 +814,62 @@ class CurationSpec extends SparkSpec {
       "cluster-size histogram diverges from the union-find ground truth")
     out.unpersist()
   }
+
+  test("q245: verdict law holds from the output's own integers; pins to q239") {
+    val out = q("q245_source_blocklist").cache()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == n)
+    // The 0/1 verdict must re-derive from the row's own integers plus
+    // the corpus totals — blocked ⟺ ppm(dup rate) > ppm(2 × mean).
+    val rows = out.collect()
+    val totDocs = rows.map(_.getLong(1)).sum
+    val totDup = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      val (nd, nt, dup, blocked, kd, kt) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      val expect =
+        if (dup * 1000000L / nd > 2L * totDup * 1000000L / totDocs) 1L else 0L
+      assert(blocked == expect, s"source ${r.getString(0)} verdict")
+      assert((kd, kt) == (if (blocked == 1L) (0L, 0L) else (nd, nt)),
+        "kept columns must collapse to 0 exactly for blocked sources")
+    }
+    // Same loser tier as q239: dup_members = n_docs − kept_docs there.
+    val q239 = q("q239_effective_tokens_banded")
+      .select(col("source"), (col("n_docs") - col("kept_docs")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(3) == q239(r.getString(0)),
+      s"source ${r.getString(0)} dup_members diverges from q239's losers"))
+    out.unpersist()
+  }
+
+  test("q246: stitch candidates are real seams and the argmin is exact") {
+    val out = q("q246_boundary_stitch").cache()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(out.count() <= docs.count())
+    // Recompute the boundary keys independently (plain Scala, not the
+    // query's plan) and check every output row: boundary IS doc_id's
+    // 3-token suffix, cont_id's 3-token prefix matches it, and cont_id
+    // is the SMALLEST matching candidate with n_cand the exact count.
+    val toks = docs.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty)
+    }.toMap
+    val pre = toks.collect { case (id, w) if w.length >= 6 =>
+      id -> w.take(3).mkString(" ") }
+    val preCount = pre.groupBy(_._2).view.mapValues(_.size).toMap
+    out.collect().foreach { r =>
+      val (id, boundary, cont, nCand) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val w = toks(id)
+      assert(w.length >= 6 && w.takeRight(3).mkString(" ") == boundary)
+      val cands = pre.collect {
+        case (cid, p) if p == boundary && cid != id && preCount(p) <= 64 => cid
+      }
+      assert(cands.nonEmpty && cands.min == cont && cands.size == nCand,
+        s"doc $id: expected min=${cands.min} n=${cands.size}, got $cont/$nCand")
+    }
+    assert(out.filter(col("n_cand") < 1 || col("n_cand") > 64 ||
+      col("cont_id") === col("doc_id")).count() == 0)
+    out.unpersist()
+  }
 }
