@@ -3490,7 +3490,88 @@ object PipelineQueries {
              |  CAST(min(h.cand_id) AS BIGINT) AS cont_id,
              |  CAST(count(*) AS BIGINT) AS n_cand
              |FROM b a JOIN h ON a.suf = h.pre AND a.doc_id <> h.cand_id
-             |GROUP BY a.doc_id, a.suf ORDER BY a.doc_id""".stripMargin)))
+             |GROUP BY a.doc_id, a.suf ORDER BY a.doc_id""".stripMargin)),
+
+    // Intra-document repetition signals — the Gopher/MassiveText
+    // repetition filters (Rae et al. 2021, arXiv:2112.11446 Table A1),
+    // token-count adapted (the paper weights by characters; our corpus
+    // has uniform word lengths so token counts carry the same signal,
+    // and integer token counts cross the engine boundary exactly):
+    // per doc, the modal-2-gram share of all 2-grams and the duplicate
+    // share of all 3-grams, plus the 0/1 filter verdict at the paper's
+    // bar shape (top-2-gram > 20% OR dup-3-grams > 30%) compared by
+    // integer cross-multiply (5·top2 > n2; 10·dup3 > 3·n3) — no float
+    // in the decision.
+    //
+    // 100 TB shape: gram counting shuffles on (doc_id, gram) with full
+    // map-side partial aggregation, then collapses to one row per doc —
+    // never wider than the corpus itself; no joins beyond the final
+    // doc-keyed merges of the two gram sizes. Per-doc cost is linear in
+    // document length (explode, not the O(L²) per-row HOF form).
+    Q("q247_repetition_signals",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+            col("w"))
+        def gramStats(n: Int, top: Boolean): DataFrame = {
+          val grams = base
+            .filter(size(col("w")) >= n)
+            .select(col("doc_id"), explode(transform(
+              sequence(lit(1), size(col("w")) - (n - 1)),
+              i => concat_ws(" ",
+                (0 until n).map(k => element_at(col("w"), i + k)): _*)))
+              .as("g"))
+            .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          if (top)
+            grams.groupBy("doc_id").agg(max("c").as("top2_cnt"),
+              sum("c").as("n2"))
+          else
+            grams.groupBy("doc_id").agg(
+              (sum("c") - count(lit(1))).as("dup3_cnt"), sum("c").as("n3"))
+        }
+        base.select("doc_id", "n_tokens")
+          .join(gramStats(2, top = true), Seq("doc_id"), "left")
+          .join(gramStats(3, top = false), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+            coalesce(col("n2"), lit(0L)).as("n2"),
+            coalesce(col("dup3_cnt"), lit(0L)).as("dup3_cnt"),
+            coalesce(col("n3"), lit(0L)).as("n3"))
+          .withColumn("flagged",
+            when(col("top2_cnt") * 5L > col("n2") ||
+              col("dup3_cnt") * 10L > col("n3") * 3L, 1L).otherwise(0L))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+             |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w
+             |  FROM t),
+             |g2 AS (SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, CAST(len(w) AS INT) - 1),
+             |    i -> w[i] || ' ' || w[i + 1])) AS g
+             |  FROM base WHERE len(w) >= 2),
+             |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+             |a2 AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_cnt,
+             |    CAST(sum(c) AS BIGINT) AS n2 FROM c2 GROUP BY doc_id),
+             |g3 AS (SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, CAST(len(w) AS INT) - 2),
+             |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+             |  FROM base WHERE len(w) >= 3),
+             |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+             |a3 AS (SELECT doc_id,
+             |    CAST(sum(c) - count(*) AS BIGINT) AS dup3_cnt,
+             |    CAST(sum(c) AS BIGINT) AS n3 FROM c3 GROUP BY doc_id)
+             |SELECT b.doc_id, b.n_tokens,
+             |  coalesce(a2.top2_cnt, 0) AS top2_cnt,
+             |  coalesce(a2.n2, 0) AS n2,
+             |  coalesce(a3.dup3_cnt, 0) AS dup3_cnt,
+             |  coalesce(a3.n3, 0) AS n3,
+             |  CAST(CASE WHEN coalesce(a2.top2_cnt, 0) * 5 > coalesce(a2.n2, 0)
+             |      OR coalesce(a3.dup3_cnt, 0) * 10 > coalesce(a3.n3, 0) * 3
+             |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+             |FROM base b LEFT JOIN a2 ON b.doc_id = a2.doc_id
+             |LEFT JOIN a3 ON b.doc_id = a3.doc_id
+             |ORDER BY b.doc_id""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

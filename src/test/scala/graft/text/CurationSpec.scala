@@ -872,4 +872,39 @@ class CurationSpec extends SparkSpec {
       col("cont_id") === col("doc_id")).count() == 0)
     out.unpersist()
   }
+
+  test("q247: gram counts match a plain-Scala recount; verdict law exact") {
+    val out = q("q247_repetition_signals").cache()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(out.count() == docs.count(), "one signal row per document")
+    val texts = docs.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    def grams(w: Seq[String], n: Int): Seq[String] =
+      if (w.length < n) Seq.empty else w.sliding(n).map(_.mkString(" ")).toSeq
+    out.collect().foreach { r =>
+      val (id, nt, top2, n2, dup3, n3, fl) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val w = texts(id)
+      assert(nt == w.length)
+      val g2 = grams(w, 2); val g3 = grams(w, 3)
+      val expTop2 =
+        if (g2.isEmpty) 0L else g2.groupBy(identity).values.map(_.size).max.toLong
+      assert((top2, n2) == (expTop2, g2.length.toLong), s"doc $id 2-gram stats")
+      assert((dup3, n3) == ((g3.length - g3.distinct.length).toLong,
+        g3.length.toLong), s"doc $id 3-gram stats")
+      // Gopher bar shape, integer cross-multiply — and on this clean
+      // synthetic corpus the filter must correctly pass everything
+      // (top-2-gram share ≈ 4%, dup-3-gram share ≈ 0.1% measured).
+      assert(fl == (if (top2 * 5 > n2 || dup3 * 10 > n3 * 3) 1L else 0L))
+    }
+    // The verdict law itself must be able to fire: a pathological word
+    // stream trips both bars under the same arithmetic.
+    val bad = Seq.fill(40)("spam spam").mkString(" ").split(" ").toSeq
+    val b2 = grams(bad, 2); val b3 = grams(bad, 3)
+    val badTop = b2.groupBy(identity).values.map(_.size).max.toLong
+    assert(badTop * 5 > b2.length && (b3.length - b3.distinct.length) * 10 >
+      b3.length * 3, "the bars must flag a degenerate repeated stream")
+    out.unpersist()
+  }
 }
