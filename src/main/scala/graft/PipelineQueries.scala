@@ -3571,7 +3571,86 @@ object PipelineQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
              |FROM base b LEFT JOIN a2 ON b.doc_id = a2.doc_id
              |LEFT JOIN a3 ON b.doc_id = a3.doc_id
-             |ORDER BY b.doc_id""".stripMargin)))
+             |ORDER BY b.doc_id""".stripMargin)),
+
+    // Incremental-ingest dedup — the DELTA shape every production corpus
+    // actually runs: a new batch (25% of docs by the q226 split hash)
+    // arrives against an existing deduped corpus (the other 75%), and
+    // each batch doc gets a verdict: 'dup_vs_corpus' (verified near-dup
+    // of an existing doc → reject, match_id = min such corpus doc),
+    // 'dup_in_batch' (no corpus match, but a verified match to a
+    // SMALLER-id batch doc that itself survived vs the corpus → reject,
+    // keep-first-seen), or 'accept'. The in-batch rule is deliberately
+    // single-hop (a doc whose only match was itself rejected vs the
+    // corpus is accepted as the surviving representative) — the
+    // standard min-id-keeper applied to the batch stream, no recursion.
+    //
+    // 100 TB shape: in production the corpus side's band table IS the
+    // persisted dedup state (computed once at corpus build, mergeable),
+    // so the incremental cost is batch-only signatures + band equi-joins
+    // driven by the batch side + exact verify of candidates only. Here
+    // both sides derive from the one harness table via the shared
+    // banded-verified tier (measured linear, round-11 100× sweep);
+    // the verdict classification adds only catalog-of-pairs-sized
+    // aggregations on top.
+    Q("q248_incremental_dedup",
+      (s, d) => {
+        val bucket = floor(Hashing.hash32(col("doc_id")) / lit(42949672.96))
+        val sides = Tables.documents(s, d)
+          .select(col("doc_id"), (bucket < 25).cast("int").as("is_batch"))
+        val verified = bandedVerifiedPairs(s, d)
+        val edges = verified.select(col("id_a").as("x"), col("id_b").as("p"))
+          .unionByName(verified.select(col("id_b").as("x"), col("id_a").as("p")))
+        val withSides = edges
+          .join(sides.select(col("doc_id").as("x"), col("is_batch").as("xb")), "x")
+          .join(sides.select(col("doc_id").as("p"), col("is_batch").as("pb")), "p")
+        val vsCorpus = withSides.filter(col("xb") === 1 && col("pb") === 0)
+          .groupBy("x").agg(min("p").as("corpus_match"))
+        val inBatch = withSides
+          .filter(col("xb") === 1 && col("pb") === 1 && col("p") < col("x"))
+          .join(vsCorpus.select(col("x").as("p"), lit(1).as("__pd")),
+            Seq("p"), "left")
+          .filter(col("__pd").isNull)
+          .groupBy("x").agg(min("p").as("batch_match"))
+        sides.filter(col("is_batch") === 1).select("doc_id")
+          .join(vsCorpus.withColumnRenamed("x", "doc_id"), Seq("doc_id"), "left")
+          .join(inBatch.withColumnRenamed("x", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("corpus_match").isNotNull, "dup_vs_corpus")
+              .when(col("batch_match").isNotNull, "dup_in_batch")
+              .otherwise("accept").as("verdict"),
+            coalesce(col("corpus_match"), col("batch_match"), lit(-1L))
+              .as("match_id"))
+          .orderBy("doc_id")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
+           |sides AS (SELECT doc_id,
+           |    CASE WHEN floor(${Hashing.sqlHash32("doc_id")}
+           |      / 42949672.96) < 25 THEN 1 ELSE 0 END AS is_batch
+           |  FROM documents),
+           |e AS (SELECT id_a AS x, id_b AS p2 FROM p
+           |  UNION ALL SELECT id_b AS x, id_a AS p2 FROM p),
+           |es AS (SELECT e.x, e.p2, sx.is_batch AS xb, sp.is_batch AS pb
+           |  FROM e JOIN sides sx ON e.x = sx.doc_id
+           |    JOIN sides sp ON e.p2 = sp.doc_id),
+           |vc AS (SELECT x, CAST(min(p2) AS BIGINT) AS corpus_match
+           |  FROM es WHERE xb = 1 AND pb = 0 GROUP BY x),
+           |be AS (SELECT es.x, CAST(min(es.p2) AS BIGINT) AS batch_match
+           |  FROM es LEFT JOIN vc pv ON es.p2 = pv.x
+           |  WHERE es.xb = 1 AND es.pb = 1 AND es.p2 < es.x AND pv.x IS NULL
+           |  GROUP BY es.x)
+           |SELECT s2.doc_id,
+           |  CASE WHEN vc.corpus_match IS NOT NULL THEN 'dup_vs_corpus'
+           |    WHEN be.batch_match IS NOT NULL THEN 'dup_in_batch'
+           |    ELSE 'accept' END AS verdict,
+           |  CAST(coalesce(vc.corpus_match, be.batch_match, -1) AS BIGINT)
+           |    AS match_id
+           |FROM sides s2 LEFT JOIN vc ON s2.doc_id = vc.x
+           |LEFT JOIN be ON s2.doc_id = be.x
+           |WHERE s2.is_batch = 1 ORDER BY s2.doc_id""".stripMargin
+      }))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

@@ -907,4 +907,44 @@ class CurationSpec extends SparkSpec {
       b3.length * 3, "the bars must flag a degenerate repeated stream")
     out.unpersist()
   }
+
+  test("q248: one verdict per batch doc; single-hop law re-derived in Scala") {
+    val out = q("q248_incremental_dedup").cache()
+    // Sides from the same split hash; pairs from the shared banded tier.
+    // The CLASSIFICATION (what q248 adds) is re-derived in plain Scala.
+    val batch = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"))
+      .filter(floor(graft.Hashing.hash32(col("doc_id")) /
+        lit(42949672.96)) < 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.count() == batch.size, "exactly one verdict row per batch doc")
+    val pairs = graft.PipelineQueries.bandedVerifiedPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val partners = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val corpusMatch = batch.iterator.flatMap { x =>
+      val cp = partners.getOrElse(x, Seq.empty).filterNot(batch)
+      if (cp.isEmpty) None else Some(x -> cp.min)
+    }.toMap
+    val batchMatch = batch.iterator.flatMap { x =>
+      val bp = partners.getOrElse(x, Seq.empty)
+        .filter(p => batch(p) && p < x && !corpusMatch.contains(p))
+      if (bp.isEmpty) None else Some(x -> bp.min)
+    }.toMap
+    out.collect().foreach { r =>
+      val (id, verdict, m) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val expect = corpusMatch.get(id).map(("dup_vs_corpus", _))
+        .orElse(batchMatch.get(id).map(("dup_in_batch", _)))
+        .getOrElse(("accept", -1L))
+      assert((verdict, m) == expect, s"doc $id: got ($verdict,$m), want $expect")
+    }
+    // Rejecting a batch doc must leave a surviving representative:
+    // every dup_in_batch match target is itself an accepted batch doc.
+    out.filter(col("verdict") === "dup_in_batch").collect().foreach { r =>
+      val t = r.getLong(2)
+      assert(batch(t) && !corpusMatch.contains(t),
+        s"dup_in_batch target $t must be a surviving batch doc")
+    }
+    out.unpersist()
+  }
 }
