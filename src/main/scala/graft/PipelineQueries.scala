@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
@@ -3650,7 +3651,92 @@ object PipelineQueries {
            |FROM sides s2 LEFT JOIN vc ON s2.doc_id = vc.x
            |LEFT JOIN be ON s2.doc_id = be.x
            |WHERE s2.is_batch = 1 ORDER BY s2.doc_id""".stripMargin
-      }))
+      }),
+
+    // Robust per-source length-outlier audit — median/MAD (the
+    // classical robust z-score, Iglewicz & Hoaglin 1993), the standard
+    // guard against truncated/concatenated documents that mean/stddev
+    // misses because outliers poison both. A doc is an outlier when
+    // |len − median| > 3 × MAD.
+    //
+    // Exactness + parity: medians are computed by RANK, not by an
+    // interpolating quantile function — per source, the lower/upper
+    // middle elements are picked by row_number and SUMMED, so
+    // med_x2 = 2·median and mad_x4 = 4·MAD are exact BIGINTs in both
+    // engines and the outlier test is the integer inequality
+    // 2·|2·len − med_x2| > 3·mad_x4. No float anywhere.
+    //
+    // 100 TB shape: Spark's percentile() buffers every group member in
+    // the aggregation state — a per-source corpus slice in executor
+    // memory. The rank form instead runs two window sorts partitioned
+    // by source (spill-safe, distributed) + catalog-sized joins; at
+    // extreme skew the same statistic can come from partial histograms,
+    // but the registered semantics stay exact-rank.
+    Q("q249_length_outliers",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("source"),
+          col("doc_id"), col("n_chars").cast("long").as("len"))
+        val n = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        // Middle ranks via INTEGER division (Spark's `/` on longs is
+        // double division: (250+1)/2 = 125.5 would match no rank and
+        // silently drop the lower middle at even counts).
+        val loRank = expr("(n_docs + 1) div 2")
+        val hiRank = expr("(n_docs + 2) div 2")
+        val w1 = Window.partitionBy("source").orderBy(col("len").asc,
+          col("doc_id").asc)
+        val m2 = docs.withColumn("__rn", row_number().over(w1))
+          .join(broadcast(n), "source")
+          .filter(col("__rn") === loRank || col("__rn") === hiRank)
+          .groupBy("source")
+          .agg((sum("len") * lit(2L) / count(lit(1))).cast("long")
+            .as("med_x2"))
+        val dev = docs.join(broadcast(m2), "source")
+          .withColumn("d2", abs(col("len") * 2L - col("med_x2")))
+        val w2 = Window.partitionBy("source").orderBy(col("d2").asc,
+          col("doc_id").asc)
+        val mad4 = dev.withColumn("__rn", row_number().over(w2))
+          .join(broadcast(n), "source")
+          .filter(col("__rn") === loRank || col("__rn") === hiRank)
+          .groupBy("source")
+          .agg((sum("d2") * lit(2L) / count(lit(1))).cast("long")
+            .as("mad_x4"))
+        dev.join(broadcast(mad4), "source")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), min("med_x2").as("med_x2"),
+            min("mad_x4").as("mad_x4"),
+            sum(when(col("d2") * 2L > col("mad_x4") * 3L, 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+             |    CAST(n_chars AS BIGINT) AS len FROM documents),
+             |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM d GROUP BY source),
+             |r1 AS (SELECT source, doc_id, len, row_number() OVER (
+             |    PARTITION BY source ORDER BY len, doc_id) AS rn FROM d),
+             |m2 AS (SELECT r1.source,
+             |    CAST(sum(len) * 2 / count(*) AS BIGINT) AS med_x2
+             |  FROM r1 JOIN n ON r1.source = n.source
+             |  WHERE rn = (n_docs + 1) // 2 OR rn = (n_docs + 2) // 2
+             |  GROUP BY r1.source),
+             |dev AS (SELECT d.source, d.doc_id,
+             |    abs(d.len * 2 - m2.med_x2) AS d2
+             |  FROM d JOIN m2 ON d.source = m2.source),
+             |r2 AS (SELECT source, doc_id, d2, row_number() OVER (
+             |    PARTITION BY source ORDER BY d2, doc_id) AS rn FROM dev),
+             |mad4 AS (SELECT r2.source,
+             |    CAST(sum(d2) * 2 / count(*) AS BIGINT) AS mad_x4
+             |  FROM r2 JOIN n ON r2.source = n.source
+             |  WHERE rn = (n_docs + 1) // 2 OR rn = (n_docs + 2) // 2
+             |  GROUP BY r2.source)
+             |SELECT dev.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(m2.med_x2) AS BIGINT) AS med_x2,
+             |  CAST(min(mad4.mad_x4) AS BIGINT) AS mad_x4,
+             |  CAST(sum(CASE WHEN dev.d2 * 2 > mad4.mad_x4 * 3
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev JOIN m2 ON dev.source = m2.source
+             |JOIN mad4 ON dev.source = mad4.source
+             |GROUP BY dev.source ORDER BY dev.source""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

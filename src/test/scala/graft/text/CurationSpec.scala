@@ -947,4 +947,40 @@ class CurationSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("q249: median/MAD/outliers match a plain-Scala recompute per source") {
+    val out = q("q249_length_outliers").cache()
+    val bySource = graft.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    // Exact rank medians in scaled integers: med_x2 = lower+upper middle
+    // of len, mad_x4 = lower+upper middle of |2·len − med_x2|.
+    def midSum(xs: IndexedSeq[Long]): Long = {
+      val n = xs.length
+      xs((n + 1) / 2 - 1) + xs((n + 2) / 2 - 1)
+    }
+    out.collect().foreach { r =>
+      val (src, nd, m2, mad4, nOut) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val xs = bySource(src)
+      assert(nd == xs.length)
+      assert(m2 == midSum(xs), s"$src median (x2)")
+      val d2s = xs.map(x => math.abs(2 * x - m2)).sorted
+      assert(mad4 == midSum(d2s), s"$src MAD (x4)")
+      assert(nOut == d2s.count(d2 => 2 * d2 > 3 * mad4), s"$src outliers")
+    }
+    assert(out.count() ==
+      graft.Tables.documents(spark, sf).select("source").distinct().count())
+    // Even-count law (the corpus only exercises odd 25-doc sources):
+    // for [1,2,3,10] median = 2.5 → med_x2 = 5; devs (x2) = [3,1,1,15]
+    // → sorted [1,1,3,15], mad_x4 = 1+3 = 4 (MAD = 1); outlier test
+    // 2·d2 > 3·mad_x4 flags only the 10 (2·15=30 > 12).
+    val even = IndexedSeq(1L, 2L, 3L, 10L)
+    val m2e = midSum(even)
+    assert(m2e == 5L)
+    val d2e = even.map(x => math.abs(2 * x - m2e)).sorted
+    assert(midSum(d2e) == 4L && d2e.count(d => 2 * d > 3 * 4L) == 1)
+    out.unpersist()
+  }
 }
