@@ -297,5 +297,43 @@ object SketchQueries {
            |WHERE r.rn > 1 ORDER BY r.doc_id""".stripMargin
       }))
 
-  def all: Seq[Q] = sketches ++ tiers
+  // --------------------------------------------------------------------
+  // Bounded-memory frequency sketches with exact re-verify.
+  // --------------------------------------------------------------------
+  private val frequency: Seq[Q] = Seq(
+    // Heavy hitters over the corpus token stream: tokens with frequency
+    // > N/30, found sketch-first — per-partition Misra–Gries(29)
+    // candidates (≤ 29 counters per partition, union ⊇ the true heavy
+    // hitters by pigeonhole; see HeavyHitters.scala), then an EXACT
+    // count of candidate tokens only, filtered by the integer bar
+    // cnt·30 > N. The candidate set varies with partitioning (MG is
+    // order-sensitive) but any superset produces the same exact output,
+    // so the query is deterministic and the DuckDB oracle is the plain
+    // full groupBy. 100 TB lever: the shuffle after the candidate
+    // broadcast-prune carries ≤ m·partitions distinct keys (map-side
+    // combined), not a corpus-dependent vocabulary.
+    Q("q250_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val m = 29
+        val toks = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+        val cand = graft.text.HeavyHitters
+          .misraGriesCandidates(toks.as[String], m)
+        val tot = toks.agg(count(lit(1)).as("n"))
+        toks.join(broadcast(cand), "w")
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cnt") * lit(m + 1).cast("long") > col("n"))
+          .select(col("w"), col("cnt"))
+          .orderBy("w")
+      },
+      Some(s"""WITH w AS (SELECT unnest($sqlToks) AS w FROM documents),
+             |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM w GROUP BY w),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w)
+             |SELECT w, cnt FROM c CROSS JOIN t
+             |WHERE cnt * 30 > n ORDER BY w""".stripMargin)))
+
+  def all: Seq[Q] = sketches ++ tiers ++ frequency
 }

@@ -137,6 +137,28 @@ class SketchSpec extends SparkSpec {
     comp.unpersist(); out.unpersist()
   }
 
+  test("q250: exact output; MG candidate union is a superset; bounded size") {
+    import spark.implicits._
+    val out = q("q250_heavy_hitters").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Ground truth from a plain-Scala count.
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split("\\s+").filter(_.nonEmpty))
+    val counts = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = words.length.toLong
+    val truth = counts.filter { case (_, c) => c * 30L > n }
+    assert(out == truth, "exact heavy-hitter set and counts")
+    // The Misra–Gries union must contain every true heavy hitter and
+    // stay within its m × partitions size bound.
+    val tokDs = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .as[String]
+    val cand = graft.text.HeavyHitters.misraGriesCandidates(tokDs, 29)
+      .collect().map(_.getString(0)).toSet
+    assert(truth.keySet.subsetOf(cand), "MG union must cover true HHs")
+    assert(cand.size <= 29 * tokDs.rdd.getNumPartitions)
+  }
+
   test("q242: midpoint reconstruction bounds MSE by the worst half-step squared") {
     // |v − recon| ≤ step_d/2 per dimension (uniform grid, midpoint
     // dequant), so every per-vector MSE — hence max_mse — is bounded by
