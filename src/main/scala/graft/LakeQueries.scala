@@ -337,7 +337,80 @@ object LakeQueries {
         }
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Streaming NEAR-dup suppression — the in-flight twin of batch
+    // minhash dedup (q52's banding, same coefficients/seed, so the two
+    // tiers can never drift): documents stream in, each contributes its
+    // 4 LSH band keys, and flatMapGroupsWithState keeps ONE long per
+    // band key (the minimum doc_id ever seen). A doc is emitted as
+    // accepted iff it is the minimum in EVERY band it occupies —
+    // exactly "no smaller doc shares any band with it", which is the
+    // production in-flight rule (suppress arrivals that collide with
+    // anything already admitted; admission order = doc_id order).
+    //
+    // 100 TB shape: state is one long per DISTINCT band key (the same
+    // cardinality the batch band join shuffles), updates are per-key
+    // min — mergeable, no per-doc state, no quadratic stage. The final
+    // all-bands-min reduction runs on the sink (4 rows per doc).
+    // Oracle: q52's registered SQL verbatim — accepted = documents not
+    // appearing as the LARGER side of any banded candidate pair.
+    Q("q251_stream_neardup",
+      (s, d) => {
+        import s.implicits._
+        import graft.streaming.StreamHarness
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val coeffs = graft.text.Dedup.minhashCoeffs(12, 7L)
+        val stream = s.readStream
+          .schema(StreamHarness.sourceSchema(s, d, "documents"))
+          .parquet(StreamHarness.sourceDir(d, "documents"))
+        val sigs = stream.select(col("doc_id"),
+          org.apache.spark.sql.graft.MinHashExpressions
+            .minhashSig(col("text"), 3, coeffs).as("__sig"))
+          .filter(col("__sig").isNotNull)
+        val bandStructs = (0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            slice(col("__sig"), b * 3 + 1, 3).as("bs"))
+        }
+        val banded = sigs
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("__b"))
+          .select(col("doc_id"), concat(col("__b.band").cast("string"),
+            lit(":"), col("__b.bs").cast("string")).as("bkey"))
+        val decisions = banded.as[(Long, String)]
+          .groupByKey(_._2)
+          .flatMapGroupsWithState(OutputMode.Append,
+            GroupStateTimeout.NoTimeout) {
+            (_: String, rows: Iterator[(Long, String)],
+             state: GroupState[Long]) =>
+              val ids = rows.map(_._1).toSeq
+              val mn = math.min(ids.min,
+                state.getOption.getOrElse(Long.MaxValue))
+              state.update(mn)
+              ids.iterator.map(id => (id, id <= mn))
+          }.toDF("doc_id", "is_band_min")
+        StreamHarness.runMemory(decisions, "q251") { t =>
+          val accepted = t.groupBy("doc_id")
+            .agg(min(col("is_band_min").cast("int")).as("__all"))
+            .filter(col("__all") === 1)
+            .select("doc_id")
+          // Docs too short to shingle have no bands — always admitted.
+          val nosig = Tables.documents(s, d)
+            .select(col("doc_id"),
+              org.apache.spark.sql.graft.MinHashExpressions
+                .minhashSig(col("text"), 3, coeffs).as("__sig"))
+            .filter(col("__sig").isNull).select("doc_id")
+          accepted.unionByName(nosig).orderBy("doc_id")
+        }
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        val q52 = VectorTextQueries.all
+          .find(_.name == "q52_minhash_pairs").get.oracle.get
+        s"""WITH cand AS ($q52)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT id_b FROM cand)
+           |ORDER BY doc_id""".stripMargin
+      }))
 
   /** Morton/Z-order bit interleave of two 10-bit dims — the SAME
     * arithmetic string compiles under Spark SQL and DuckDB, so engine and

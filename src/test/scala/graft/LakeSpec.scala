@@ -46,4 +46,23 @@ class LakeSpec extends SparkSpec {
     assert(sym == brute, s"symspell=${sym.size} brute=${brute.size}")
     assert(brute.nonEmpty)
   }
+
+  test("q251: streaming admit set equals the batch band-min rule exactly") {
+    import graft.text.Dedup
+    val accepted = Queries.byName("q251_stream_neardup")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // Batch ground truth from the SAME banding (q52's builder): a doc is
+    // admitted iff it never appears as the larger side of a banded pair.
+    val rejected = Dedup.minhashLshPairs(
+        graft.Tables.documents(spark, sf), "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val all = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == (all -- rejected),
+      s"accepted=${accepted.size}, expected=${(all -- rejected).size}")
+    // The globally smallest doc can never collide with a smaller one.
+    assert(accepted.contains(all.min))
+    assert(rejected.forall(all), "band pairs only reference corpus docs")
+  }
 }
