@@ -3736,7 +3736,105 @@ object PipelineQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
              |FROM dev JOIN m2 ON dev.source = m2.source
              |JOIN mad4 ON dev.source = mad4.source
-             |GROUP BY dev.source ORDER BY dev.source""".stripMargin)))
+             |GROUP BY dev.source ORDER BY dev.source""".stripMargin)),
+
+    // What the in-flight rule costs: q251's streaming suppressor drops
+    // any doc with a banded smaller partner (candidates, UNVERIFIED —
+    // it cannot afford the exact-Jaccard verify in-flight), while the
+    // offline tier (q239) only displaces docs whose VERIFIED cluster
+    // has a smaller member. This eval cross-tabulates the two verdicts
+    // per doc: `stream_only_drop` counts the FALSE suppressions (the
+    // price of in-flight dedup — docs the offline tier would keep),
+    // `verified_only_drop` the path-only losers the band-min rule
+    // misses. The catalog-sized verdict table is the number a
+    // production team reads before enabling in-flight suppression.
+    // 100 TB shape: both tiers are the measured-linear banded machinery
+    // plus two doc-keyed left joins and a 4-row aggregation.
+    Q("q252_stream_dedup_eval",
+      (s, d) => {
+        import graft.text.Dedup
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        val streamDrop = Dedup.minhashLshPairs(Tables.documents(s, d),
+            "doc_id", "text", shingleN = 3, numHashes = 12, bands = 4)
+          .select(col("id_b").as("doc_id")).distinct()
+          .withColumn("__sd", lit(1))
+        val losers = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id")).withColumn("__vd", lit(1))
+        docs.join(streamDrop, Seq("doc_id"), "left")
+          .join(losers, Seq("doc_id"), "left")
+          .select(
+            when(col("__sd").isNull && col("__vd").isNull, "both_keep")
+              .when(col("__sd").isNotNull && col("__vd").isNull,
+                "stream_only_drop")
+              .when(col("__sd").isNull && col("__vd").isNotNull,
+                "verified_only_drop")
+              .otherwise("both_drop").as("class"),
+            col("nt"))
+          .groupBy("class")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+          .orderBy("class")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
+           |tok AS (SELECT doc_id,
+           |    CAST(len($sqlToks) AS BIGINT) AS nt FROM documents),
+           |sd AS (SELECT DISTINCT id_b AS doc_id FROM cand),
+           |cl AS (SELECT t.doc_id, t.nt,
+           |    CASE WHEN s.doc_id IS NULL AND l.doc_id IS NULL
+           |      THEN 'both_keep'
+           |    WHEN s.doc_id IS NOT NULL AND l.doc_id IS NULL
+           |      THEN 'stream_only_drop'
+           |    WHEN s.doc_id IS NULL AND l.doc_id IS NOT NULL
+           |      THEN 'verified_only_drop'
+           |    ELSE 'both_drop' END AS class
+           |  FROM tok t LEFT JOIN sd s ON t.doc_id = s.doc_id
+           |  LEFT JOIN losers l ON t.doc_id = l.doc_id)
+           |SELECT class, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(nt) AS BIGINT) AS n_tokens
+           |FROM cl GROUP BY class ORDER BY class""".stripMargin
+      }),
+
+    // Dup-pair locality across q234's snake shards — the question that
+    // decides whether SHARD-LOCAL dedup (each worker dedups only its
+    // own shard, zero cross-shard traffic) is an acceptable
+    // approximation at 100 TB: every verified near-dup pair is labeled
+    // `within` (both members on one shard — shard-local dedup catches
+    // it) or `across` (it escapes). Snake sharding balances token mass,
+    // not content, so the expected within share is ~1/numShards — the
+    // measured number IS the eval. Catalog-sized output; both tiers
+    // measured linear.
+    Q("q253_shard_dedup_locality",
+      (s, d) => {
+        val shards = graft.text.Packing.snakeShards(
+            Tables.documents(s, d), "doc_id",
+            size(TextOps.tokens(col("text"))), numShards = 16)
+          .select("doc_id", "shard")
+        bandedVerifiedPairs(s, d)
+          .join(shards.select(col("doc_id").as("id_a"),
+            col("shard").as("sh_a")), "id_a")
+          .join(shards.select(col("doc_id").as("id_b"),
+            col("shard").as("sh_b")), "id_b")
+          .select(when(col("sh_a") === col("sh_b"), "within")
+            .otherwise("across").as("locality"))
+          .groupBy("locality").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("locality")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        val q234 = Queries.all.find(_.name == "q234_shard_manifest")
+          .get.oracle.get
+        s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
+           |shmap AS ($q234)
+           |SELECT CASE WHEN a.shard = b.shard THEN 'within'
+           |    ELSE 'across' END AS locality,
+           |  CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM p JOIN shmap a ON p.id_a = a.doc_id
+           |JOIN shmap b ON p.id_b = b.doc_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

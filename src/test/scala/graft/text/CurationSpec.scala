@@ -983,4 +983,42 @@ class CurationSpec extends SparkSpec {
     assert(midSum(d2e) == 4L && d2e.count(d => 2 * d > 3 * 4L) == 1)
     out.unpersist()
   }
+
+  test("q252: classes partition the corpus; marginals pin to both tiers") {
+    import graft.text.Dedup
+    val out = q("q252_stream_dedup_eval").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(out.keySet.subsetOf(Set("both_keep", "both_drop",
+      "stream_only_drop", "verified_only_drop")))
+    assert(out.values.map(_._1).sum == nDocs, "classes partition the corpus")
+    def cls(c: String): Long = out.get(c).map(_._1).getOrElse(0L)
+    // Stream-dropped marginal = distinct larger sides of banded pairs.
+    val streamDropped = Dedup.minhashLshPairs(
+        graft.Tables.documents(spark, sf), "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4)
+      .select("id_b").distinct().count()
+    assert(cls("stream_only_drop") + cls("both_drop") == streamDropped)
+    // Verified-dropped marginal = the banded-verified component losers.
+    val losers = Dedup.connectedComponents(
+        graft.PipelineQueries.bandedVerifiedPairs(spark, sf))
+      .filter(col("id") =!= col("cluster")).count()
+    assert(cls("verified_only_drop") + cls("both_drop") == losers)
+  }
+
+  test("q253: pair mass is preserved and locality matches the shard map") {
+    val out = q("q253_shard_dedup_locality").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairs = graft.PipelineQueries.bandedVerifiedPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.values.sum == pairs.length, "every verified pair labeled once")
+    val shard = graft.text.Packing.snakeShards(
+        graft.Tables.documents(spark, sf), "doc_id",
+        size(graft.text.TextOps.tokens(col("text"))), numShards = 16)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val within = pairs.count { case (a, b) => shard(a) == shard(b) }
+    assert(out.getOrElse("within", 0L) == within)
+    assert(out.getOrElse("across", 0L) == pairs.length - within)
+  }
 }
