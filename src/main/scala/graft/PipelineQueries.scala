@@ -3750,7 +3750,7 @@ object PipelineQueries {
     // production team reads before enabling in-flight suppression.
     // 100 TB shape: both tiers are the measured-linear banded machinery
     // plus two doc-keyed left joins and a 4-row aggregation.
-    Q("q252_stream_dedup_eval",
+    Q("q252_inflight_dedup_eval",
       (s, d) => {
         import graft.text.Dedup
         val docs = Tables.documents(s, d).select(col("doc_id"),

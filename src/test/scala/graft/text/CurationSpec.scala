@@ -986,7 +986,7 @@ class CurationSpec extends SparkSpec {
 
   test("q252: classes partition the corpus; marginals pin to both tiers") {
     import graft.text.Dedup
-    val out = q("q252_stream_dedup_eval").collect()
+    val out = q("q252_inflight_dedup_eval").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val nDocs = graft.Tables.documents(spark, sf).count()
     assert(out.keySet.subsetOf(Set("both_keep", "both_drop",
