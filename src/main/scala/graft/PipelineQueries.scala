@@ -3755,11 +3755,19 @@ object PipelineQueries {
         import graft.text.Dedup
         val docs = Tables.documents(s, d).select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("nt"))
-        val streamDrop = Dedup.minhashLshPairs(Tables.documents(s, d),
-            "doc_id", "text", shingleN = 3, numHashes = 12, bands = 4)
-          .select(col("id_b").as("doc_id")).distinct()
+        // One banded build feeds BOTH verdicts (the q207 persist
+        // pattern): the candidate frame IS the stream tier's drop
+        // evidence, and its J ≥ 0.5 filter IS the verified pair set —
+        // recomputing the tier per consumer would double the only
+        // corpus-scale stage in the plan.
+        val co = bandedCandidateOverlap(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val streamDrop = co.select(col("id_b").as("doc_id")).distinct()
           .withColumn("__sd", lit(1))
-        val losers = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
+        val verified = co.filter(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double") >= 0.5)
+          .select("id_a", "id_b")
+        val losers = Dedup.connectedComponents(verified)
           .filter(col("id") =!= col("cluster"))
           .select(col("id").as("doc_id")).withColumn("__vd", lit(1))
         docs.join(streamDrop, Seq("doc_id"), "left")
