@@ -3842,7 +3842,77 @@ object PipelineQueries {
            |FROM p JOIN shmap a ON p.id_a = a.doc_id
            |JOIN shmap b ON p.id_b = b.doc_id
            |GROUP BY 1 ORDER BY 1""".stripMargin
-      }))
+      }),
+
+    // Distribution-drift audit for the incremental-ingest story: the
+    // exact two-sample Kolmogorov–Smirnov distance between the new
+    // batch's length distribution and the existing corpus's (q248's
+    // hash split). EXACT, not the usual float CDF subtraction: at every
+    // distinct length v, D(v) = |c1(v)·n2 − c2(v)·n1| is an integer
+    // (c = cumulative counts), so the statistic is max-of-integers and
+    // ks = ks_num / (n1·n2) is one division of exact operands — the
+    // rational-arithmetic trick that keeps both engines bit-equal.
+    // Tie-break: ks_at is the SMALLEST length attaining the max.
+    //
+    // 100 TB shape: one corpus scan collapses to one row per DISTINCT
+    // length (domain-bounded — lengths, not documents), and the CDF
+    // cumsum window runs over that value domain, never the corpus.
+    // Integer range: c·n overflows BIGINT past ~3e9 docs per side; at
+    // that scale the audit runs on a fixed-budget hash sample (q229's
+    // device) — noted here as the registered precondition.
+    Q("q254_ks_drift",
+      (s, d) => {
+        val bucket = floor(Hashing.hash32(col("doc_id")) / lit(42949672.96))
+        val tagged = Tables.documents(s, d)
+          .select(col("n_chars").cast("long").as("v"),
+            when(bucket < 25, 1L).otherwise(0L).as("b"))
+        val per = tagged.groupBy("v")
+          .agg(sum("b").as("cnt1"), sum(lit(1L) - col("b")).as("cnt2"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = tagged.agg(sum("b").as("n1"),
+          sum(lit(1L) - col("b")).as("n2"))
+        val cdf = per
+          .withColumn("c1", sum("cnt1").over(w))
+          .withColumn("c2", sum("cnt2").over(w))
+          .crossJoin(broadcast(tot))
+          .withColumn("dnum", abs(col("c1") * col("n2") -
+            col("c2") * col("n1")))
+        val mx = cdf.agg(max("dnum").as("ks_num"))
+        cdf.join(broadcast(mx), col("dnum") === col("ks_num"))
+          .groupBy("n1", "n2", "ks_num")
+          .agg(min("v").as("ks_at"))
+          .select(col("n1").as("n_batch"), col("n2").as("n_corpus"),
+            col("ks_num"), col("ks_at"),
+            pround(col("ks_num").cast("double") /
+              (col("n1") * col("n2")).cast("double"), 6).as("ks"))
+      },
+      Some(s"""WITH t AS (SELECT CAST(n_chars AS BIGINT) AS v,
+             |    CASE WHEN floor(${Hashing.sqlHash32("doc_id")}
+             |      / 42949672.96) < 25 THEN 1 ELSE 0 END AS b
+             |  FROM documents),
+             |per AS (SELECT v, CAST(sum(b) AS BIGINT) AS cnt1,
+             |    CAST(sum(1 - b) AS BIGINT) AS cnt2 FROM t GROUP BY v),
+             |tot AS (SELECT CAST(sum(b) AS BIGINT) AS n1,
+             |    CAST(sum(1 - b) AS BIGINT) AS n2 FROM t),
+             |cdf AS (SELECT v,
+             |    sum(cnt1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS c1,
+             |    sum(cnt2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS c2
+             |  FROM per),
+             |dn AS (SELECT v, abs(c1 * n2 - c2 * n1) AS dnum
+             |  FROM cdf CROSS JOIN tot),
+             |mx AS (SELECT max(dnum) AS ks_num FROM dn)
+             |SELECT tot.n1 AS n_batch, tot.n2 AS n_corpus,
+             |  CAST(mx.ks_num AS BIGINT) AS ks_num,
+             |  CAST(min(dn.v) AS BIGINT) AS ks_at,
+             |  ${sqlRound(
+               "CAST(mx.ks_num AS DOUBLE) / (CAST(tot.n1 AS DOUBLE) * tot.n2)",
+               6)} AS ks
+             |FROM dn JOIN mx ON dn.dnum = mx.ks_num
+             |CROSS JOIN tot GROUP BY tot.n1, tot.n2, mx.ks_num
+             |""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

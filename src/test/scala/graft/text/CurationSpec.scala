@@ -1021,4 +1021,34 @@ class CurationSpec extends SparkSpec {
     assert(out.getOrElse("within", 0L) == within)
     assert(out.getOrElse("across", 0L) == pairs.length - within)
   }
+
+  test("q254: exact KS statistic matches a plain-Scala CDF walk") {
+    val r = q("q254_ks_drift").collect()
+    assert(r.length == 1)
+    val (n1, n2, ksNum, ksAt) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    // Independent recompute: same hash split, integer CDF cross-multiply.
+    val rows = graft.Tables.documents(spark, sf)
+      .select(col("n_chars").cast("long").as("v"),
+        when(floor(graft.Hashing.hash32(col("doc_id")) /
+          lit(42949672.96)) < 25, 1L).otherwise(0L).as("b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val (b1, b2) = rows.partition(_._2 == 1L)
+    assert((n1, n2) == (b1.length.toLong, b2.length.toLong))
+    val vs = rows.map(_._1).distinct.sorted
+    val stats = vs.map { v =>
+      val c1 = b1.count(_._1 <= v).toLong
+      val c2 = b2.count(_._1 <= v).toLong
+      (v, math.abs(c1 * n2 - c2 * n1))
+    }
+    val mx = stats.map(_._2).max
+    assert(ksNum == mx, s"ks_num $ksNum != recomputed $mx")
+    assert(ksAt == stats.filter(_._2 == mx).map(_._1).min,
+      "ks_at must be the smallest length attaining the max")
+    // A deterministic hash split of one corpus shows no drift at the
+    // α=0.05 two-sample bar: D < 1.358·sqrt((n1+n2)/(n1·n2)).
+    val d = ksNum.toDouble / (n1.toDouble * n2)
+    assert(d < 1.358 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2)),
+      s"hash split should not register as drift (D=$d)")
+  }
 }
