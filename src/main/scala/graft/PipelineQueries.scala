@@ -3912,7 +3912,62 @@ object PipelineQueries {
                6)} AS ks
              |FROM dn JOIN mx ON dn.dnum = mx.ks_num
              |CROSS JOIN tot GROUP BY tot.n1, tot.n2, mx.ks_num
-             |""".stripMargin)))
+             |""".stripMargin)),
+
+    // Corpus-composition audit: the lang × source contingency table
+    // with each cell's χ² contribution — is language balance
+    // independent of origin, or does some source skew the mix? The
+    // per-cell Pearson term (O − E)²/E is computed ALL-INTEGER in
+    // micro-units: with r = row total, c = col total, N = corpus,
+    //   contribution·1e6 = (O·N − r·c)² · 1e6 div (N·r·c)
+    // (exact integer floor, identical in both engines — the q245 PPM
+    // idea applied to a test statistic). expected_milli = (r·c·1000)
+    // div N ships alongside so the table reads as an audit, not just a
+    // statistic. Range: (O·N − r·c)²·1e6 needs N ≲ 2e3 per... the
+    // BIGINT bound is (N²)²·1e6 in the worst cell — past ~50 M docs
+    // compute cells on the q229 fixed-budget sample (documented
+    // precondition, like q254). 100 TB shape: one corpus scan to a
+    // |langs|×|sources| grid; everything after is catalog-sized.
+    Q("q255_composition_chi2",
+      (s, d) => {
+        val obs = Tables.documents(s, d)
+          .groupBy("lang", "source").agg(count(lit(1)).as("o0"))
+        val rows = obs.groupBy("lang").agg(sum("o0").as("r"))
+        val cols = obs.groupBy("source").agg(sum("o0").as("c"))
+        val tot = obs.agg(sum("o0").as("n"))
+        // Full grid: a lang ABSENT from a source is an O = 0 cell and
+        // still contributes (r·c)²·1e6/(N·r·c) — dropping zero cells
+        // would understate the statistic exactly where skew is worst.
+        rows.select("lang", "r").crossJoin(cols.select("source", "c"))
+          .join(obs, Seq("lang", "source"), "left")
+          .withColumn("o", coalesce(col("o0"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("lang"), col("source"), col("o"),
+            expr("(r * c * 1000L) div n").as("expected_milli"),
+            expr("((o * n - r * c) * (o * n - r * c) * 1000000L)" +
+              " div (n * r * c)").as("chi2_micro"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH obs AS (SELECT lang, source,
+             |    CAST(count(*) AS BIGINT) AS o0
+             |  FROM documents GROUP BY lang, source),
+             |r AS (SELECT lang, CAST(sum(o0) AS BIGINT) AS r
+             |  FROM obs GROUP BY lang),
+             |c AS (SELECT source, CAST(sum(o0) AS BIGINT) AS c
+             |  FROM obs GROUP BY source),
+             |t AS (SELECT CAST(sum(o0) AS BIGINT) AS n FROM obs),
+             |grid AS (SELECT r.lang, r.r, c.source, c.c FROM r CROSS JOIN c),
+             |g AS (SELECT grid.lang, grid.source, grid.r, grid.c,
+             |    coalesce(obs.o0, 0) AS o
+             |  FROM grid LEFT JOIN obs
+             |    ON grid.lang = obs.lang AND grid.source = obs.source)
+             |SELECT g.lang, g.source, CAST(g.o AS BIGINT) AS o,
+             |  CAST((g.r * g.c * 1000) // t.n AS BIGINT) AS expected_milli,
+             |  CAST(((g.o * t.n - g.r * g.c) *
+             |      (g.o * t.n - g.r * g.c) * 1000000)
+             |    // (t.n * g.r * g.c) AS BIGINT) AS chi2_micro
+             |FROM g CROSS JOIN t
+             |ORDER BY g.lang, g.source""".stripMargin)))
 
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++

@@ -1051,4 +1051,32 @@ class CurationSpec extends SparkSpec {
     assert(d < 1.358 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2)),
       s"hash split should not register as drift (D=$d)")
   }
+
+  test("q255: full grid incl. zero cells; integer chi2 matches a recount") {
+    val out = q("q255_composition_chi2").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val obs = graft.Tables.documents(spark, sf)
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = obs.keys.map(_._1).toSeq.distinct
+    val srcs = obs.keys.map(_._2).toSeq.distinct
+    assert(out.size == langs.size * srcs.size, "output must be the FULL grid")
+    val rTot = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cTot = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = obs.values.sum
+    for (l <- langs; s2 <- srcs) {
+      val o = obs.getOrElse((l, s2), 0L)
+      val (r, c) = (rTot(l), cTot(s2))
+      val dev = o * n - r * c
+      val expect = (o, (r * c * 1000L) / n, dev * dev * 1000000L / (n * r * c))
+      assert(out((l, s2)) == expect, s"cell ($l,$s2)")
+    }
+    assert(out.values.map(_._1).sum == n, "grid observed mass = corpus")
+    // χ² near its dof under independence — the synthetic mix is random,
+    // so the statistic must not explode (10× dof is a generous ceiling).
+    val chi2 = out.values.map(_._3).sum / 1e6
+    val dof = (langs.size - 1) * (srcs.size - 1)
+    assert(chi2 < 10.0 * dof, s"chi2=$chi2 vs dof=$dof")
+  }
 }
