@@ -129,16 +129,32 @@ object Bench {
     // prior warm value — a stall-poisoned row recovers its real number,
     // a genuine regression re-measures the same and stays LOUD in the
     // artifact's `revisited`/`revisit_first` fields.
+    // The regex only matches this file's own single-line serialization; a
+    // reformatted/foreign bench_full.json would silently disable drift
+    // detection (the exact failure mode the trigger exists to catch), so
+    // an empty parse WITH the file present is logged LOUDLY to stderr —
+    // stderr so the driver's stdout tail capture stays pure JSON.
     val priorWarm: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("bench_full.json")
       if (java.nio.file.Files.exists(p)) {
         val txt = java.nio.file.Files.readString(p)
         val qobj = """"queries":\{(.*?)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(qobj)
+        val parsed = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(qobj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (parsed.isEmpty) System.err.println(
+          "[bench] WARNING: bench_full.json exists but no prior warm " +
+            "timings parsed — round-over-round drift detection is OFF " +
+            "this run (file reformatted?)")
+        parsed
       } else Map.empty
-    } catch { case _: Throwable => Map.empty }
+    } catch {
+      case e: Throwable =>
+        System.err.println("[bench] WARNING: failed reading prior " +
+          s"bench_full.json (${e.getClass.getSimpleName}) — drift " +
+          "detection is OFF this run")
+        Map.empty
+    }
     val drifted = firstPass.filter { r =>
       r._4 == null && priorWarm.get(r._1).exists(prev =>
         prev > 0 && r._3 >= prev + 0.25 && r._3 >= prev * 1.25)

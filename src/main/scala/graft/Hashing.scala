@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions.lit
   * 2^30 first bounds the product at 1073741788 × 2654435761 ≈ 2.85e18 <
   * 2^63−1, so the hash is total over the ENTIRE non-negative BIGINT id
   * range and both engines compute it identically (no wrap, no raise).
-  * The prime fold is itself a unit-multiplier MLCG step, so uniformity
-  * is preserved; determinism and pure-function-of-id (the properties the
-  * split manifest's reproducible-release story rests on) are unchanged.
+  * The fold costs injectivity: ids differing by exactly FoldPrime
+  * (~1.07e9) collide, so beyond 2^30 the hash is a FoldPrime-periodic
+  * function of id — split/sample RATES stay unbiased (each residue class
+  * is hashed uniformly), but id ranges straddling multiples of FoldPrime
+  * get perfectly correlated assignments. Consumers that need full-range
+  * injectivity (e.g. pair-level samplers keyed on the hash itself rather
+  * than its bucket) must not rely on this function. Determinism and
+  * pure-function-of-id (the properties the split manifest's
+  * reproducible-release story rests on) are unchanged.
   * Precondition: id ≥ 0 (both engines give sign-of-dividend remainders).
   */
 object Hashing {
@@ -27,7 +33,9 @@ object Hashing {
   val Knuth = 2654435761L
   val Mod32 = 4294967296L
 
-  /** `((id % FoldPrime) * Knuth) % 2^32` — uniform on [0, 2^32). */
+  /** `((id % FoldPrime) * Knuth) % 2^32` — uniform per FoldPrime residue
+    * class; NOT injective past 2^30 (id and id+FoldPrime collide).
+    */
   def hash32(c: Column): Column =
     ((c % lit(FoldPrime)) * lit(Knuth)) % lit(Mod32)
 

@@ -361,8 +361,15 @@ object LakeQueries {
         import graft.streaming.StreamHarness
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
         val coeffs = graft.text.Dedup.minhashCoeffs(12, 7L)
+        // maxFilesPerTrigger pinned far above any fixture size: the admit
+        // rule below (id <= min-seen-so-far) is arrival-order dependent,
+        // and the order-free DuckDB oracle matches it only when all docs
+        // land in ONE micro-batch; runMemory(requireSingleBatch = true)
+        // asserts the precondition from the progress log instead of
+        // trusting the file source's default batching.
         val stream = s.readStream
           .schema(StreamHarness.sourceSchema(s, d, "documents"))
+          .option("maxFilesPerTrigger", "1000000")
           .parquet(StreamHarness.sourceDir(d, "documents"))
         val sigs = stream.select(col("doc_id"),
           org.apache.spark.sql.graft.MinHashExpressions
@@ -388,7 +395,8 @@ object LakeQueries {
               state.update(mn)
               ids.iterator.map(id => (id, id <= mn))
           }.toDF("doc_id", "is_band_min")
-        StreamHarness.runMemory(decisions, "q251") { t =>
+        StreamHarness.runMemory(decisions, "q251",
+          requireSingleBatch = true) { t =>
           val accepted = t.groupBy("doc_id")
             .agg(min(col("is_band_min").cast("int")).as("__all"))
             .filter(col("__all") === 1)

@@ -172,10 +172,13 @@ object SketchQueries {
       },
       Some(s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev
               |  FROM embeddings),
-              |dims AS (SELECT CAST(len(ev) AS BIGINT) AS dim FROM emb LIMIT 1),
-              |g AS (SELECT unnest(range((SELECT dim FROM dims))) AS dpos),
-              |x AS (SELECT e.vec_id, e.label, g.dpos, e.ev[g.dpos + 1] AS v
-              |  FROM emb e, g),
+              |-- Lockstep unnest pair: dpos follows each vector's TRUE
+              |-- length (posexplode parity) — not a grid built from one
+              |-- arbitrary row, which would silently diverge on a ragged
+              |-- embedding store instead of failing loudly.
+              |x AS (SELECT vec_id, label,
+              |    unnest(range(len(ev))) AS dpos, unnest(ev) AS v
+              |  FROM emb),
               |rng AS (SELECT dpos, min(v) AS lo, max(v) AS hi
               |  FROM x GROUP BY dpos),
               |q AS (SELECT x.vec_id, x.label, x.v, rng.lo,

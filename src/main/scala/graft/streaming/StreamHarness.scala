@@ -141,8 +141,16 @@ object StreamHarness {
     *   per call, so the value only sets how many state-store instances
     *   spin up — never results. 8 keeps local-bench fixed cost low; a
     *   production deployment would size it to the cluster instead.
+    * - `requireSingleBatch` ASSERTS (from the query's progress log) that
+    *   all input rows arrived in one micro-batch. Queries whose oracle is
+    *   order-free but whose stateful emit rule is arrival-order dependent
+    *   (q251's admit-iff-band-min: a doc processed in an earlier batch
+    *   than a smaller-id collider would be admitted by the stream but
+    *   rejected by the oracle) pin their single-batch precondition here
+    *   instead of relying on the file source's default batching.
     */
-  def runMemory(out: DataFrame, tag: String, statePartitions: Int = 8)(
+  def runMemory(out: DataFrame, tag: String, statePartitions: Int = 8,
+      requireSingleBatch: Boolean = false)(
       finish: DataFrame => DataFrame): DataFrame = {
     val spark = out.sparkSession
     val qn = "graft_" + tag + "_" +
@@ -171,6 +179,14 @@ object StreamHarness {
     try {
       val finished = q.awaitTermination(300000L)
       require(finished, s"$tag: streaming query did not terminate within 300 s")
+      if (requireSingleBatch) {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"$tag: input spanned $dataBatches micro-batches but the " +
+            "query's emit rule is arrival-order dependent and its oracle " +
+            "order-free — single-batch delivery is a registered " +
+            "precondition (set maxFilesPerTrigger to cover all files)")
+      }
       q.stop()
       localize(finish(spark.table(qn)))
     } finally {
