@@ -50,7 +50,9 @@ object Bench {
     "q216_pmi_collocations", "q217_token_budget_sample",
     "q218_ngram_diversity", "q219_quality_budget_sample",
     "q220_cluster_sample", "q221_bpe_train", "q222_bpe_apply",
-    "q223_lsh_dedup_eval", "q229_dedup_eval_budget", "q230_bpe_batch")
+    "q223_lsh_dedup_eval", "q229_dedup_eval_budget", "q230_bpe_batch",
+    "q256_simhash_banded", "q259_jaccard_pairs_banded", "q260_bpe_phrase_1k",
+    "q261_release_manifest", "q262_flagship_pca_whitened")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")

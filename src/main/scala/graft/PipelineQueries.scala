@@ -349,6 +349,250 @@ object PipelineQueries {
        |$blocks""".stripMargin
   }
 
+  /** Phrase-BPE knobs (round-11 verdict #4: "extend batched BPE toward a
+    * real vocab size"). The corpus's WORD-type merge closure is 89 (31
+    * alphanumeric types — q230's documented cap), so the ≥1k-merge
+    * demonstration trains at the PHRASE level instead: each document is
+    * a sequence of word symbols and merges learn multi-word units (the
+    * BPE-style phrase induction of the n-gram/phrase-table literature) —
+    * the measured closure of this universe is ≥5000 merges at every SF.
+    * The trainer stops at TARGET total merges (capacity-scaled rounds:
+    * 45/46/64 rounds at sf0.001/0.01/0.1 — rounds grow only mildly with
+    * corpus size because per-round acceptance is vocabulary-bound), with
+    * a hard ROUND cap as the loop guard.
+    */
+  private val PhraseBpeTarget = 1024
+  private val PhraseBpeRoundCap = 96
+  private val PhraseBpeW = 1024
+  private val PhraseBpeLevels = 8
+  private val PhraseBpeBatchCap = 192
+
+  /** Document word-sequence table: each doc as a ";sym;;sym;...;sym;"
+    * phrase-BPE base string over sanitized (alphanumeric-only) word
+    * symbols, grouped to (enc, freq). Sanitization keeps the ';'
+    * boundary scheme provably collision-free on ANY corpus (on this one
+    * it is the identity: every token is already [A-Za-z0-9]+).
+    */
+  private def phraseSeqs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(concat(lit(";"),
+        array_join(filter(transform(TextOps.tokens(col("text")),
+          w => regexp_replace(w, "[^A-Za-z0-9]", "")),
+          x => length(x) > 0), ";;"),
+        lit(";")).as("enc"))
+      .filter(col("enc") =!= ";;")
+      .groupBy("enc").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+
+  /** L-level locally-dominant batch acceptance over the rank-ordered
+    * candidate pool — the parallel-greedy-matching shape (an edge that is
+    * the best-ranked at all its endpoints is accepted; Preis 1999 /
+    * Israeli–Itai-style local dominance, public knowledge). Level k
+    * filters the pool down to pairs touching no symbol already accepted
+    * (or CREATED) in levels < k, then accepts every candidate with no
+    * higher-ranked conflicting candidate remaining. Accepted pairs are
+    * pairwise non-interfering across levels — their ";l;;r;" patterns
+    * cannot overlap (overlap requires a shared boundary symbol, which
+    * level separation excludes) — so the ≤|accepted| replaces commute
+    * and every accepted pair's round-start count is exact at application
+    * time. One level accepts only ~vocab/2 merges on a skewed corpus
+    * (the q230 finding); L levels lift per-round acceptance to ~16–47
+    * here, and acceptance GROWS as merges enlarge the symbol vocabulary.
+    * Returns (l, r, cnt, level) in (level, rank) order — the order the
+    * SQL twin's list aggregation pins.
+    */
+  private[graft] def phraseBpeAccept(pool: Array[(String, String, Long)],
+      levels: Int): Seq[(String, String, Long, Int)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long, Int)]()
+    val blocked = scala.collection.mutable.HashSet[String]()
+    for (lev <- 1 to levels) {
+      val cand = pool.filter(p => !blocked.contains(p._1) && !blocked.contains(p._2))
+      // Dominance in ONE rank-order pass: p is dominated iff a
+      // higher-ranked candidate q touches it — q.l/q.r/q.l||q.r hits
+      // p.l or p.r — i.e. iff p.l or p.r is in the union of all
+      // higher-ranked candidates' touch sets. Maintaining that union as
+      // a hash set makes the level O(|cand|) instead of the naive
+      // O(|cand|²) pairwise scan (which at W = 1024 was ~4M string
+      // comparisons per round — measured as the DRIVER-side floor of
+      // the whole trainer, dwarfing the Spark jobs it schedules).
+      val lv = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      val touched = scala.collection.mutable.HashSet[String]()
+      cand.foreach { p =>
+        if (!touched.contains(p._1) && !touched.contains(p._2)) lv += p
+        touched += p._1; touched += p._2; touched += (p._1 + p._2)
+      }
+      lv.foreach { case (l, r, c) =>
+        accepted += ((l, r, c, lev))
+        blocked += l; blocked += r; blocked += (l + r)
+      }
+    }
+    accepted.toSeq
+  }
+
+  /** Phrase-BPE trainer: rounds of (corpus-state pair count → top-W pool
+    * collect → L-level locally-dominant batch → fold the ≤batch replaces,
+    * localCheckpoint) until TARGET total merges, exhaustion, or the round
+    * cap. Per-round distributed work is ONE pair aggregation over the
+    * (enc, freq) state (corpus-sized at scale; the pool collect is ≤W
+    * rows — the learned hyperparameters, q210's epoch-loop pattern).
+    * Wall time is ROUND-bound, not merge-bound: the whole point of
+    * batching, demonstrated here at ≥1024 merges (q221's sequential
+    * ~0.1 s/merge floor would put 1024 merges at ~100 s of scheduling
+    * alone; this loop reaches it in 45–64 rounds).
+    */
+  private[graft] def phraseBpeMerges(s: SparkSession, d: String)
+      : Seq[(Long, Long, String, String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, Long)]()
+    val cur = phraseSeqs(s, d)
+    // Partitioning/AQE deliberately NOT pinned: an experiment pinning the
+    // loop to 1 non-adaptive partition bought nothing at sf0.1 (the
+    // ~0.26 s/round pool job is scheduling latency, not task count) and
+    // serialized the corpus-sized pair scan at the octaves (30× ratio
+    // 8.05 pinned vs 1.37 natural) — the state keeps its natural
+    // partitioning so per-round work stays distributed at scale.
+    phraseBpeLoop(s, cur, out)
+    out.toSeq
+  }
+
+  private def phraseBpeLoop(s: SparkSession, start: DataFrame,
+      out: scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, Long)]): Unit = {
+    var cur = start
+    var round = 0
+    var tot = 0
+    var exhausted = false
+    while (round < PhraseBpeRoundCap && tot < PhraseBpeTarget && !exhausted) {
+      round += 1
+      val pool = bpePairCounts(cur)
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(PhraseBpeW)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val accepted = phraseBpeAccept(pool, PhraseBpeLevels)
+      // Loud totality guard, not a silent truncation: acceptance is
+      // naturally matching-bounded (observed ≤ 47/round); a corpus that
+      // blows past the cap needs a re-derived batch bound, not a quietly
+      // different trajectory.
+      require(accepted.size <= PhraseBpeBatchCap,
+        s"phrase-BPE round $round accepted ${accepted.size} > $PhraseBpeBatchCap")
+      if (accepted.isEmpty) exhausted = true
+      else {
+        accepted.zipWithIndex.foreach { case ((l, r, c, _), j) =>
+          out += ((round.toLong, (j + 1).toLong, l, r, c))
+        }
+        // Apply the batch in ONE symbol-scan pass instead of a ≤B-deep
+        // replace() chain: the chain re-scans every enc string once per
+        // accepted merge (measured as ~2/3 of the trainer's wall — 64
+        // rounds × ~16–47 replaces × |state| strings), while batch
+        // members are pairwise symbol-disjoint BY CONSTRUCTION
+        // (phraseBpeAccept blocks shared AND created symbols), so their
+        // leftmost-non-overlapping replaces commute and one left-to-
+        // right scan that merges any (cur, next) in the batch map is
+        // bit-identical to the chain: matches of different patterns
+        // can never overlap (that would need a shared boundary symbol)
+        // and a merged symbol can never re-match (no accepted pair uses
+        // another's created symbol). mapPartitions is justified here as
+        // the per-row local scan the Catalyst chain cannot express in
+        // one pass; the DuckDB oracle keeps the list_reduce replace
+        // chain, so the hash check itself pins the equivalence.
+        val mergeMap = accepted.map { case (l, r, _, _) => (l, r) -> (l + r) }.toMap
+        val bc = s.sparkContext.broadcast(mergeMap)
+        import s.implicits._
+        val next = cur.select(col("enc"), col("freq")).as[(String, Long)]
+          .mapPartitions { it =>
+            val m = bc.value
+            it.map { case (enc, freq) =>
+              val syms = enc.substring(1, enc.length - 1).split(";;")
+              val sb = new StringBuilder(enc.length + 2)
+              var i = 0
+              while (i < syms.length) {
+                val merged = if (i + 1 < syms.length)
+                  m.get((syms(i), syms(i + 1))) else None
+                merged match {
+                  case Some(lr) => sb.append(';').append(lr).append(';'); i += 2
+                  case None => sb.append(';').append(syms(i)).append(';'); i += 1
+                }
+              }
+              (sb.toString, freq)
+            }
+          }.toDF("enc", "freq")
+        // LAZY localCheckpoint: the new state materializes as a side
+        // effect of the NEXT round's pair-count job instead of paying a
+        // dedicated materialization job per round.
+        cur = next.localCheckpoint(false)
+        tot += accepted.size
+      }
+    }
+  }
+
+  /** DuckDB mirror of [[phraseBpeMerges]] as ONE recursive CTE: state
+    * rows (rnd, freq, enc, ms, tot) where `ms` is the round's accepted
+    * merge list and `tot` the running total (the adaptive stop). The
+    * recursive term's lateral computes the pool and unrolls the L
+    * dominance levels; every level CTE is MATERIALIZED — each level
+    * references its predecessor ~3×, so default inlining would blow up
+    * 3^L copies of the pool scan. Recursion ends via the WHERE guard
+    * (round cap + target) or naturally when `b` is empty (no pairs
+    * left ⇒ HAVING count(*) > 0 yields no row ⇒ CROSS JOIN produces
+    * nothing) — the same exhaustion rule as the engine loop.
+    */
+  private def phraseBpeSql: String = {
+    val higher = "(q.cnt > p.cnt OR (q.cnt = p.cnt AND (q.l < p.l OR (q.l = p.l AND q.r < p.r))))"
+    val touches = "(q.l = p.l OR q.l = p.r OR q.r = p.l OR q.r = p.r OR (q.l || q.r) = p.l OR (q.l || q.r) = p.r)"
+    val levels = (1 to PhraseBpeLevels).map { k =>
+      val cand = if (k == 1) "pool" else s"cand$k"
+      val pre = if (k == 1) ""
+        else s"""blk${k - 1} AS MATERIALIZED (SELECT l AS s FROM acc${k - 1}
+           |  UNION SELECT r FROM acc${k - 1}
+           |  UNION SELECT l || r FROM acc${k - 1}),
+           |cand$k AS MATERIALIZED (SELECT p.* FROM pool p WHERE NOT EXISTS (
+           |  SELECT 1 FROM blk${k - 1} WHERE s = p.l OR s = p.r)),
+           |""".stripMargin
+      val accBody = if (k == 1) s"SELECT l, r, cnt, 1 AS lev FROM lv1"
+        else s"SELECT * FROM acc${k - 1} UNION ALL SELECT l, r, cnt, $k AS lev FROM lv$k"
+      s"""${pre}lv$k AS MATERIALIZED (SELECT p.l, p.r, p.cnt FROM $cand p
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM $cand q WHERE $higher AND $touches)),
+         |acc$k AS MATERIALIZED ($accBody)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE seqs AS (
+       |  SELECT ';' || array_to_string(list_filter(list_transform($sqlToks,
+       |      w -> regexp_replace(w, '[^A-Za-z0-9]', '', 'g')),
+       |      x -> len(x) > 0), ';;') || ';' AS enc
+       |  FROM documents),
+       |t(rnd, freq, enc, ms, tot) AS (
+       |  SELECT 0, CAST(count(*) AS BIGINT), enc,
+       |    CAST(NULL AS STRUCT(l VARCHAR, r VARCHAR, cnt BIGINT)[]),
+       |    CAST(0 AS BIGINT)
+       |  FROM seqs WHERE enc <> ';;' GROUP BY enc
+       |  UNION ALL
+       |  SELECT rnd + 1, freq,
+       |    list_reduce(list_prepend(enc, list_transform(b.ms,
+       |      m -> ';' || m.l || ';;' || m.r || ';' || chr(1) || ';' || m.l || m.r || ';')),
+       |      (acc, p) -> replace(acc, string_split(p, chr(1))[1],
+       |        string_split(p, chr(1))[2])),
+       |    b.ms, tot + len(b.ms)
+       |  FROM t CROSS JOIN (
+       |    WITH pr AS (SELECT s[j] AS l, s[j + 1] AS r,
+       |        CAST(sum(freq) AS BIGINT) AS cnt
+       |      FROM (SELECT freq, string_split(trim(enc, ';'), ';;') AS s FROM t),
+       |           unnest(range(1, len(s))) u(j)
+       |      GROUP BY 1, 2),
+       |    pool AS MATERIALIZED (SELECT l, r, cnt FROM pr
+       |      ORDER BY cnt DESC, l, r LIMIT $PhraseBpeW),
+       |    $levels
+       |    SELECT list(struct_pack(l := l, r := r, cnt := cnt)
+       |        ORDER BY lev, cnt DESC, l, r) AS ms
+       |    FROM acc$PhraseBpeLevels
+       |    HAVING count(*) > 0
+       |  ) b
+       |  WHERE rnd < $PhraseBpeRoundCap AND tot < $PhraseBpeTarget
+       |)
+       |SELECT CAST(rnd AS BIGINT) AS round, CAST(bk AS BIGINT) AS bk,
+       |  m.l AS lhs, m.r AS rhs, m.cnt AS cnt
+       |FROM (SELECT rnd, unnest(generate_series(1, len(ms))) AS bk,
+       |        unnest(ms) AS m
+       |      FROM (SELECT DISTINCT rnd, ms FROM t WHERE rnd > 0))
+       |ORDER BY round, bk""".stripMargin
+  }
+
   /** DuckDB mirror of q214: hyperplane signature over plane literals for
     * the stored P, then the q212 SemDeDup verdict within sig buckets.
     */
@@ -1183,7 +1427,12 @@ object PipelineQueries {
            |SELECT d.doc_id, d.lang, d.source FROM documents d
            |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
            |ORDER BY d.doc_id""".stripMargin
-      }))
+      },
+      // Rides the exact simhash band self-join (N² at scale, measured —
+      // SCALING.md round-11 100× sweep); the linear twin applies the
+      // same min-id keeper rule over the minhash-proposed,
+      // hamming-verified pair tier.
+      scaleLimited = Some("q258_dedup_apply_banded")))
 
   /** Maximal duplicated-substring spans at threshold L (q206/q208 core):
     * stride-1 L-grams at every position, global count ≥ 2 via one
@@ -3969,8 +4218,290 @@ object PipelineQueries {
              |FROM g CROSS JOIN t
              |ORDER BY g.lang, g.source""".stripMargin)))
 
+  /** Hamming-verified near-dup pairs on the BANDED tier — the
+    * measured-linear twin of the exact simhash band self-join
+    * ([[graft.text.Dedup.simhashNearDupPairs]], q49): q52's minhash band
+    * join proposes candidates (LINEAR at 100× — 3.79, SCALING.md
+    * round-11 sweep: the band signature space grows with content, so
+    * buckets stay small), then each candidate is verified with the exact
+    * 60-bit fingerprint hamming bar (q49's ≤ 6). The exact band
+    * self-join it replaces is structurally N²: at a fixed relative
+    * hamming bar its bucket space is a CONSTANT 7 × 2^8.5, so candidate
+    * mass grows N²/2^8.5 with no knob (measured: q49 ×11.2 wall for
+    * ×3.33 data at the 30×→100× octave). Here the verify mass is
+    * OUTPUT-sensitive (only minhash collisions are hammed), which is
+    * the Lee et al. 2022 (arXiv:2107.06499) production recipe. The
+    * recall traded away is pairs at hamming ≤ 6 that share no minhash
+    * band — exactly what the eval family (q223/q224/q229) measures.
+    * Shared by q256 (pairs), q257 (clusters), q258 (apply).
+    */
+  private[graft] def bandedHammingPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Dedup
+    val docs = Tables.documents(s, d)
+    val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4)
+      .select("id_a", "id_b")
+    val fps = Dedup.simhashAgg(docs, "doc_id",
+      TextOps.wordShingles(col("text"), 3), 60)
+    // Both join sides read the fingerprint frame — persist so the
+    // shingle+hash kernel runs once (the q49/q107 convention).
+    val fpsP = fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fpsP.count()
+    cand
+      .join(fpsP.select(col("doc_id").as("id_a"), col("simhash").as("__fa")), "id_a")
+      .join(fpsP.select(col("doc_id").as("id_b"), col("simhash").as("__fb")), "id_b")
+      .withColumn("hamming", Dedup.hamming(col("__fa"), col("__fb")))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** DuckDB CTE chain mirroring [[bandedHammingPairs]]: q52's registered
+    * SQL verbatim as the candidate tier (drift-proof), the 60-bit
+    * simhash fingerprints, and the hamming-verified pairs `hp(id_a,
+    * id_b, hamming)`. Plain WITH (no recursion).
+    */
+  private[graft] def bandedHammingSqlCtes: String = {
+    val q52 = VectorTextQueries.all
+      .find(_.name == "q52_minhash_pairs").get.oracle.get
+    val fpsSub = VectorTextQueries.simhashSql(60)
+    s"""hcand AS ($q52),
+       |hfps AS ($fpsSub),
+       |hp AS (SELECT c.id_a, c.id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM hcand c JOIN hfps a ON a.doc_id = c.id_a
+       |    JOIN hfps b ON b.doc_id = c.id_b
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6)""".stripMargin
+  }
+
+  /** [[bandedHammingSqlCtes]] plus connected components over the verified
+    * pairs (min-reachable-id labels) and the min-id `hlosers`. Must be
+    * opened with `WITH RECURSIVE`. CTE names are h-prefixed so the chain
+    * composes alongside [[bandedVerifiedSqlCtes]] without collisions.
+    */
+  private[graft] def bandedHammingClusterSqlCtes: String =
+    s"""$bandedHammingSqlCtes,
+       |he0 AS (SELECT id_a AS src, id_b AS dst FROM hp
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM hp),
+       |hreach AS (
+       |  SELECT src, dst FROM he0
+       |  UNION
+       |  SELECT r.src, e.dst FROM hreach r JOIN he0 e ON r.dst = e.src),
+       |hcomp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |  FROM hreach GROUP BY src),
+       |hlosers AS (SELECT doc_id FROM hcomp WHERE cluster <> doc_id)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Banded twins of the exact-simhash family (round-12): the exact band
+  // self-join behind q49/q107/q125 is measured N² at 100× (SCALING.md),
+  // so each consumer gets a registered, oracle-checked twin on the
+  // measured-linear minhash-candidate tier — same output schema, same
+  // downstream contract, linear proposer. q42's PPJoin gets the same
+  // treatment via the Jaccard-verified tier it shares with q239/q240.
+  // --------------------------------------------------------------------
+  private val bandedTwins: Seq[Q] = Seq(
+    // q49's twin: near-dup PAIRS at hamming ≤ 6, proposed by the minhash
+    // band join instead of the N² exact band self-join. Output schema
+    // identical to q49 (id_a, id_b, hamming), so the two tiers diff
+    // directly; BandedTierSpec pins q256 ⊆ q49 pair-for-pair.
+    Q("q256_simhash_banded",
+      (s, d) => bandedHammingPairs(s, d).orderBy("id_a", "id_b"),
+      oracle = None,
+      oracleDyn = Some { () =>
+        s"""WITH $bandedHammingSqlCtes
+           |SELECT id_a, id_b, hamming FROM hp
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // q107's twin: connected components + keeper flags over the
+    // hamming-verified banded pairs — the cluster resolution step on the
+    // linear tier. Same output schema as q107.
+    Q("q257_dedup_clusters_banded",
+      (s, d) => {
+        import graft.text.Dedup
+        Dedup.connectedComponents(
+          bandedHammingPairs(s, d).select("id_a", "id_b"))
+          .select(col("id").as("doc_id"), col("cluster"),
+            (col("id") === col("cluster")).as("is_keeper"))
+          .orderBy("doc_id")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        s"""WITH RECURSIVE $bandedHammingClusterSqlCtes
+           |SELECT doc_id, cluster, cluster = doc_id AS is_keeper
+           |FROM hcomp ORDER BY doc_id""".stripMargin
+      }),
+
+    // q125's twin: the APPLY step (surviving corpus — every unclustered
+    // doc plus each cluster's min-id keeper) over the hamming-verified
+    // banded tier. Same output schema as q125.
+    Q("q258_dedup_apply_banded",
+      (s, d) => {
+        import graft.text.Dedup
+        val docs = Tables.documents(s, d)
+        val losers = Dedup.connectedComponents(
+          bandedHammingPairs(s, d).select("id_a", "id_b"))
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        docs.join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        s"""WITH RECURSIVE $bandedHammingClusterSqlCtes
+           |SELECT d.doc_id, d.lang, d.source FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM hlosers)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
+    // q42's twin: exact n-gram Jaccard pairs (J ≥ 0.5, same schema as
+    // q42 incl. the jaccard value) with the minhash band join as the
+    // candidate proposer instead of PPJoin's prefix index. q42's 100×
+    // wall is measured LINEAR in its verify mass (DevQ42Probe:
+    // candidates 117.5× for 100× data — output-sensitive, not a bend),
+    // but the banded proposer reaches the same J ≥ 0.5 verify with a
+    // candidate set bounded by band collisions, which is the registered
+    // 100 TB composition (shared verbatim with q239/q240 via
+    // [[bandedCandidateOverlap]]).
+    Q("q259_jaccard_pairs_banded",
+      (s, d) =>
+        bandedCandidateOverlap(s, d)
+          .withColumn("jaccard", col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"),
+            graft.Rounding.pround(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b"),
+      oracle = None,
+      oracleDyn = Some { () =>
+        s"""WITH $bandedCandidateSqlCtes
+           |SELECT i.id_a, i.id_b,
+           |  ${sqlRound("CAST(i.ni AS DOUBLE) / (x.n + y.n - i.ni)", 6)} AS jaccard
+           |FROM inter i
+           |  JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+           |WHERE CAST(i.ni AS DOUBLE) / (x.n + y.n - i.ni) >= 0.5
+           |ORDER BY i.id_a, i.id_b""".stripMargin
+      }),
+
+    // Phrase-BPE at a REAL tokenizer merge count: ≥1024 merges learned
+    // over the document word-sequence universe (the word-type universe's
+    // closure is 89 — q230's documented cap — so "real vocab size" needs
+    // the phrase level). Rounds are ADAPTIVE: the loop stops at the
+    // 1024-merge target (reached in 45/46/64 rounds at sf0.001/0.01/0.1
+    // — per-round acceptance is matching-bounded by the current
+    // vocabulary and GROWS as merges mint new symbols, which is the
+    // "batching must grow with vocab" requirement measured rather than
+    // asserted). The oracle is ONE recursive CTE mirroring the full
+    // trajectory — counts, level structure, batch order, the adaptive
+    // stop — so the hash check covers all ≥1024 learned merges. 100 TB
+    // shape: per round ONE pair aggregation over the (enc, freq) state +
+    // a ≤W-row pool collect; wall is round-bound, not merge-bound
+    // (q221's sequential floor would pay ~0.1 s × 1024 of scheduling).
+    // MEASURED round budget (DevBpePhase, sf0.1): pool job 0.26 s/round
+    // × 64 rounds = 16.8 s, acceptance 0.1 s TOTAL (O(|pool|) one-pass
+    // dominance), batch apply 2.7 s total (single symbol-scan pass) —
+    // the registered wall IS the per-round job-latency floor × rounds,
+    // the documented semantics of a trainer whose every round depends
+    // on the previous one's state.
+    Q("q260_bpe_phrase_1k",
+      (s, d) => {
+        import s.implicits._
+        phraseBpeMerges(s, d)
+          .toDF("round", "bk", "lhs", "rhs", "cnt")
+          .orderBy("round", "bk")
+      },
+      Some(phraseBpeSql)),
+
+    // The "release a training corpus" macro-query — the full banded
+    // stack as ONE registered composition (the LLM-pipeline analog of
+    // q117's OHLCV end-to-end): banded-verified dedup (q239's loser
+    // rule, verbatim via [[bandedVerifiedPairs]]) → q226's
+    // multiplicative-hash split assignment → q228's cross-split leakage
+    // audit restricted to SURVIVORS (post-dedup, the verified tier
+    // between survivors is empty BY CONSTRUCTION — same-cluster docs
+    // never co-survive — so the audit runs on the UNVERIFIED minhash
+    // candidate tier, which is exactly the near-miss mass a release
+    // worries about) → per-(source, split) accounting in q232's schema
+    // plus the endpoint-attributed leak count. Every stage nests the
+    // SQL of the query it composes (cand/losers come from the
+    // banded-verified CTE chain, the split expression is q226's), so
+    // the data card can never drift from the operators it summarizes;
+    // the ingest-side precursor for a GROWING corpus is q248's
+    // batch-vs-state rule. 100 TB shape: the banded loser tier
+    // (measured linear, SCALING.md), one token scan, one candidate
+    // equi-join against the catalog-sized survivor split map, then
+    // (source × split)-sized rollups.
+    Q("q261_release_manifest",
+      (s, d) => {
+        import graft.text.Dedup
+        def splitOf(idc: Column): Column = {
+          val bucket = floor(Hashing.hash32(idc) / lit(42949672.96))
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test")
+        }
+        val docs = Tables.documents(s, d)
+        val losers = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id")).withColumn("__lost", lit(1L))
+        val base = docs.select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+          .join(losers, Seq("doc_id"), "left")
+          .withColumn("split", splitOf(col("doc_id")))
+        val surv = base.filter(col("__lost").isNull).select("doc_id", "split")
+        val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = 12, bands = 4)
+        val leak = cand
+          .join(surv.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+          .join(surv.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+          .filter(col("sa") =!= col("sb"))
+        val leakEnd = leak.select(col("id_a").as("doc_id"))
+          .union(leak.select(col("id_b").as("doc_id")))
+          .groupBy("doc_id").agg(count(lit(1)).as("lp"))
+        base.join(leakEnd, Seq("doc_id"), "left")
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nt").as("n_tokens"),
+            sum(when(col("__lost").isNull, 1L).otherwise(0L)).as("kept_docs"),
+            sum(when(col("__lost").isNull, col("nt")).otherwise(0L))
+              .as("kept_tokens"),
+            sum(coalesce(col("lp"), lit(0L))).as("leak_pairs"))
+          .orderBy("source", "split")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        def splitSql(c: String) =
+          s"""CASE WHEN floor(${Hashing.sqlHash32(c)}
+             |      / 42949672.96) < 90 THEN 'train'
+             |    WHEN floor(${Hashing.sqlHash32(c)}
+             |      / 42949672.96) < 95 THEN 'val'
+             |    ELSE 'test' END""".stripMargin
+        s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
+           |base AS (SELECT d.doc_id, d.source,
+           |    CAST(len($sqlToks) AS BIGINT) AS nt,
+           |    CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS lost,
+           |    ${splitSql("d.doc_id")} AS split
+           |  FROM documents d LEFT JOIN losers l ON l.doc_id = d.doc_id),
+           |surv AS (SELECT doc_id, split FROM base WHERE lost = 0),
+           |leak AS (SELECT c.id_a, c.id_b FROM cand c
+           |  JOIN surv a ON a.doc_id = c.id_a
+           |  JOIN surv b ON b.doc_id = c.id_b
+           |  WHERE a.split <> b.split),
+           |le AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS lp FROM (
+           |    SELECT id_a AS doc_id FROM leak
+           |    UNION ALL SELECT id_b AS doc_id FROM leak)
+           |  GROUP BY doc_id)
+           |SELECT b.source, b.split, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(b.nt) AS BIGINT) AS n_tokens,
+           |  CAST(sum(1 - b.lost) AS BIGINT) AS kept_docs,
+           |  CAST(sum(CASE WHEN b.lost = 0 THEN b.nt ELSE 0 END) AS BIGINT)
+           |    AS kept_tokens,
+           |  CAST(sum(coalesce(le.lp, 0)) AS BIGINT) AS leak_pairs
+           |FROM base b LEFT JOIN le ON le.doc_id = b.doc_id
+           |GROUP BY b.source, b.split ORDER BY b.source, b.split""".stripMargin
+      }))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
       ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
-      retrievalEval ++ lm2 ++ whiten ++ curation ++ policy
+      retrievalEval ++ lm2 ++ whiten ++ curation ++ policy ++ bandedTwins
 }

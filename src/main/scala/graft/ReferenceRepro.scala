@@ -10,7 +10,7 @@ import graft.ohlcv.{Encode, Forecast, Ingest, TimeSeriesOps, Windows}
   * VAE (SURVEY.md §7.4 #8: weights are out of scope, so the published
   * MAE is a ballpark anchor, not an assertion target).
   *
-  * Usage: runMain graft.ReferenceRepro [metric] [all] [pca]
+  * Usage: runMain graft.ReferenceRepro [metric] [all] [pca|whiten]
   *   - default: BTC-USD only (the notebook's configuration)
   *   - `all`: union of all 7 symbol CSVs, searched as ONE index space
   *     across symbols (the reference's ConcatDataset semantics, U2).
@@ -19,12 +19,16 @@ import graft.ohlcv.{Encode, Forecast, Ingest, TimeSeriesOps, Windows}
   *     leakage-free discipline as the reference's encoder, which is
   *     trained on train data), then applied to both sides. This is the
   *     q204 encoder at the reference's own geometry (256→64).
+  *   - `whiten`: the whitened-PCA variant (Encode.whitenedPcaMatrix) —
+  *     same fit discipline, components scaled to unit projection
+  *     variance (isotropic latent space).
   */
 object ReferenceRepro {
   def main(args: Array[String]): Unit = {
     val metric = args.headOption.getOrElse("l1")
     val allSymbols = args.contains("all")
-    val usePca = args.contains("pca")
+    val useWhiten = args.contains("whiten")
+    val usePca = args.contains("pca") || useWhiten
     val spark = Session.get()
 
     val SeqLen = 256
@@ -61,7 +65,10 @@ object ReferenceRepro {
           "user_id", "idx", "close", SeqLen)
           .filter(col("scale") > 1e-6)
           .select(col("zvalues").cast("array<double>").as("z"))
-        Some(Encode.pcaMatrix(zwins, "z", SeqLen, Dim, sampleFraction = None))
+        if (useWhiten)
+          Some(Encode.whitenedPcaMatrix(zwins, "z", SeqLen, Dim, sampleFraction = None))
+        else
+          Some(Encode.pcaMatrix(zwins, "z", SeqLen, Dim, sampleFraction = None))
       }
     val trainWins = Flagship.embeddedWindows(
       split.filter(!col("is_val")).drop("is_val"), SeqLen, Dim, projection)

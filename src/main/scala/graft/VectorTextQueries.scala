@@ -203,7 +203,15 @@ object VectorTextQueries {
               |  ${sqlRound("n_inter::DOUBLE / (x.n + y.n - n_inter)", 6)} AS jaccard
               |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
               |WHERE n_inter::DOUBLE / (x.n + y.n - n_inter) >= 0.5
-              |ORDER BY id_a, id_b""".stripMargin)),
+              |ORDER BY id_a, id_b""".stripMargin),
+      // PPJoin's 100× wall (52.80, SCALING.md) is measured LINEAR in its
+      // candidate-verify mass (DevQ42Probe: candidates 117.5× for 100×
+      // data — output-sensitive, not an algorithmic bend), but the mass
+      // itself tracks prefix-collision geometry with no cap. The
+      // registered scale path reaches the same J ≥ 0.5 verified pairs
+      // from the minhash band proposer (bounded candidate mass, shared
+      // verbatim with the q239/q240 accounting tier).
+      scaleLimited = Some("q259_jaccard_pairs_banded")),
 
     Q("q43_simhash",
       (s, d) =>
@@ -216,10 +224,15 @@ object VectorTextQueries {
       (s, d) => {
         // Both sides of the self-join reference the fingerprint frame —
         // persist it so the shingle+hash subtree runs once. 60-bit
-        // fingerprints (the full md5Hash60 width): 7 pigeonhole bands of
-        // 8–9 bits each, so band values span ≥256 buckets and the banded
-        // equi-join's fan-out Σ|bucket|² stays sub-quadratic at scale —
-        // the production configuration, not just the sf0.1 one.
+        // fingerprints (the full md5Hash60 width), 7 pigeonhole bands of
+        // 8–9 bits. SCALE CAVEAT (measured, round-11 100× sweep,
+        // SCALING.md): the exact band self-join is structurally N² — at
+        // a fixed RELATIVE hamming bar the bucket space is a CONSTANT
+        // 7 × 2^8.5, so candidate mass Σ|bucket|² grows N²/2^8.5 with no
+        // knob (q49 measured ×11.2 wall for ×3.33 data at 30×→100×).
+        // The registered 100 TB path is q256_simhash_banded: minhash
+        // band candidates (measured linear) → exact hamming verify of
+        // candidates only — see `scaleLimited` below.
         val fps = Dedup.simhashAgg(Tables.documents(s, d), "doc_id",
           TextOps.wordShingles(col("text"), 3), 60)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -235,7 +248,11 @@ object VectorTextQueries {
            |FROM fps a, fps b
            |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 6
            |ORDER BY id_a, id_b""".stripMargin
-      }),
+      },
+      // Exact band self-join: constant bucket space ⇒ N² candidate mass
+      // (measured at 100×, SCALING.md). The linear tier with the same
+      // output schema is the minhash-proposed, hamming-verified twin.
+      scaleLimited = Some("q256_simhash_banded")),
 
     // Cluster resolution over the q49 near-dup pairs: connected
     // components by min-label propagation, then keep-one-per-cluster —
@@ -269,7 +286,11 @@ object VectorTextQueries {
            |SELECT src AS doc_id, least(src, min(dst)) AS cluster,
            |  least(src, min(dst)) = src AS is_keeper
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
-      }),
+      },
+      // Rides q49's exact band self-join (N² at scale, measured —
+      // SCALING.md round-11 sweep); the linear twin resolves components
+      // over the minhash-proposed, hamming-verified pairs instead.
+      scaleLimited = Some("q257_dedup_clusters_banded")),
 
     // Duplication-prevalence histogram over q107's clusters — the
     // corpus-audit number Lee et al. 2022 (arXiv:2107.06499) report

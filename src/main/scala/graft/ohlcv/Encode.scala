@@ -212,4 +212,37 @@ object Encode {
     // and ~7 below the components' scale.
     Array.tabulate(outDim, inLen)((i, j) => math.rint(canon(i)(j) * 1e9) / 1e9)
   }
+
+  /** WHITENED PCA projection (PCA-whitening, public knowledge: scale each
+    * principal component by the inverse standard deviation of the data's
+    * projection onto it, making the latent space isotropic — the standard
+    * preprocessing of ZCA/PCA-whitening and the Mahalanobis view of
+    * nearest-neighbor search). Fit = [[pcaMatrix]] on the same bounded
+    * sample, then ONE distributed variance pass over the sample's
+    * projections; the scaled rows are re-quantized to the same 1e-9 grid
+    * so the fit stays reproducible and the dynamic oracle reads the
+    * exact literals the plan used (the q204 discipline). `eps` guards
+    * near-zero-variance components from exploding the scale.
+    */
+  def whitenedPcaMatrix(windows: DataFrame, arrCol: String, inLen: Int,
+      outDim: Int, maxRows: Int = 4096, sampleFraction: Option[Double] = None,
+      eps: Double = 1e-9): Array[Array[Double]] = {
+    val m = pcaMatrix(windows, arrCol, inLen, outDim, maxRows, sampleFraction)
+    val frac = sampleFraction.getOrElse(
+      math.min(1.0, maxRows.toDouble / math.max(1L, windows.count()).toDouble))
+    // Same deterministic sample as the fit (fraction + seed), so the
+    // whitening variances describe exactly the windows the components
+    // were learned from.
+    val sample = windows.select(col(arrCol).as("__z"))
+      .sample(withReplacement = false, frac, seed = 42L)
+      .select(linearProject(col("__z"), m).as("__e"))
+      .select((0 until outDim).map(i =>
+        element_at(col("__e"), i + 1).as(s"c$i")): _*)
+    val varRow = sample.select((0 until outDim).map(i =>
+      var_pop(col(s"c$i")).as(s"v$i")): _*).head()
+    Array.tabulate(outDim, inLen) { (i, j) =>
+      val scale = 1.0 / math.sqrt(varRow.getDouble(i) + eps)
+      math.rint(m(i)(j) * scale * 1e9) / 1e9
+    }
+  }
 }

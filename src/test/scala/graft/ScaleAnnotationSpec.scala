@@ -66,6 +66,42 @@ class ScaleAnnotationSpec extends AnyFunSuite {
       s"super-linear without a scaleLimited annotation: $offenders")
   }
 
+  test("segment-slope: a 30×→100× bend above 2× the data ratio requires an annotation") {
+    // Round-11's proven blind spot: q49 read 48.45 at 100× — UNDER the
+    // absolute budget (60) — while bending exactly N² (×11.2 wall for
+    // ×3.33 data from its 30× point). A structural bend that's under
+    // the budget at the measured scale is precisely what a 100 TB
+    // design review exists to catch, so the octave-to-octave SLOPE is
+    // now checked too: for any query measured at both 30× and 100×,
+    // wall(100×)/wall(30×) may not exceed 2× the data ratio (3.33)
+    // without a scaleLimited annotation. Two guards keep the rule
+    // honest: (a) the 30× denominator is clamped at 1.0 — a sub-1
+    // ratio means the query was still fixed-cost-dominated at 30×
+    // (more data cannot make a plan faster; q250 measured 0.92 there),
+    // and a noise-deflated denominator would inflate the slope; (b)
+    // the bend must be MACROSCOPIC — r100 ≥ 20 (⅓ of the absolute
+    // budget) — because below that the "slope" is fixed-cost
+    // amortization arithmetic, not measured work growth (every
+    // structurally-linear query sits ≤ ~18 at 100×; the N² family
+    // reads ≥ 43). A true bend with a tiny base cost crosses the floor
+    // at the next octave and flags then.
+    val annotated = Queries.all.filter(_.scaleLimited.isDefined).map(_.name).toSet
+    val best: Map[(String, String), Double] = parsedRows
+      .groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(_._3).min).toMap
+    val dataRatio = 100.0 / 30.0
+    val offenders = best.collect {
+      case ((name, "@100x"), r100)
+          if best.contains((name, "@30x")) && r100 >= 20.0 &&
+            r100 / math.max(best((name, "@30x")), 1.0) > 2.0 * dataRatio &&
+            !annotated(name) =>
+        val slope = r100 / math.max(best((name, "@30x")), 1.0)
+        f"$name slope=$slope%.1f (r30=${best((name, "@30x"))}%.2f, r100=$r100%.2f)"
+    }
+    assert(offenders.isEmpty,
+      s"super-linear 30×→100× bend without a scaleLimited annotation: $offenders")
+  }
+
   test("q177 is annotated and its scale path is a registered oracle-checked query") {
     val q177 = Queries.all.find(_.name == "q177_pair_corr").get
     assert(q177.scaleLimited.contains("q207_pair_corr_lsh"))

@@ -32,4 +32,34 @@ class EncodeSpec extends SparkSpec {
     assert(a.flatten.toSeq != c.flatten.toSeq)
     assert(a.flatten.forall(x => x >= -1.0 && x <= 1.0))
   }
+
+  test("whitenedPcaMatrix yields ~unit projection variance per component") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(8)(i => math.sin(i.toDouble))
+    val base2 = Array.tabulate(8)(i => math.cos(2.0 * i))
+    val rows = (0 until 400).map { _ =>
+      val a = rnd.nextGaussian() * 10
+      val b = rnd.nextGaussian() * 2
+      Tuple1(base.indices.map(j =>
+        base(j) * a + base2(j) * b + rnd.nextGaussian() * 0.01).toSeq)
+    }
+    val df = rows.toDF("values")
+    val w = Encode.whitenedPcaMatrix(df, "values", inLen = 8, outDim = 2)
+    assert(w.length == 2 && w.forall(_.length == 8))
+    // Project the same data through the whitened matrix: each
+    // component's variance must be ~1 (the whitening law) — the raw
+    // PCA components would instead show variances ~100 vs ~4.
+    val data = rows.map(_._1.toArray)
+    val vars = w.map { comp =>
+      val proj = data.map(v => v.zip(comp).map { case (x, y) => x * y }.sum)
+      val mean = proj.sum / proj.length
+      proj.map(p => (p - mean) * (p - mean)).sum / proj.length
+    }
+    vars.foreach(v => assert(math.abs(v - 1.0) < 0.2,
+      s"whitened component variance $v should be ~1"))
+    // And it must differ from the unwhitened fit (not a no-op).
+    val m = Encode.pcaMatrix(df, "values", inLen = 8, outDim = 2)
+    assert(w.flatten.toSeq != m.flatten.toSeq)
+  }
 }

@@ -1079,4 +1079,59 @@ class CurationSpec extends SparkSpec {
     val dof = (langs.size - 1) * (srcs.size - 1)
     assert(chi2 < 10.0 * dof, s"chi2=$chi2 vs dof=$dof")
   }
+
+  test("q261: release manifest sums to q239's accounting per source and q226's split manifest") {
+    val out = q("q261_release_manifest").cache()
+    // Dedup accounting: summing over splits must reproduce q239 exactly
+    // (same loser tier by shared code; this pins the composition).
+    val perSource = out.groupBy("source")
+      .agg(sum("n_docs").as("d"), sum("n_tokens").as("t"),
+        sum("kept_docs").as("kd"), sum("kept_tokens").as("kt"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    q("q239_effective_tokens_banded").collect().foreach { r =>
+      assert(perSource(r.getString(0)) ==
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+        s"source ${r.getString(0)} accounting diverges from q239")
+    }
+    // Split assignment: pre-dedup (source, split) doc counts must equal
+    // q226's manifest (same hash expression by construction).
+    val viaQ226 = q("q226_split_manifest").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out.collect().foreach { r =>
+      assert(viaQ226((r.getString(0), r.getString(1))) == r.getLong(2),
+        s"(${r.getString(0)}, ${r.getString(1)}) n_docs diverges from q226")
+    }
+    out.unpersist()
+  }
+
+  test("q261: leakage law — verified pairs never straddle survivors, leak mass is even") {
+    val out = q("q261_release_manifest").cache()
+    // Each cross-split surviving candidate pair is endpoint-attributed
+    // twice, so the global leak mass is even.
+    val leakTotal = out.agg(sum("leak_pairs")).collect()(0).getLong(0)
+    assert(leakTotal % 2 == 0, s"endpoint-attributed leak mass $leakTotal is odd")
+    // The by-construction claim in the doc-comment: the VERIFIED tier
+    // between survivors is empty (same-cluster docs never co-survive).
+    // Jaccard-tier survivors re-derive from a union-find over q237's
+    // verified pos set (the same drift-proof link q239's spec uses).
+    val pos = q("q237_contrastive_pairs").collect()
+      .filter(_.getString(3) == "pos").map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pos.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = pos.flatMap(p => Seq(p._1, p._2)).toSet
+    val surviving = (id: Long) => !clustered(id) || find(id) == id
+    pos.foreach { case (a, b) =>
+      assert(!(surviving(a) && surviving(b)),
+        s"verified pair ($a, $b) has both endpoints surviving — dedup broken")
+    }
+    out.unpersist()
+  }
 }
