@@ -26,30 +26,32 @@ object Bench {
     * multimodal). The full suite is still timed; see bench_full.json.
     */
   private val headline = Seq(
-    // Trimmed to one entry per operator family (round 9): the stdout
-    // line must stay well under the driver's ~2 KB tail capture even on
-    // a day the error field is populated; dropped names (q13/q41/q43/
-    // q56/q58/q163) keep their full per-round numbers in bench_full.json.
-    "q01_pricing_summary", "q06_broadcast_join",
-    "q20_resample_ohlcv", "q21_gapfill_ffill", "q23_window_zscore",
+    // Trimmed to one entry per operator family (round 9, re-trimmed
+    // round 12 when the 63-entry line measured 1,966 bytes — 34 bytes
+    // from the driver's ~2 KB tail capture, which a populated error
+    // field would blow): the stdout line must stay WELL under the
+    // capture. Dropped names (q13/q41/q43/q56/q58/q163 in r9;
+    // q20/q21/q109/q126/q150/q161/q186/q216/q217/q218/q220 in r12 —
+    // all sub-second rows whose family has another representative)
+    // keep their full per-round numbers in bench_full.json.
+    "q01_pricing_summary", "q06_broadcast_join", "q23_window_zscore",
     "q27_ema", "q28_savgol", "q42_ngram_jaccard",
     "q49_simhash_neardup", "q52_minhash_pairs",
     "q60_flagship_mae", "q61_flagship_cosine",
     "q75_seq_packing", "q99_psar", "q101_flagship_lsh",
     "q103_stream_upsert", "q105_winnowing", "q107_dedup_clusters",
-    "q109_repetition", "q111_pq_adc", "q112_stream_ohlcv", "q116_bm25",
-    "q117_pipeline_e2e", "q126_funnel", "q127_bloom_decontam",
+    "q111_pq_adc", "q112_stream_ohlcv", "q116_bm25",
+    "q117_pipeline_e2e", "q127_bloom_decontam",
     "q131_stream_join", "q142_bucketed_join", "q146_tfidf_topk",
-    "q150_trailing_window", "q152_symspell_join", "q157_partition_prune",
-    "q161_asof_native", "q168_passage_dedup",
+    "q152_symspell_join", "q157_partition_prune",
+    "q168_passage_dedup",
     "q170_seasonal", "q174_ar1_forecast", "q180_holt_winters",
-    "q186_hist_quantile", "q191_ivfpq_rerank", "q196_sma_backtest",
+    "q191_ivfpq_rerank", "q196_sma_backtest",
     "q199_ivol_portfolio", "q204_flagship_pca", "q206_exact_substr",
     "q207_pair_corr_lsh", "q209_stream_decontam", "q212_semdedup",
     "q213_dsir_weights", "q214_semdedup_lsh", "q215_nb_quality",
-    "q216_pmi_collocations", "q217_token_budget_sample",
-    "q218_ngram_diversity", "q219_quality_budget_sample",
-    "q220_cluster_sample", "q221_bpe_train", "q222_bpe_apply",
+    "q219_quality_budget_sample",
+    "q221_bpe_train", "q222_bpe_apply",
     "q223_lsh_dedup_eval", "q229_dedup_eval_budget", "q230_bpe_batch",
     "q256_simhash_banded", "q259_jaccard_pairs_banded", "q260_bpe_phrase_1k",
     "q261_release_manifest", "q262_flagship_pca_whitened")
