@@ -367,13 +367,29 @@ object PipelineQueries {
   private val PhraseBpeLevels = 8
   private val PhraseBpeBatchCap = 192
 
+  /** Created-symbol constructor for phrase-BPE merges: `l ~ r`, joined
+    * with '~' (non-alphanumeric, non-';'). Base symbols are sanitized to
+    * [A-Za-z0-9]+, so a created symbol can NEVER collide with a base
+    * word — bare concatenation could (the + rapist = therapist,
+    * round-12 ADVICE #1), silently conflating distinct phrases. Two
+    * different merge parses CAN still create the same string
+    * ((a~b, c) and (a, b~c) both yield a~b~c), and that is the intended
+    * identity: with '~' marking exactly the original word boundaries, a
+    * symbol IS its word sequence, so any such collision denotes the
+    * same phrase and SHOULD share counts — parse-tree identity is not
+    * part of phrase-BPE's semantics. The SQL twin builds the same
+    * `l || '~' || r` literal in its touch set, block set, and replace
+    * chain, so the oracle hash pins the scheme.
+    */
+  private def phraseSym(l: String, r: String): String = l + "~" + r
+
   /** Document word-sequence table: each doc as a ";sym;;sym;...;sym;"
     * phrase-BPE base string over sanitized (alphanumeric-only) word
     * symbols, grouped to (enc, freq). Sanitization keeps the ';'
     * boundary scheme provably collision-free on ANY corpus (on this one
     * it is the identity: every token is already [A-Za-z0-9]+).
     */
-  private def phraseSeqs(s: SparkSession, d: String): DataFrame =
+  private[graft] def phraseSeqs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(concat(lit(";"),
         array_join(filter(transform(TextOps.tokens(col("text")),
@@ -419,14 +435,66 @@ object PipelineQueries {
       val touched = scala.collection.mutable.HashSet[String]()
       cand.foreach { p =>
         if (!touched.contains(p._1) && !touched.contains(p._2)) lv += p
-        touched += p._1; touched += p._2; touched += (p._1 + p._2)
+        touched += p._1; touched += p._2; touched += phraseSym(p._1, p._2)
       }
       lv.foreach { case (l, r, c) =>
         accepted += ((l, r, c, lev))
-        blocked += l; blocked += r; blocked += (l + r)
+        blocked += l; blocked += r; blocked += phraseSym(l, r)
       }
     }
     accepted.toSeq
+  }
+
+  /** One round's candidate pool: the corpus-state pair aggregation with
+    * a constant-size top-W TakeOrdered collect (the learned
+    * hyperparameters, q210's epoch-loop pattern). Shared by the trainer
+    * and DevBpePhase (round-12 ADVICE #4). */
+  private[graft] def phraseBpePool(cur: DataFrame): Array[(String, String, Long)] =
+    bpePairCounts(cur)
+      .orderBy(desc("cnt"), asc("l"), asc("r")).limit(PhraseBpeW)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** Apply one accepted phrase-merge batch to the (enc, freq) state in
+    * ONE symbol-scan pass instead of a ≤B-deep replace() chain: the
+    * chain re-scans every enc string once per accepted merge (measured
+    * as ~2/3 of the trainer's wall — 64 rounds × ~16–47 replaces ×
+    * |state| strings), while batch members are pairwise symbol-disjoint
+    * BY CONSTRUCTION ([[phraseBpeAccept]] blocks shared AND created
+    * symbols), so their leftmost-non-overlapping replaces commute and
+    * one left-to-right scan that merges any (cur, next) in the batch map
+    * is bit-identical to the chain: matches of different patterns can
+    * never overlap (that would need a shared boundary symbol) and a
+    * merged symbol can never re-match (no accepted pair uses another's
+    * created symbol). mapPartitions is justified here as the per-row
+    * local scan the Catalyst chain cannot express in one pass; the
+    * DuckDB oracle keeps the list_reduce replace chain, so the hash
+    * check itself pins the equivalence. Shared by the production loop
+    * and DevBpePhase so the probe always measures the production kernel
+    * (round-12 ADVICE #4).
+    */
+  private[graft] def phraseBpeApply(s: SparkSession, cur: DataFrame,
+      batch: Seq[(String, String)]): DataFrame = {
+    val mergeMap = batch.map { case (l, r) => (l, r) -> phraseSym(l, r) }.toMap
+    val bc = s.sparkContext.broadcast(mergeMap)
+    import s.implicits._
+    cur.select(col("enc"), col("freq")).as[(String, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (enc, freq) =>
+          val syms = enc.substring(1, enc.length - 1).split(";;")
+          val sb = new StringBuilder(enc.length + 2)
+          var i = 0
+          while (i < syms.length) {
+            val merged = if (i + 1 < syms.length)
+              m.get((syms(i), syms(i + 1))) else None
+            merged match {
+              case Some(lr) => sb.append(';').append(lr).append(';'); i += 2
+              case None => sb.append(';').append(syms(i)).append(';'); i += 1
+            }
+          }
+          (sb.toString, freq)
+        }
+      }.toDF("enc", "freq")
   }
 
   /** Phrase-BPE trainer: rounds of (corpus-state pair count → top-W pool
@@ -462,9 +530,7 @@ object PipelineQueries {
     var exhausted = false
     while (round < PhraseBpeRoundCap && tot < PhraseBpeTarget && !exhausted) {
       round += 1
-      val pool = bpePairCounts(cur)
-        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(PhraseBpeW)
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val pool = phraseBpePool(cur)
       val accepted = phraseBpeAccept(pool, PhraseBpeLevels)
       // Loud totality guard, not a silent truncation: acceptance is
       // naturally matching-bounded (observed ≤ 47/round); a corpus that
@@ -477,46 +543,11 @@ object PipelineQueries {
         accepted.zipWithIndex.foreach { case ((l, r, c, _), j) =>
           out += ((round.toLong, (j + 1).toLong, l, r, c))
         }
-        // Apply the batch in ONE symbol-scan pass instead of a ≤B-deep
-        // replace() chain: the chain re-scans every enc string once per
-        // accepted merge (measured as ~2/3 of the trainer's wall — 64
-        // rounds × ~16–47 replaces × |state| strings), while batch
-        // members are pairwise symbol-disjoint BY CONSTRUCTION
-        // (phraseBpeAccept blocks shared AND created symbols), so their
-        // leftmost-non-overlapping replaces commute and one left-to-
-        // right scan that merges any (cur, next) in the batch map is
-        // bit-identical to the chain: matches of different patterns
-        // can never overlap (that would need a shared boundary symbol)
-        // and a merged symbol can never re-match (no accepted pair uses
-        // another's created symbol). mapPartitions is justified here as
-        // the per-row local scan the Catalyst chain cannot express in
-        // one pass; the DuckDB oracle keeps the list_reduce replace
-        // chain, so the hash check itself pins the equivalence.
-        val mergeMap = accepted.map { case (l, r, _, _) => (l, r) -> (l + r) }.toMap
-        val bc = s.sparkContext.broadcast(mergeMap)
-        import s.implicits._
-        val next = cur.select(col("enc"), col("freq")).as[(String, Long)]
-          .mapPartitions { it =>
-            val m = bc.value
-            it.map { case (enc, freq) =>
-              val syms = enc.substring(1, enc.length - 1).split(";;")
-              val sb = new StringBuilder(enc.length + 2)
-              var i = 0
-              while (i < syms.length) {
-                val merged = if (i + 1 < syms.length)
-                  m.get((syms(i), syms(i + 1))) else None
-                merged match {
-                  case Some(lr) => sb.append(';').append(lr).append(';'); i += 2
-                  case None => sb.append(';').append(syms(i)).append(';'); i += 1
-                }
-              }
-              (sb.toString, freq)
-            }
-          }.toDF("enc", "freq")
         // LAZY localCheckpoint: the new state materializes as a side
         // effect of the NEXT round's pair-count job instead of paying a
         // dedicated materialization job per round.
-        cur = next.localCheckpoint(false)
+        cur = phraseBpeApply(s, cur,
+          accepted.map { case (l, r, _, _) => (l, r) }).localCheckpoint(false)
         tot += accepted.size
       }
     }
@@ -535,13 +566,14 @@ object PipelineQueries {
     */
   private def phraseBpeSql: String = {
     val higher = "(q.cnt > p.cnt OR (q.cnt = p.cnt AND (q.l < p.l OR (q.l = p.l AND q.r < p.r))))"
-    val touches = "(q.l = p.l OR q.l = p.r OR q.r = p.l OR q.r = p.r OR (q.l || q.r) = p.l OR (q.l || q.r) = p.r)"
+    // '~'-joined created symbols, the exact literal [[phraseSym]] builds.
+    val touches = "(q.l = p.l OR q.l = p.r OR q.r = p.l OR q.r = p.r OR (q.l || '~' || q.r) = p.l OR (q.l || '~' || q.r) = p.r)"
     val levels = (1 to PhraseBpeLevels).map { k =>
       val cand = if (k == 1) "pool" else s"cand$k"
       val pre = if (k == 1) ""
         else s"""blk${k - 1} AS MATERIALIZED (SELECT l AS s FROM acc${k - 1}
            |  UNION SELECT r FROM acc${k - 1}
-           |  UNION SELECT l || r FROM acc${k - 1}),
+           |  UNION SELECT l || '~' || r FROM acc${k - 1}),
            |cand$k AS MATERIALIZED (SELECT p.* FROM pool p WHERE NOT EXISTS (
            |  SELECT 1 FROM blk${k - 1} WHERE s = p.l OR s = p.r)),
            |""".stripMargin
@@ -565,7 +597,7 @@ object PipelineQueries {
        |  UNION ALL
        |  SELECT rnd + 1, freq,
        |    list_reduce(list_prepend(enc, list_transform(b.ms,
-       |      m -> ';' || m.l || ';;' || m.r || ';' || chr(1) || ';' || m.l || m.r || ';')),
+       |      m -> ';' || m.l || ';;' || m.r || ';' || chr(1) || ';' || m.l || '~' || m.r || ';')),
        |      (acc, p) -> replace(acc, string_split(p, chr(1))[1],
        |        string_split(p, chr(1))[2])),
        |    b.ms, tot + len(b.ms)

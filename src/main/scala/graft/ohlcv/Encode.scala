@@ -227,9 +227,15 @@ object Encode {
   def whitenedPcaMatrix(windows: DataFrame, arrCol: String, inLen: Int,
       outDim: Int, maxRows: Int = 4096, sampleFraction: Option[Double] = None,
       eps: Double = 1e-9): Array[Array[Double]] = {
-    val m = pcaMatrix(windows, arrCol, inLen, outDim, maxRows, sampleFraction)
+    // Resolve the sampling fraction ONCE and pass it down to pcaMatrix:
+    // the default branch counts the window pipeline, and computing it
+    // twice would both pay a second full materialization and — if the
+    // two counts ever disagreed (a racing write under the source) —
+    // silently de-sync the whitening sample from the fit sample
+    // (round-12 ADVICE #3).
     val frac = sampleFraction.getOrElse(
       math.min(1.0, maxRows.toDouble / math.max(1L, windows.count()).toDouble))
+    val m = pcaMatrix(windows, arrCol, inLen, outDim, maxRows, Some(frac))
     // Same deterministic sample as the fit (fraction + seed), so the
     // whitening variances describe exactly the windows the components
     // were learned from.
@@ -241,6 +247,12 @@ object Encode {
     val varRow = sample.select((0 until outDim).map(i =>
       var_pop(col(s"c$i")).as(s"v$i")): _*).head()
     Array.tabulate(outDim, inLen) { (i, j) =>
+      // var_pop over zero rows is NULL — fail loudly instead of NPE-ing
+      // deep inside Row.getDouble (an empty sample means the fit itself
+      // was vacuous; no whitening scale is defensible).
+      require(!varRow.isNullAt(i),
+        s"whitenedPcaMatrix: empty projection sample (frac=$frac) — " +
+          s"component $i has no variance to whiten by")
       val scale = 1.0 / math.sqrt(varRow.getDouble(i) + eps)
       math.rint(m(i)(j) * scale * 1e9) / 1e9
     }

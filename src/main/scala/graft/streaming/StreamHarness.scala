@@ -168,6 +168,24 @@ object StreamHarness {
     // query planned in the short window can still pick up the lower
     // setting — benign: shuffle partition count affects parallelism,
     // never results.
+    // Data-batch counter registered BEFORE start so no progress event
+    // can precede it. q.recentProgress is NOT used for the guard: it
+    // retains only the last numRecentProgressUpdates (default 100)
+    // entries, so a run with many empty-trigger progress events could
+    // evict the data batch(es) and pass the guard vacuously — failing
+    // open on exactly the precondition it exists to pin (round-12
+    // ADVICE #2). The listener accumulates without bound; the bus is
+    // drained before the count is read (delivery is async).
+    val dataBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == qn && e.progress.numInputRows > 0)
+          dataBatches.incrementAndGet()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    if (requireSingleBatch) spark.streams.addListener(listener)
     val q = startLock.synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -180,9 +198,9 @@ object StreamHarness {
       val finished = q.awaitTermination(300000L)
       require(finished, s"$tag: streaming query did not terminate within 300 s")
       if (requireSingleBatch) {
-        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-        require(dataBatches <= 1,
-          s"$tag: input spanned $dataBatches micro-batches but the " +
+        org.apache.spark.sql.graft.ListenerBridge.waitUntilListenerBusEmpty(spark)
+        require(dataBatches.get() <= 1,
+          s"$tag: input spanned ${dataBatches.get()} micro-batches but the " +
             "query's emit rule is arrival-order dependent and its oracle " +
             "order-free — single-batch delivery is a registered " +
             "precondition (set maxFilesPerTrigger to cover all files)")
@@ -190,6 +208,7 @@ object StreamHarness {
       q.stop()
       localize(finish(spark.table(qn)))
     } finally {
+      if (requireSingleBatch) spark.streams.removeListener(listener)
       if (q.isActive) q.stop()
       spark.catalog.dropTempView(qn)
       deleteRecursively(ckpt)

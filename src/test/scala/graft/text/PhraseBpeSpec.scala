@@ -41,10 +41,33 @@ class PhraseBpeSpec extends SparkSpec {
       for (i <- batch.indices; j <- 0 until i) {
         val (pl, pr) = batch(i); val (ql, qr) = batch(j)
         val interferes = ql == pl || ql == pr || qr == pl || qr == pr ||
-          (ql + qr) == pl || (ql + qr) == pr ||
-          (pl + pr) == ql || (pl + pr) == qr
+          (ql + "~" + qr) == pl || (ql + "~" + qr) == pr ||
+          (pl + "~" + pr) == ql || (pl + "~" + pr) == qr
         assert(!interferes,
           s"round $r: merges ($ql,$qr) and ($pl,$pr) interfere — batch invariant broken")
+      }
+    }
+  }
+
+  test("created symbols never collide with the base vocabulary (round-12 ADVICE #1)") {
+    // Base symbols are sanitized to [A-Za-z0-9]+; every created symbol
+    // is '~'-joined, so it must contain '~' and can never equal a base
+    // word. Bare concatenation would not satisfy this (the+rapist =
+    // therapist) — the exact aliasing the separator scheme removes.
+    val baseVocab = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.TextOps.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .collect().map(_.getString(0).replaceAll("[^A-Za-z0-9]", ""))
+      .filter(_.nonEmpty).toSet
+    traj.foreach { case (r, bk, l, rr, _) =>
+      val created = l + "~" + rr
+      assert(created.contains("~") && !baseVocab.contains(created),
+        s"round $r bk $bk: created symbol '$created' collides with a base word")
+      // Constituents are themselves base words or earlier '~'-joined
+      // phrases — never a bare concatenation of two words.
+      Seq(l, rr).foreach { s =>
+        assert(s.contains("~") || baseVocab.contains(s),
+          s"round $r bk $bk: symbol '$s' is neither a base word nor a '~'-joined phrase")
       }
     }
   }
