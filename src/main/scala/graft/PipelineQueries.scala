@@ -134,6 +134,28 @@ object PipelineQueries {
     */
   /** Adjacent-symbol pair counts over the ";sym;"-encoded word-type
     * table — the per-step aggregation both BPE trainers share. */
+  /** Hash-derived 90/5/5 train/val/test assignment, shared by q226's
+    * manifest, q228's leakage audit, and q267's OOV rate — ONE
+    * definition so the split law cannot drift between its consumers.
+    * floor(), not cast-to-int: DuckDB's double→INT cast ROUNDS while
+    * Spark's truncates; floor() is the one form both compute alike.
+    * Hash via graft.Hashing — overflow-safe for the full BIGINT id
+    * range (the naive Knuth multiply wraps in Spark but RAISES in
+    * DuckDB past id ≈ 3.47e9; see Hashing's scaladoc).
+    */
+  private[graft] def splitOf(idc: Column): Column = {
+    val bucket = floor(Hashing.hash32(idc) / lit(42949672.96))
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  /** DuckDB rendering of [[splitOf]]. */
+  private[graft] def sqlSplitOf(c: String): String =
+    s"""CASE WHEN floor(${Hashing.sqlHash32(c)}
+       |      / 42949672.96) < 90 THEN 'train'
+       |    WHEN floor(${Hashing.sqlHash32(c)}
+       |      / 42949672.96) < 95 THEN 'val'
+       |    ELSE 'test' END""".stripMargin
+
   private def bpePairCounts(cur: DataFrame): DataFrame =
     cur
       .select(col("freq"),
@@ -3052,16 +3074,8 @@ object PipelineQueries {
     // combine; output is catalog-sized.
     Q("q226_split_manifest",
       (s, d) => {
-        // floor(), not cast-to-int: DuckDB's double→INT cast ROUNDS while
-        // Spark's truncates; floor() is the one form both compute alike.
-        // Hash via graft.Hashing — overflow-safe for the full BIGINT id
-        // range (the naive Knuth multiply wraps in Spark but RAISES in
-        // DuckDB past id ≈ 3.47e9; see Hashing's scaladoc).
-        val bucket = floor(Hashing.hash32(col("doc_id")) / lit(42949672.96))
-        val split = when(bucket < 90, "train")
-          .when(bucket < 95, "val").otherwise("test")
         Tables.documents(s, d)
-          .select(col("source"), split.as("split"),
+          .select(col("source"), splitOf(col("doc_id")).as("split"),
             col("n_chars"),
             size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
           .groupBy("source", "split")
@@ -3070,11 +3084,7 @@ object PipelineQueries {
             sum("n_toks").as("sum_tokens"))
       },
       Some(s"""WITH a AS (SELECT source,
-              |    CASE WHEN floor(${Hashing.sqlHash32("doc_id")}
-              |        / 42949672.96) < 90 THEN 'train'
-              |      WHEN floor(${Hashing.sqlHash32("doc_id")}
-              |        / 42949672.96) < 95 THEN 'val'
-              |      ELSE 'test' END AS split,
+              |    ${sqlSplitOf("doc_id")} AS split,
               |    n_chars, CAST(len($sqlToks) AS BIGINT) AS n_toks
               |  FROM documents)
               |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3166,11 +3176,7 @@ object PipelineQueries {
     Q("q228_split_leakage",
       (s, d) => {
         import graft.text.Dedup
-        def split(idc: Column) = {
-          val bucket = floor(Hashing.hash32(idc) / lit(42949672.96))
-          when(bucket < 90, "train").when(bucket < 95, "val")
-            .otherwise("test")
-        }
+        def split(idc: Column) = splitOf(idc)
         val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id",
           "text", shingleN = 3, numHashes = 12, bands = 4)
         pairs
@@ -3185,12 +3191,7 @@ object PipelineQueries {
       oracleDyn = Some { () =>
         val q52 = VectorTextQueries.all
           .find(_.name == "q52_minhash_pairs").get.oracle.get
-        def sql(c: String) =
-          s"""CASE WHEN floor(${Hashing.sqlHash32(c)}
-             |      / 42949672.96) < 90 THEN 'train'
-             |    WHEN floor(${Hashing.sqlHash32(c)}
-             |      / 42949672.96) < 95 THEN 'val'
-             |    ELSE 'test' END""".stripMargin
+        def sql(c: String) = sqlSplitOf(c)
         s"""WITH pr AS ($q52),
            |lab AS (SELECT least(${sql("id_a")}, ${sql("id_b")}) AS split_lo,
            |    greatest(${sql("id_a")}, ${sql("id_b")}) AS split_hi
@@ -4466,11 +4467,6 @@ object PipelineQueries {
     Q("q261_release_manifest",
       (s, d) => {
         import graft.text.Dedup
-        def splitOf(idc: Column): Column = {
-          val bucket = floor(Hashing.hash32(idc) / lit(42949672.96))
-          when(bucket < 90, "train").when(bucket < 95, "val")
-            .otherwise("test")
-        }
         val docs = Tables.documents(s, d)
         val losers = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
           .filter(col("id") =!= col("cluster"))
@@ -4501,12 +4497,7 @@ object PipelineQueries {
       },
       oracle = None,
       oracleDyn = Some { () =>
-        def splitSql(c: String) =
-          s"""CASE WHEN floor(${Hashing.sqlHash32(c)}
-             |      / 42949672.96) < 90 THEN 'train'
-             |    WHEN floor(${Hashing.sqlHash32(c)}
-             |      / 42949672.96) < 95 THEN 'val'
-             |    ELSE 'test' END""".stripMargin
+        def splitSql(c: String) = sqlSplitOf(c)
         s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
            |base AS (SELECT d.doc_id, d.source,
            |    CAST(len($sqlToks) AS BIGINT) AS nt,

@@ -1,0 +1,516 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.Rounding.{pround, sqlRound}
+import graft.VectorTextQueries.{arrLit, sqlHash60, sqlToks}
+import graft.text.TextOps
+
+/** Round-13 additions: the *tuning and audit* layer of the
+  * training-data pipeline — clustering for curation (Lloyd's k-means),
+  * sketch-vs-exact counting audits (CountMin), index-parameter planning
+  * (the minhash-LSH S-curve), the IVF recall/cost trade-off curve, and
+  * vocabulary-coverage QA (OOV rates) for the frozen split. Everything
+  * here is either catalog-sized math or one-shuffle aggregation over
+  * the corpus; per-query 100 TB posture in each doc-comment.
+  */
+object TuningQueries {
+
+  /** Embedding dimensionality of the synthetic corpus (shared with the
+    * q30/q120/q191/q236 vector families). */
+  private val Dim = 64
+
+  /** Lloyd iterations for the registered k-means fit. */
+  private val LloydIters = 3
+
+  /** FIXED cluster count — the fixed-budget discipline (the q229/q236
+    * lesson applied to clustering): k is a model HYPERPARAMETER, not a
+    * corpus statistic. Seeds are the per-label means of the k lowest
+    * labels (= the full label set of the base corpus, so base-corpus
+    * results are identical to all-label seeding), and they stay k as
+    * the corpus — and its label space — grows. That pins the exact
+    * assignment at Θ(N·k) = corpus-LINEAR; a deployment that wants
+    * k ∝ N (SemDeDup's cluster knob) must accept Θ(N²/·) exact
+    * assignment or move to ANN-accelerated assignment — the trade
+    * q214's LSH-bucketed tier already demonstrates.
+    */
+  private val LloydK = 10
+
+  /** Per-(dataset dir) Lloyd fit artifact — the q204/FitArtifacts
+    * discipline: the fit is bit-reproducible (per-iteration centroids
+    * are 6-dp-rounded, so the trajectory is exact on both engines),
+    * hence reuse is value-identical to refit, and the dynamic oracle
+    * (q266) reads the same centroid literals the engine plan used.
+    */
+  private[graft] object LloydFit {
+    private val fits = new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[(Long, Long, Long, Long, Long)], Seq[(Long, Array[Double])])]()
+    def get(dir: String): Option[
+        (Seq[(Long, Long, Long, Long, Long)], Seq[(Long, Array[Double])])] =
+      Option(fits.get(dir))
+    def put(dir: String,
+        v: (Seq[(Long, Long, Long, Long, Long)], Seq[(Long, Array[Double])])): Unit =
+      fits.put(dir, v)
+    def lookup(dir: Option[String])
+        : Option[(Seq[(Long, Long, Long, Long, Long)], Seq[(Long, Array[Double])])] =
+      dir.flatMap(d => Option(fits.get(d))).orElse {
+        if (fits.size == 1) Some(fits.values.iterator.next()) else None
+      }
+    private[graft] def clear(): Unit = fits.clear()
+  }
+
+  /** Distributed Lloyd's k-means (Lloyd 1982 / MacQueen 1967, public
+    * knowledge) over the embedding corpus, seeded deterministically
+    * with the per-label means of the [[LloydK]] lowest labels (the
+    * q120 seed rule under the fixed-budget discipline) and iterated
+    * `iters` times. `reuse = false` (q263) always refits — the
+    * trajectory IS that query's payload, so its measured cost must be
+    * the fit's; `reuse = true` (q266) reads the per-dir artifact. Per iteration the distributed work is ONE job: the
+    * nearest-centroid assignment is a pure codegen'd expression over
+    * k broadcast centroid literals (the ivfAssign shape, keeping the
+    * winning d2), and the re-estimation folds means, cluster sizes,
+    * and inertia into a single (cluster, pos) aggregation with
+    * map-side combine. The k×dim collect per round is the learned
+    * hyperparameters — q210's epoch-loop pattern — so driver state is
+    * constant-size regardless of corpus size; at 100 TB the per-round
+    * cost is one scan + one 64k-cell shuffle, the canonical
+    * cached-dataset iterative-ML layout.
+    *
+    * Determinism: centroids are rounded to 6 dp each round (both
+    * engines compute identical literals despite shuffle-order double
+    * sums — the q120 argument), per-vector inertia contributions are
+    * 1e-6-quantized to BIGINT before summing (order-free integer
+    * arithmetic), and centroid drift is 1e-9-quantized from the
+    * already-rounded arrays, so the whole trajectory is exact parity.
+    *
+    * Returns (per-iteration per-cluster stats rows
+    * (iter, cluster, n_vecs, inertia_um, shift_nm), final centroids).
+    */
+  private[graft] def lloydFit(s: SparkSession, d: String,
+      iters: Int = LloydIters, reuse: Boolean = false)
+      : (Seq[(Long, Long, Long, Long, Long)], Seq[(Long, Array[Double])]) = {
+    val cached = if (reuse) LloydFit.get(d) else None
+    cached.getOrElse {
+      import org.apache.spark.sql.graft.GraftExpressions.arraySqDiff
+      val v = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("cl"),
+          col("embedding").cast("array<double>").as("emb"))
+      def assemble(rows: Seq[(Long, Int, Double)]): Seq[(Long, Array[Double])] =
+        rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cl, rs) =>
+          val arr = new Array[Double](Dim)
+          rs.foreach { case (_, pos, cv) => arr(pos - 1) = cv }
+          (cl, arr)
+        }
+      val seedRows = v.filter(col("cl") < LloydK)
+        .select(col("cl"), posexplode(col("emb")))
+        .withColumn("pos", col("pos") + 1)
+        .groupBy("cl", "pos").agg(pround(avg("col"), 6).as("cv"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      var cents = assemble(seedRows)
+      val stats = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      for (it <- 1 to iters) {
+        val scored = cents.map { case (cl, c) =>
+          struct(arraySqDiff(col("emb"), array(c.map(lit).toIndexedSeq: _*)).as("d2"),
+            lit(cl).as("cl"))
+        }
+        // array_min over (d2, cl) structs = argmin with low-cluster tie
+        // break — the same total order the oracle's row_number uses.
+        val best = array_min(array(scored.toIndexedSeq: _*))
+        val asg = v.select(col("emb"), best.getField("cl").as("acl"),
+          floor(best.getField("d2") * 1e6 + 0.5).cast("long").as("d2_um"))
+        val aggRows = asg.select(col("acl"), col("d2_um"), posexplode(col("emb")))
+          .withColumn("pos", col("pos") + 1)
+          .groupBy("acl", "pos")
+          .agg(pround(avg("col"), 6).as("cv"), count(lit(1)).as("n"),
+            sum("d2_um").as("in_um"))
+          .collect().toSeq
+        val newCents = assemble(aggRows.map(r =>
+          (r.getLong(0), r.getInt(1), r.getDouble(2))))
+        val prevMap = cents.toMap
+        val newMap = newCents.toMap
+        aggRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (cl, rs) =>
+          // n and inertia are replicated across the 64 pos cells of a
+          // cluster (each vector contributes one value per pos) — any
+          // row carries the cluster totals.
+          val n = rs.head.getLong(3)
+          val inUm = rs.head.getLong(4)
+          val p = prevMap(cl)
+          val c = newMap(cl)
+          var sq = 0.0
+          var j = 0
+          while (j < Dim) { val dd = c(j) - p(j); sq += dd * dd; j += 1 }
+          stats += ((it.toLong, cl, n, inUm, math.floor(sq * 1e9 + 0.5).toLong))
+        }
+        cents = newCents
+      }
+      val out = (stats.toSeq, cents)
+      LloydFit.put(d, out)
+      out
+    }
+  }
+
+  /** DuckDB mirror of [[lloydFit]]'s full trajectory: seed = per-label
+    * 6-dp-rounded means, then `iters` unrolled
+    * assign → stats → re-estimate → drift CTE blocks in lockstep with
+    * the engine's rounding points.
+    */
+  private def kmeansSql(iters: Int): String = {
+    def sq(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${Dim + 1}), j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+    val blocks = (1 to iters).map { i =>
+      s"""d$i AS (SELECT v.vec_id, cent.cl, ${sq("v.emb", "cent.c")} AS d2, v.emb
+         |  FROM v, cent${i - 1} cent),
+         |a$i AS (SELECT vec_id, cl, CAST(floor(d2 * 1e6 + 0.5) AS BIGINT) AS d2_um, emb
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2 ASC, cl ASC) AS rn FROM d$i) WHERE rn = 1),
+         |st$i AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(d2_um) AS BIGINT) AS inertia_um FROM a$i GROUP BY 1),
+         |cp$i AS (SELECT cl, pos, ${sqlRound("avg(emb[pos])", 6)} AS cv
+         |  FROM a$i, ps GROUP BY 1, 2),
+         |cent$i AS (SELECT cl, list(cv ORDER BY pos) AS c FROM cp$i GROUP BY 1),
+         |sh$i AS (SELECT n.cl,
+         |    CAST(floor(${sq("n.c", "p.c")} * 1e9 + 0.5) AS BIGINT) AS shift_nm
+         |  FROM cent$i n JOIN cent${i - 1} p ON n.cl = p.cl),
+         |o$i AS (SELECT CAST($i AS BIGINT) AS iter, st.cl AS cluster,
+         |    st.n_vecs, st.inertia_um, sh.shift_nm
+         |  FROM st$i st JOIN sh$i sh ON st.cl = sh.cl)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to iters).map(i => s"SELECT * FROM o$i").mkString("\n UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS cl,
+       |    embedding::DOUBLE[] AS emb FROM embeddings),
+       |ps AS (SELECT unnest(generate_series(1, $Dim)) AS pos),
+       |cp0 AS (SELECT cl, pos, ${sqlRound("avg(emb[pos])", 6)} AS cv
+       |  FROM v, ps WHERE cl < $LloydK GROUP BY 1, 2),
+       |cent0 AS (SELECT cl, list(cv ORDER BY pos) AS c FROM cp0 GROUP BY 1),
+       |$blocks
+       |$union
+       |ORDER BY iter, cluster""".stripMargin
+  }
+
+  /** CountMin depth (independent hash rows) and width (buckets/row). */
+  private val CmsD = 4
+  private val CmsW = 1024L
+
+  /** The four per-row bucket assignments of a token under the seeded
+    * md5 hash family — shared by the cell-count and estimate tiers. */
+  private def cmsBuckets(c: Column): Column =
+    array((0 until CmsD).map(i =>
+      pmod(TextOps.md5Hash60Seeded(c, i), lit(CmsW))).toIndexedSeq: _*)
+
+  private def sqlCmsBucket(w: String): String =
+    s"${sqlHash60(s"CAST(i AS VARCHAR) || ':' || $w")} % $CmsW"
+
+  private val clustering: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // q263: seeded Lloyd's k-means over the embedding corpus — the
+    // clustering primitive behind semantic curation (SemDeDup's cluster
+    // stage q212/q214, DSIR's domain buckets q213) promoted to a
+    // first-class multi-iteration fit with a full audit trajectory:
+    // per (iteration, cluster) the size, the 1e-6-quantized inertia
+    // mass, and the 1e-9-quantized centroid drift (the convergence
+    // signal a production fit monitors). 100 TB: per iteration one
+    // corpus scan against k broadcast literals + one 64k-cell
+    // aggregation; driver state is k×dim. The oracle recomputes the
+    // ENTIRE trajectory from scratch in SQL — no learned literals.
+    // ------------------------------------------------------------------
+    Q("q263_kmeans_lloyd",
+      (s, d) => {
+        import s.implicits._
+        val (stats, _) = lloydFit(s, d, LloydIters)
+        stats.toDF("iter", "cluster", "n_vecs", "inertia_um", "shift_nm")
+          .orderBy("iter", "cluster")
+      },
+      Some(kmeansSql(LloydIters))),
+
+    // ------------------------------------------------------------------
+    // q264: CountMin sketch vs exact — the counting analogue of q250's
+    // Misra–Gries audit (Cormode & Muthukrishnan 2005, public
+    // knowledge). The sketch is a d×w grid of counters updated at
+    // h_i(w) per hash row; a token's estimate is the MIN over its d
+    // cells and can only OVER-estimate (collisions add, never
+    // subtract). Engine and oracle both build the exact grid, so the
+    // output audits the sketch's real collision error on this corpus
+    // for the top-64 tokens. 100 TB: the grid is d·w = 4096 cells
+    // regardless of corpus size (map-side combine does almost all the
+    // work), the estimate tier joins the vocabulary against the
+    // BROADCAST grid, and the exact tier is the one corpus-sized
+    // aggregation — the same mass q40's exact dedup already pays.
+    // ------------------------------------------------------------------
+    Q("q264_countmin_audit",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+        val cells = toks.select(posexplode(cmsBuckets(col("w"))))
+          .groupBy(col("pos"), col("col"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("pos").as("i"), col("col").as("bucket"), col("cnt"))
+        val exact = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+        val eh = exact
+          .select(col("w"), col("exact_cnt"), posexplode(cmsBuckets(col("w"))))
+          .select(col("w"), col("exact_cnt"), col("pos").as("i"),
+            col("col").as("bucket"))
+        eh.join(broadcast(cells), Seq("i", "bucket"))
+          .groupBy("w", "exact_cnt").agg(min("cnt").as("est_cnt"))
+          .select(col("w").as("token"), col("exact_cnt"), col("est_cnt"),
+            (col("est_cnt") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("exact_cnt").desc, col("token").asc).limit(64)
+      },
+      Some(s"""WITH toks AS (SELECT unnest($sqlToks) AS w FROM documents),
+             |hi AS (SELECT unnest(range(0, $CmsD)) AS i),
+             |hx AS (SELECT i, ${sqlCmsBucket("w")} AS bucket FROM toks, hi),
+             |cells AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM hx GROUP BY 1, 2),
+             |exact AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+             |  FROM toks GROUP BY 1),
+             |eh AS (SELECT w, exact_cnt, i, ${sqlCmsBucket("w")} AS bucket
+             |  FROM exact, hi),
+             |est AS (SELECT w, exact_cnt, min(cnt) AS est_cnt
+             |  FROM eh JOIN cells USING (i, bucket) GROUP BY 1, 2)
+             |SELECT w AS token, exact_cnt, CAST(est_cnt AS BIGINT) AS est_cnt,
+             |  CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+             |FROM est ORDER BY exact_cnt DESC, token LIMIT 64""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q265: minhash-LSH parameter planner — the S-curve
+    // P(collide | s) = 1 − (1 − s^r)^b for every (bands b, rows r)
+    // layout within a 128-hash signature budget (Leskovec/Rajaraman/
+    // Ullman, "Mining of Massive Datasets" ch. 3, public knowledge),
+    // plus each layout's threshold s50 = (1 − 2^(−1/b))^(1/r) where
+    // the curve crosses 1/2. This is the design table behind the
+    // repo's own banded tiers (q52's 12×4, q239/q256's verified
+    // compositions): pick (b, r) whose s50 sits at the target Jaccard
+    // and whose sig_size fits the signature budget. Catalog-sized pure
+    // math on both engines — the plan costs nothing at any corpus
+    // size; it PRICES the plans that do.
+    // ------------------------------------------------------------------
+    Q("q265_lsh_plan",
+      (s, d) => {
+        import s.implicits._
+        def pAt(sv: Double) = pround(lit(1.0) -
+          pow(lit(1.0) - pow(lit(sv), col("r").cast("double")),
+            col("b").cast("double")), 6)
+        Seq(2, 4, 8, 16, 32, 64).toDF("b")
+          .crossJoin(Seq(1, 2, 4, 8, 16).toDF("r"))
+          .filter(col("b") * col("r") <= 128)
+          .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"),
+            (col("b") * col("r")).cast("long").as("sig_size"),
+            pround(pow(lit(1.0) - pow(lit(0.5), lit(1.0) / col("b").cast("double")),
+              lit(1.0) / col("r").cast("double")), 6).as("s50"),
+            pAt(0.5).as("p_at_050"), pAt(0.7).as("p_at_070"),
+            pAt(0.8).as("p_at_080"), pAt(0.9).as("p_at_090"))
+          .orderBy("b", "r")
+      },
+      Some {
+        def pAt(sv: String) = sqlRound(s"1.0 - pow(1.0 - pow($sv, CAST(r AS DOUBLE)), CAST(b AS DOUBLE))", 6)
+        s"""WITH g AS (SELECT b, r
+           |  FROM (SELECT unnest([2, 4, 8, 16, 32, 64]) AS b),
+           |       (SELECT unnest([1, 2, 4, 8, 16]) AS r)
+           |  WHERE b * r <= 128)
+           |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+           |  CAST(b * r AS BIGINT) AS sig_size,
+           |  ${sqlRound("pow(1.0 - pow(0.5, 1.0 / CAST(b AS DOUBLE)), 1.0 / CAST(r AS DOUBLE))", 6)} AS s50,
+           |  ${pAt("0.5")} AS p_at_050, ${pAt("0.7")} AS p_at_070,
+           |  ${pAt("0.8")} AS p_at_080, ${pAt("0.9")} AS p_at_090
+           |FROM g ORDER BY b, r""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // q266: IVF recall-vs-cost curve — sweep nprobe ∈ {1,2,4,8} over an
+    // IVF index whose coarse quantizer is the q263 k-means fit (Jégou,
+    // Douze, Schmid 2011's IVF layout; the sweep is how a production
+    // deployment picks its operating point). Query set is FIXED-BUDGET
+    // (the q236 lesson: ≈64 hash-chosen queries, so the exact truth
+    // tier stays corpus-LINEAR); per nprobe the output is mean
+    // recall@10 against the exact top-10 and the mean fraction of the
+    // corpus scanned — the two axes of the trade-off. 100 TB: corpus
+    // list assignment is a codegen'd broadcast-literal projection (the
+    // partition layout of a real IVF index), each query touches
+    // nprobe/k of the data, and every tier after the candidate join is
+    // query-budget-sized. Oracle embeds the fit's centroid literals
+    // (oracleDyn — the q204 discipline).
+    // ------------------------------------------------------------------
+    Q("q266_ivf_probe_sweep",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.graft.GraftExpressions.arraySqDiff
+        import graft.sim.Lsh
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // reuse = true: the trained coarse quantizer is an index
+        // artifact (production IVF trains once and serves many sweeps);
+        // value-identical to refit — the fit is bit-reproducible.
+        val cents = lloydFit(s, d, LloydIters, reuse = true)._2.map(_._2).toArray
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val thr = emb.agg(count(lit(1)).as("c"))
+          .select(floor(lit(64L * 4294967296L).cast("double") /
+            col("c").cast("double")).as("thr"))
+        val tagged = emb.crossJoin(broadcast(thr))
+          .withColumn("is_q", Hashing.hash32(col("vec_id")) < col("thr"))
+          .persist(lvl)
+        val queries = tagged.filter(col("is_q"))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val corpus = tagged.filter(!col("is_q"))
+          .select(col("vec_id"), col("v"))
+          .withColumn("list", Lsh.ivfAssign(col("v"), cents))
+        val probes = queries
+          .select(col("query_id"), col("qv"),
+            posexplode(Lsh.ivfProbe(col("qv"), cents, nprobe = 8)))
+          .select(col("query_id"), col("qv"), (col("pos") + 1).as("prank"),
+            col("col").as("plist"))
+        val cand = corpus.join(broadcast(probes), col("list") === col("plist"))
+          .withColumn("d2", arraySqDiff(col("v"), col("qv")))
+        val sweep = Seq(1, 2, 4, 8).toDF("nprobe")
+        val cands = cand.join(broadcast(sweep), col("prank") <= col("nprobe"))
+        val wTop = Window.partitionBy("nprobe", "query_id")
+          .orderBy(col("d2").asc, col("vec_id").asc)
+        val top10 = cands.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 10).select("nprobe", "query_id", "vec_id")
+        val wTruth = Window.partitionBy("query_id")
+          .orderBy(col("d2").asc, col("vec_id").asc)
+        val truth = corpus.crossJoin(broadcast(queries))
+          .withColumn("d2", arraySqDiff(col("v"), col("qv")))
+          .withColumn("rn", row_number().over(wTruth))
+          .filter(col("rn") <= 10).select("query_id", "vec_id")
+        val hits = top10.join(truth, Seq("query_id", "vec_id"))
+          .groupBy("nprobe", "query_id").agg(count(lit(1)).as("n_hits"))
+        val scanned = cands.groupBy("nprobe", "query_id")
+          .agg(count(lit(1)).as("n_cand"))
+        val ncorp = corpus.agg(count(lit(1)).as("n_corpus"))
+        sweep.crossJoin(queries.select("query_id"))
+          .join(hits, Seq("nprobe", "query_id"), "left")
+          .join(scanned, Seq("nprobe", "query_id"), "left")
+          .groupBy("nprobe")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(coalesce(col("n_hits"), lit(0L))).as("sh"),
+            sum(coalesce(col("n_cand"), lit(0L))).as("sc"))
+          .crossJoin(broadcast(ncorp))
+          .select(col("nprobe").cast("long").as("nprobe"), col("n_queries"),
+            pround(col("sh").cast("double") /
+              (lit(10.0) * col("n_queries").cast("double")), 6)
+              .as("mean_recall_at_10"),
+            pround(col("sc").cast("double") /
+              (col("n_queries").cast("double") * col("n_corpus").cast("double")), 6)
+              .as("mean_cand_frac"))
+          .orderBy("nprobe")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        LloydFit.lookup(Queries.OracleDumpContext.sfDir) match {
+          case Some((_, cents)) =>
+            val centRows = cents.map(_._2).zipWithIndex.map { case (c, i) =>
+              s"(CAST($i AS BIGINT), ${arrLit(c)}::DOUBLE[])"
+            }.mkString(",\n    ")
+            def sq(a: String, b: String) =
+              s"list_sum(list_transform(range(1, ${Dim + 1}), j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+            s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM e),
+               |thr AS (SELECT floor(CAST(64 * 4294967296 AS DOUBLE)
+               |    / CAST(cnt AS DOUBLE)) AS t FROM nn),
+               |q AS (SELECT vec_id AS query_id, v AS qv FROM e, thr
+               |  WHERE ${Hashing.sqlHash32("vec_id")} < t),
+               |co AS (SELECT vec_id, v FROM e, thr
+               |  WHERE NOT (${Hashing.sqlHash32("vec_id")} < t)),
+               |cents AS (SELECT * FROM (VALUES
+               |    $centRows) t(li, cv)),
+               |asg0 AS (SELECT co.vec_id, co.v, cents.li,
+               |    ${sq("co.v", "cents.cv")} AS d2 FROM co, cents),
+               |asgc AS (SELECT vec_id, v, li AS list FROM
+               |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+               |      ORDER BY d2 ASC, li ASC) AS rn FROM asg0) WHERE rn = 1),
+               |qp0 AS (SELECT q.query_id, q.qv, cents.li,
+               |    ${sq("q.qv", "cents.cv")} AS d2 FROM q, cents),
+               |qprobe AS (SELECT query_id, qv, li AS list,
+               |    row_number() OVER (PARTITION BY query_id
+               |      ORDER BY d2 ASC, li ASC) AS prank FROM qp0),
+               |tr0 AS (SELECT q.query_id, co.vec_id, ${sq("co.v", "q.qv")} AS d2
+               |  FROM co, q),
+               |truth AS (SELECT query_id, vec_id FROM
+               |  (SELECT *, row_number() OVER (PARTITION BY query_id
+               |      ORDER BY d2 ASC, vec_id ASC) AS rn FROM tr0) WHERE rn <= 10),
+               |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+               |cand AS (SELECT np.nprobe, p.query_id, a.vec_id,
+               |    ${sq("a.v", "p.qv")} AS d2
+               |  FROM np, qprobe p JOIN asgc a ON a.list = p.list
+               |  WHERE p.prank <= np.nprobe),
+               |top10 AS (SELECT nprobe, query_id, vec_id FROM
+               |  (SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+               |      ORDER BY d2 ASC, vec_id ASC) AS rn FROM cand) WHERE rn <= 10),
+               |hits AS (SELECT t.nprobe, t.query_id,
+               |    CAST(count(*) AS BIGINT) AS n_hits
+               |  FROM top10 t JOIN truth USING (query_id, vec_id) GROUP BY 1, 2),
+               |sc AS (SELECT nprobe, query_id, CAST(count(*) AS BIGINT) AS n_cand
+               |  FROM cand GROUP BY 1, 2),
+               |base AS (SELECT np.nprobe, q.query_id FROM np, q),
+               |j AS (SELECT b.nprobe, b.query_id,
+               |    coalesce(h.n_hits, 0) AS n_hits, coalesce(sc.n_cand, 0) AS n_cand
+               |  FROM base b
+               |  LEFT JOIN hits h ON b.nprobe = h.nprobe AND b.query_id = h.query_id
+               |  LEFT JOIN sc ON b.nprobe = sc.nprobe AND b.query_id = sc.query_id)
+               |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+               |  CAST(count(*) AS BIGINT) AS n_queries,
+               |  ${sqlRound("CAST(sum(n_hits) AS DOUBLE) / (10.0 * count(*))", 6)}
+               |    AS mean_recall_at_10,
+               |  ${sqlRound("CAST(sum(n_cand) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * (SELECT CAST(count(*) AS DOUBLE) FROM co))", 6)}
+               |    AS mean_cand_frac
+               |FROM j GROUP BY nprobe ORDER BY nprobe""".stripMargin
+          case None =>
+            "SELECT 'q266 oracle requested before the query ran for this dir' AS err"
+        }
+      }),
+
+    // ------------------------------------------------------------------
+    // q267: out-of-vocabulary audit of the frozen split — for every
+    // non-train (source, split) cell, the fraction of token OCCURRENCES
+    // and token TYPES unseen in the train split's vocabulary. This is
+    // the release-QA check that the tokenizer/vocab fit on train
+    // actually covers val/test (a high OOV rate means the split
+    // stratification broke, or a source only contributes to eval).
+    // Uses the SAME split law as q226/q228/q261 (PipelineQueries.splitOf
+    // — one definition, cannot drift). 100 TB: one corpus-sized token
+    // explode, a vocabulary equi-join (hash join on the token — the
+    // vocabulary is the small side after train dedup), and a
+    // catalog-sized rollup.
+    // ------------------------------------------------------------------
+    Q("q267_oov_rate",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"),
+            PipelineQueries.splitOf(col("doc_id")).as("split"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+        val trainV = toks.filter(col("split") === "train")
+          .select("w").distinct().withColumn("seen", lit(1))
+        toks.filter(col("split") =!= "train")
+          .join(trainV, Seq("w"), "left")
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov"),
+            countDistinct(col("w")).as("n_types"),
+            countDistinct(when(col("seen").isNull, col("w"))).as("n_oov_types"))
+          .select(col("source"), col("split"), col("n_tokens"), col("n_oov"),
+            pround(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+              .as("oov_rate"),
+            col("n_types"), col("n_oov_types"),
+            pround(col("n_oov_types").cast("double") / col("n_types").cast("double"), 6)
+              .as("oov_type_rate"))
+          .orderBy("source", "split")
+      },
+      Some(s"""WITH t AS (SELECT source, ${PipelineQueries.sqlSplitOf("doc_id")} AS split,
+             |    unnest($sqlToks) AS w FROM documents),
+             |tv AS (SELECT DISTINCT w FROM t WHERE split = 'train'),
+             |ev AS (SELECT t.source, t.split, t.w,
+             |    CASE WHEN tv.w IS NULL THEN 1 ELSE 0 END AS oov
+             |  FROM t LEFT JOIN tv ON t.w = tv.w WHERE t.split <> 'train')
+             |SELECT source, split, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(oov) AS BIGINT) AS n_oov,
+             |  ${sqlRound("CAST(sum(oov) AS DOUBLE) / count(*)", 6)} AS oov_rate,
+             |  CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+             |  CAST(count(DISTINCT CASE WHEN oov = 1 THEN w END) AS BIGINT)
+             |    AS n_oov_types,
+             |  ${sqlRound("CAST(count(DISTINCT CASE WHEN oov = 1 THEN w END) AS DOUBLE) / count(DISTINCT w)", 6)} AS oov_type_rate
+             |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+
+  val all: Seq[Q] = clustering
+}

@@ -1,0 +1,100 @@
+package graft
+
+/** Semantic pins for the round-13 tuning/audit family (q263–q267).
+  * Hash-level engine/oracle parity lives in the DuckDB oracles; these
+  * tests pin the LAWS each query's semantics promise — the properties
+  * a user of the operator would rely on, independent of the corpus.
+  */
+class TuningSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    Queries.all.find(_.name == name).get.run(spark, sf).collect()
+
+  test("q263: Lloyd trajectory conserves mass and never increases total inertia") {
+    val rows = run("q263_kmeans_lloyd")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = Tables.embeddings(spark, sf).count()
+    val byIter = rows.groupBy(_._1)
+    assert(byIter.keySet == Set(1L, 2L, 3L))
+    byIter.foreach { case (it, rs) =>
+      assert(rs.map(_._3).sum == n, s"iter $it: cluster sizes don't sum to corpus")
+    }
+    // Lloyd's descent property: each assign+re-estimate step can only
+    // lower the total within-cluster mass. Centroid rounding perturbs
+    // at the 1e-6 scale — allow one micro-unit per vector of slack.
+    val totals = (1 to 3).map(i => byIter(i.toLong).map(_._4).sum)
+    assert(totals(1) <= totals(0) + n && totals(2) <= totals(1) + n,
+      s"inertia not descending: $totals")
+    // Drift is reported against the PREVIOUS iteration's centroids and
+    // must shrink as the fit converges on this corpus.
+    val shifts = (1 to 3).map(i => byIter(i.toLong).map(_._5).sum)
+    assert(shifts(2) <= shifts(0), s"centroid drift grew across rounds: $shifts")
+  }
+
+  test("q264: CountMin estimates never underestimate and agree with a recount") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q264_countmin_audit")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 31) // full vocab of the synthetic corpus < 64
+    rows.foreach { case (tok, exact, est, over) =>
+      assert(est >= exact, s"'$tok': CMS underestimated ($est < $exact)")
+      assert(over == est - exact, s"'$tok': overcount column inconsistent")
+    }
+    val top = rows.maxBy(_._2)
+    val recount = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") === top._1).count()
+    assert(recount == top._2, s"top token exact count ${top._2} != recount $recount")
+  }
+
+  test("q265: the S-curve table is monotone in b and crosses 1/2 at s50") {
+    val rows = run("q265_lsh_plan")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    rows.foreach { case (b, r, sig, s50, _, _, _, _) =>
+      assert(sig == b * r && sig <= 128)
+      assert(s50 > 0.0 && s50 < 1.0)
+      // P(s50) = 1 − (1 − s50^r)^b must be 1/2 by construction (s50 is
+      // published at 6 dp → tolerance loosened accordingly).
+      val p = 1.0 - math.pow(1.0 - math.pow(s50, r.toDouble), b.toDouble)
+      assert(math.abs(p - 0.5) < 1e-3, s"(b=$b,r=$r): P(s50)=$p")
+    }
+    // More bands at fixed rows ⇒ curve shifts left: s50 strictly drops.
+    rows.groupBy(_._2).foreach { case (r, rs) =>
+      val byB = rs.sortBy(_._1).map(_._4)
+      assert(byB.zip(byB.tail).forall { case (a, c) => c < a },
+        s"r=$r: s50 not decreasing in b")
+    }
+  }
+
+  test("q266: recall and scan cost are monotone in nprobe; recall@full-probe is high") {
+    val rows = run("q266_ivf_probe_sweep")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(rows.map(_._2).distinct.length == 1, "query budget differs across rows")
+    val recalls = rows.map(_._3)
+    val fracs = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone in nprobe: ${recalls.toSeq}")
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => b >= a },
+      s"scan cost not monotone in nprobe: ${fracs.toSeq}")
+    assert(fracs.forall(f => f > 0.0 && f <= 1.0))
+    // Probing 8 of 10 lists must recover most of the exact top-10.
+    assert(recalls.last >= 0.8, s"recall@nprobe=8 is ${recalls.last}")
+  }
+
+  test("q267: OOV output covers only eval splits and its rates are consistent") {
+    val rows = run("q267_oov_rate")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, split, nTok, nOov, rate, nTyp, nOovTyp, typeRate) =>
+      assert(split == "val" || split == "test", s"unexpected split '$split'")
+      assert(nOov <= nTok && nOovTyp <= nTyp)
+      assert(approx(rate, nOov.toDouble / nTok, 1e-5))
+      assert(approx(typeRate, nOovTyp.toDouble / nTyp, 1e-5))
+    }
+  }
+}
