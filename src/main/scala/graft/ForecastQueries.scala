@@ -1710,7 +1710,71 @@ object ForecastQueries {
            |FROM ($sel) ORDER BY epoch""".stripMargin
       }))
 
+  // ------------------------------------------------------------------
+  // q268: range-based realized-volatility estimators on daily OHLC bars
+  // — Parkinson (1980), Garman–Klass (1980), Rogers–Satchell (1991),
+  // all public knowledge. Each daily bar contributes one term per
+  // estimator; terms are 1e-9-quantized to BIGINT before summing
+  // (order-free integer arithmetic — the q249 discipline), and the
+  // per-user estimate is the exact rational mean rounded at the end.
+  // The Garman–Klass term can be negative on drift-heavy days and
+  // Rogers–Satchell is drift-robust by construction — both survive the
+  // signed quantization (pround's floor(x·p + 0.5) form is portable
+  // for negatives). 100 TB: one (user, day) aggregation with map-side
+  // combine, then a user-sized rollup; no joins, no windows.
+  // ------------------------------------------------------------------
+  private val riskEstimators: Seq[Q] = Seq(
+    Q("q268_realized_vol",
+      (s, d) => {
+        val bars = graft.Queries.barsResampled(s, d, 86400, emitEmpty = false)
+          // log-safety domain guard: all four bar prices must be
+          // strictly positive (the corpus satisfies it; the filter is
+          // the documented domain, not a data patch).
+          .filter(col("low") > 0)
+        def q9(c: org.apache.spark.sql.Column) =
+          floor(c * 1e9 + 0.5).cast("long")
+        val lhl = log(col("high") / col("low"))
+        val lco = log(col("close") / col("open"))
+        val terms = bars.select(col("user_id"),
+          q9(lhl * lhl / lit(4.0 * math.log(2.0))).as("pk"),
+          q9(lit(0.5) * lhl * lhl -
+            lit(2.0 * math.log(2.0) - 1.0) * lco * lco).as("gk"),
+          q9(log(col("high") / col("close")) * log(col("high") / col("open")) +
+            log(col("low") / col("close")) * log(col("low") / col("open")))
+            .as("rs"))
+        terms.groupBy("user_id")
+          .agg(count(lit(1)).as("n_days"),
+            sum("pk").as("spk"), sum("gk").as("sgk"), sum("rs").as("srs"))
+          .select(col("user_id"), col("n_days"),
+            pround(col("spk").cast("double") / col("n_days") / 1e9, 6)
+              .as("parkinson"),
+            pround(col("sgk").cast("double") / col("n_days") / 1e9, 6)
+              .as("garman_klass"),
+            pround(col("srs").cast("double") / col("n_days") / 1e9, 6)
+              .as("rogers_satchell"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH b AS (SELECT user_id,
+             |    CAST(ceil(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_s,
+             |    arg_min(value, ts) AS open, max(value) AS high,
+             |    min(value) AS low, arg_max(value, ts) AS close
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT user_id,
+             |    CAST(floor((ln(high/low)*ln(high/low) / (4.0*ln(2.0))) * 1e9 + 0.5)
+             |      AS BIGINT) AS pk,
+             |    CAST(floor((0.5*ln(high/low)*ln(high/low)
+             |      - (2.0*ln(2.0) - 1.0)*ln(close/open)*ln(close/open)) * 1e9 + 0.5)
+             |      AS BIGINT) AS gk,
+             |    CAST(floor((ln(high/close)*ln(high/open)
+             |      + ln(low/close)*ln(low/open)) * 1e9 + 0.5) AS BIGINT) AS rs
+             |  FROM b WHERE low > 0)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+             |  ${sqlRound("CAST(sum(pk) AS DOUBLE) / count(*) / 1e9", 6)} AS parkinson,
+             |  ${sqlRound("CAST(sum(gk) AS DOUBLE) / count(*) / 1e9", 6)} AS garman_klass,
+             |  ${sqlRound("CAST(sum(rs) AS DOUBLE) / count(*) / 1e9", 6)} AS rogers_satchell
+             |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)))
+
   def all: Seq[Q] = forecasting ++ backtest ++ panel ++ streamed ++
     crossSection ++ stateSpace ++ detection ++ mining2 ++ cv ++ strategy ++
-    portfolio ++ streamed2 ++ training
+    portfolio ++ streamed2 ++ training ++ riskEstimators
 }

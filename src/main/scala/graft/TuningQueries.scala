@@ -510,7 +510,51 @@ object TuningQueries {
              |  CAST(count(DISTINCT CASE WHEN oov = 1 THEN w END) AS BIGINT)
              |    AS n_oov_types,
              |  ${sqlRound("CAST(count(DISTINCT CASE WHEN oov = 1 THEN w END) AS DOUBLE) / count(DISTINCT w)", 6)} AS oov_type_rate
-             |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q269: n-gram novelty by ingest order — for each document, the
+    // fraction of its DISTINCT word-3-grams whose first corpus
+    // occurrence (min doc_id, the ingest order q248's incremental tier
+    // already uses) is the document itself. Low novelty late in the
+    // stream = boilerplate/memorization mass; the per-doc score is the
+    // n-gram-level complement of the q40/q107 document-level dedup
+    // signals (Lee et al. 2022's repetition analysis works at exactly
+    // this granularity). Grams are md5-hashed to 60-bit keys before
+    // the shuffle — the q211 lesson (hash keys are 2.3× cheaper than
+    // string grams at 100×); any collision folds identically on both
+    // engines, so parity is unaffected. 100 TB: one gram-keyed
+    // aggregation (the q206/q211 shuffle mass), one same-keyed join
+    // back, one doc-sized rollup — all linear, no pair tier.
+    // ------------------------------------------------------------------
+    Q("q269_ngram_novelty",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(
+            TextOps.wordShingles(col("text"), 3))).as("g"))
+          .select(col("doc_id"), TextOps.md5Hash60(col("g")).as("h"))
+        val first = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+        grams.join(first, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            pround(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+             |gr AS (SELECT doc_id, ${sqlHash60("s0")} AS h FROM (
+             |  SELECT doc_id, unnest(list_distinct(${VectorTextQueries.sqlShingles(3)})) AS s0
+             |  FROM toks WHERE len(toks) >= 3)),
+             |f AS (SELECT h, min(doc_id) AS first_doc FROM gr GROUP BY 1)
+             |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_novel,
+             |  ${sqlRound("CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS novelty
+             |FROM gr JOIN f USING (h) GROUP BY gr.doc_id
+             |ORDER BY gr.doc_id""".stripMargin)))
 
   val all: Seq[Q] = clustering
 }

@@ -1,9 +1,9 @@
 package graft
 
-/** Semantic pins for the round-13 tuning/audit family (q263–q267).
-  * Hash-level engine/oracle parity lives in the DuckDB oracles; these
-  * tests pin the LAWS each query's semantics promise — the properties
-  * a user of the operator would rely on, independent of the corpus.
+/** Semantic pins for the round-13 family (q263–q269). Hash-level
+  * engine/oracle parity lives in the DuckDB oracles; these tests pin
+  * the LAWS each query's semantics promise — the properties a user of
+  * the operator would rely on, independent of the corpus.
   */
 class TuningSpec extends SparkSpec {
 
@@ -83,6 +83,62 @@ class TuningSpec extends SparkSpec {
     assert(fracs.forall(f => f > 0.0 && f <= 1.0))
     // Probing 8 of 10 lists must recover most of the exact top-10.
     assert(recalls.last >= 0.8, s"recall@nprobe=8 is ${recalls.last}")
+  }
+
+  test("q268: Parkinson and Rogers–Satchell are non-negative; Parkinson matches a driver recount") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q268_realized_vol")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, nDays, pk, _, rs) =>
+      assert(nDays >= 1)
+      // H ≥ L always ⇒ ln(H/L)² ≥ 0; H ≥ C,O and L ≤ C,O ⇒ the RS
+      // product terms are both ≥ 0 — Garman–Klass alone may go negative
+      // on drift-heavy days.
+      assert(pk >= 0.0, s"user $u: negative Parkinson $pk")
+      assert(rs >= 0.0, s"user $u: negative Rogers–Satchell $rs")
+    }
+    // Independent recount for the first user straight from raw events
+    // (drives the same daily-bar definition by hand).
+    val u0 = rows.head._1
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") === u0 && col("value").isNotNull && col("ts").isNotNull)
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val daily = evs.groupBy(t => math.ceil(t._1 / 86400e6).toLong * 86400)
+      .values.map { es =>
+        val sorted = es.sortBy(_._1)
+        (sorted.head._2, es.map(_._2).max, es.map(_._2).min, sorted.last._2)
+      }.filter(_._3 > 0).toSeq
+    val pkTerms = daily.map { case (_, h, l, _) =>
+      math.floor(math.pow(math.log(h / l), 2) / (4 * math.log(2)) * 1e9 + 0.5).toLong
+    }
+    val expect = math.floor(pkTerms.sum.toDouble / pkTerms.length / 1e9 * 1e6 + 0.5) / 1e6
+    assert(rows.head._2 == pkTerms.length.toLong, "n_days mismatch vs recount")
+    assert(approx(rows.head._3, expect, 1e-9), s"parkinson ${rows.head._3} != $expect")
+  }
+
+  test("q269: novelty mass conserves the distinct-gram count and the first doc is fully novel") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q269_ngram_novelty")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { case (doc, ng, nn, nov) =>
+      assert(nn <= ng, s"doc $doc: more novel grams than grams")
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // Every distinct gram hash is first-seen in exactly one document ⇒
+    // Σ n_novel = |distinct gram hashes in the corpus|.
+    val distinctGrams = Tables.documents(spark, sf)
+      .select(explode(array_distinct(
+        graft.text.TextOps.wordShingles(col("text"), 3))).as("g"))
+      .select(graft.text.TextOps.md5Hash60(col("g")).as("h"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctGrams,
+      s"novelty mass ${rows.map(_._3).sum} != distinct grams $distinctGrams")
+    // The lowest doc_id that has grams can only contain first-seen ones.
+    val firstDoc = rows.minBy(_._1)
+    assert(firstDoc._4 == 1.0, s"first doc novelty ${firstDoc._4} != 1.0")
   }
 
   test("q267: OOV output covers only eval splits and its rates are consistent") {
