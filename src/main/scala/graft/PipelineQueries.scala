@@ -4523,8 +4523,74 @@ object PipelineQueries {
            |GROUP BY b.source, b.split ORDER BY b.source, b.split""".stripMargin
       }))
 
+  // ------------------------------------------------------------------
+  // q270: quality-ranked cluster representatives — the OTHER production
+  // dedup policy. q125/q258 keep each near-dup cluster's FIRST member
+  // (min doc_id, the ingest-order rule); real curation pipelines often
+  // keep the BEST member instead (highest quality score, e.g. the
+  // CCNet/RefinedWeb keep rule). This query scores every clustered doc
+  // with the q215 NB quality model over the measured-linear banded-
+  // verified cluster tier, elects argmax-(score, min-id) per cluster,
+  // and reports per cluster how the two policies differ (kept_first)
+  // and how much quality the keep-first rule leaves behind
+  // (quality_gain, exact integer score delta re-scaled). Scores stay
+  // quantized BIGINTs through the argmax so the election is
+  // engine-exact. 100 TB: rides the banded pair tier + components
+  // (both measured linear) and q215's aggregation shape; the election
+  // is one window over cluster-sized groups. Oracle = the two
+  // registered CTE chains nested verbatim (comp from the banded chain,
+  // ds from the NB chain) — the drift-proof composition pattern.
+  // ------------------------------------------------------------------
+  private val keepBest: Seq[Q] = Seq(
+    Q("q270_dedup_keep_best",
+      (s, d) => {
+        import graft.text.Dedup
+        val comp = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
+        val m = comp.join(
+          nbDocScores(s, d).select(col("doc_id").as("id"), col("score_q")), "id")
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("score_q").desc, col("id").asc)
+        val best = m.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("cluster"), col("id").as("best_doc"),
+            col("score_q").as("best_q"))
+        val firstS = m.filter(col("id") === col("cluster"))
+          .select(col("cluster"), col("score_q").as("first_q"))
+        val sizes = m.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+        sizes.join(best, "cluster").join(firstS, "cluster")
+          .select(col("cluster"), col("n_members"), col("best_doc"),
+            pround(col("best_q").cast("double") / 1e9, 6).as("best_score"),
+            (col("best_doc") === col("cluster")).cast("long").as("kept_first"),
+            pround((col("best_q") - col("first_q")).cast("double") / 1e9, 6)
+              .as("quality_gain"))
+          .orderBy("cluster")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
+           |$nbScoreSqlCtes,
+           |kbm AS (SELECT c.doc_id AS id, c.cluster, ds.score_q
+           |  FROM comp c JOIN ds ON ds.doc_id = c.doc_id),
+           |kbb AS (SELECT cluster, id AS best_doc, score_q AS best_q FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY cluster
+           |      ORDER BY score_q DESC, id ASC) AS rn FROM kbm) WHERE rn = 1),
+           |kbf AS (SELECT cluster, score_q AS first_q FROM kbm
+           |  WHERE id = cluster),
+           |kbs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM kbm GROUP BY 1)
+           |SELECT s.cluster, s.n_members, b.best_doc,
+           |  ${sqlRound("CAST(b.best_q AS DOUBLE) / 1e9", 6)} AS best_score,
+           |  CAST(b.best_doc = s.cluster AS BIGINT) AS kept_first,
+           |  ${sqlRound("CAST(b.best_q - f.first_q AS DOUBLE) / 1e9", 6)}
+           |    AS quality_gain
+           |FROM kbs s JOIN kbb b ON b.cluster = s.cluster
+           |JOIN kbf f ON f.cluster = s.cluster
+           |ORDER BY s.cluster""".stripMargin
+      }))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
       ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
-      retrievalEval ++ lm2 ++ whiten ++ curation ++ policy ++ bandedTwins
+      retrievalEval ++ lm2 ++ whiten ++ curation ++ policy ++ bandedTwins ++
+      keepBest
 }

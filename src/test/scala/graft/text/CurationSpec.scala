@@ -1134,4 +1134,27 @@ class CurationSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("q270: keep-best election laws — gain iff the policies differ, members bound the winner") {
+    val out = q("q270_dedup_keep_best").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (cluster, n, bestDoc, _, keptFirst, gain) =>
+      // Clusters come from verified PAIRS, so every cluster has ≥ 2
+      // members, and the cluster id is its min member — the winner can
+      // never precede it.
+      assert(n >= 2, s"cluster $cluster has $n member(s)")
+      assert(bestDoc >= cluster, s"cluster $cluster elected $bestDoc < min id")
+      // Ties elect the lowest id (= the cluster/min member), so the two
+      // policies differ EXACTLY when strictly positive quality is left
+      // behind by keep-first.
+      assert(gain >= 0.0, s"cluster $cluster: negative quality gain $gain")
+      // One-directional: keep-first ⇒ zero gain (the converse can fail
+      // only through 6-dp rounding of a sub-micro integer delta).
+      assert(keptFirst != 1L || gain == 0.0,
+        s"cluster $cluster: kept_first but gain=$gain")
+      assert((keptFirst == 1L) == (bestDoc == cluster))
+    }
+  }
 }
