@@ -54,7 +54,12 @@ object Bench {
     "q221_bpe_train", "q222_bpe_apply",
     "q223_lsh_dedup_eval", "q229_dedup_eval_budget", "q230_bpe_batch",
     "q256_simhash_banded", "q259_jaccard_pairs_banded", "q260_bpe_phrase_1k",
-    "q261_release_manifest", "q262_flagship_pca_whitened")
+    "q261_release_manifest", "q262_flagship_pca_whitened",
+    // Round-13 family representatives (the full family is in
+    // bench_full.json): clustering fit, gram-novelty shuffle mass,
+    // keep-best dedup policy. 55 entries ≈ 1.78 KB — still inside the
+    // driver's ~2 KB tail capture with error-field headroom.
+    "q263_kmeans_lloyd", "q269_ngram_novelty", "q270_dedup_keep_best")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")
