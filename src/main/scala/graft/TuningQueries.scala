@@ -462,6 +462,74 @@ object TuningQueries {
       }),
 
     // ------------------------------------------------------------------
+    // q271: IVF list-balance audit — per-list population, corpus
+    // fraction, and load factor (n·k/total, 1.0 = uniform) of the q263
+    // coarse quantizer, INCLUDING empty lists (a scaffold join — an
+    // audit that hides empties under-reports skew). This is the skew
+    // report behind q266's cost column: a probe touches nprobe/k of
+    // the data only when lists are balanced; a hot list (load ≫ 1)
+    // is exactly the partition-skew failure AQE's skew-join handling
+    // and salting exist for, surfaced here at index-design time where
+    // it is cheapest to fix (re-fit, split the hot list, or salt it).
+    // 100 TB: one codegen'd broadcast-literal assignment + a k-cell
+    // aggregation; output is k rows at any corpus size.
+    // ------------------------------------------------------------------
+    Q("q271_ivf_balance",
+      (s, d) => {
+        import s.implicits._
+        import graft.sim.Lsh
+        val cents = lloydFit(s, d, LloydIters, reuse = true)._2.map(_._2).toArray
+        val assigned = Tables.embeddings(s, d)
+          .select(col("embedding").cast("array<double>").as("v"))
+          .select(Lsh.ivfAssign(col("v"), cents).as("list"))
+        val sizes = assigned.groupBy("list").agg(count(lit(1)).as("n_vecs"))
+        val total = assigned.agg(count(lit(1)).as("n_total"))
+        (0 until cents.length).toDF("list")
+          .join(sizes, Seq("list"), "left")
+          .crossJoin(broadcast(total))
+          .select(col("list").cast("long").as("list"),
+            coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+            pround(coalesce(col("n_vecs"), lit(0L)).cast("double") /
+              col("n_total").cast("double"), 6).as("frac"),
+            pround(coalesce(col("n_vecs"), lit(0L)).cast("double") *
+              lit(cents.length.toDouble) / col("n_total").cast("double"), 6)
+              .as("load"))
+          .orderBy("list")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        LloydFit.lookup(Queries.OracleDumpContext.sfDir) match {
+          case Some((_, cents)) =>
+            val k = cents.length
+            val centRows = cents.map(_._2).zipWithIndex.map { case (c, i) =>
+              s"(CAST($i AS BIGINT), ${arrLit(c)}::DOUBLE[])"
+            }.mkString(",\n    ")
+            def sq(a: String, b: String) =
+              s"list_sum(list_transform(range(1, ${Dim + 1}), j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+            s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               |cents AS (SELECT * FROM (VALUES
+               |    $centRows) t(li, cv)),
+               |asg0 AS (SELECT e.vec_id, cents.li, ${sq("e.v", "cents.cv")} AS d2
+               |  FROM e, cents),
+               |asgc AS (SELECT vec_id, li AS list FROM
+               |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+               |      ORDER BY d2 ASC, li ASC) AS rn FROM asg0) WHERE rn = 1),
+               |sz AS (SELECT list, CAST(count(*) AS BIGINT) AS n_vecs
+               |  FROM asgc GROUP BY 1),
+               |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM asgc),
+               |ls AS (SELECT unnest(range(0, $k)) AS list)
+               |SELECT CAST(ls.list AS BIGINT) AS list,
+               |  coalesce(sz.n_vecs, 0) AS n_vecs,
+               |  ${sqlRound("CAST(coalesce(sz.n_vecs, 0) AS DOUBLE) / CAST(tot.n_total AS DOUBLE)", 6)} AS frac,
+               |  ${sqlRound(s"CAST(coalesce(sz.n_vecs, 0) AS DOUBLE) * $k.0 / CAST(tot.n_total AS DOUBLE)", 6)} AS load
+               |FROM ls LEFT JOIN sz ON sz.list = ls.list CROSS JOIN tot
+               |ORDER BY list""".stripMargin
+          case None =>
+            "SELECT 'q271 oracle requested before the query ran for this dir' AS err"
+        }
+      }),
+
+    // ------------------------------------------------------------------
     // q267: out-of-vocabulary audit of the frozen split — for every
     // non-train (source, split) cell, the fraction of token OCCURRENCES
     // and token TYPES unseen in the train split's vocabulary. This is

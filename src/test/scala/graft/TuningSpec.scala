@@ -141,6 +141,20 @@ class TuningSpec extends SparkSpec {
     assert(firstDoc._4 == 1.0, s"first doc novelty ${firstDoc._4} != 1.0")
   }
 
+  test("q271: balance audit partitions the corpus and loads average to 1") {
+    val rows = run("q271_ivf_balance")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == n, "list populations don't partition the corpus")
+    rows.foreach { case (l, nv, frac, load) =>
+      assert(nv >= 0 && frac >= 0.0 && frac <= 1.0)
+      assert(approx(load, frac * 10.0, 1e-5), s"list $l: load != k*frac")
+    }
+    // Mean load is 1.0 by construction (Σ n·k/total over k lists = k).
+    assert(approx(rows.map(_._4).sum / 10.0, 1.0, 1e-4))
+  }
+
   test("q267: OOV output covers only eval splits and its rates are consistent") {
     val rows = run("q267_oov_rate")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
