@@ -581,6 +581,66 @@ object TuningQueries {
              |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // q272: Benford first-digit audit of the price stream — the classic
+    // financial-data forensic screen (Benford 1938; Nigrini's fraud-
+    // audit practice, public knowledge): naturally occurring positive
+    // magnitudes have first-digit frequencies log10(1 + 1/d), and a
+    // fabricated or truncated feed shows up as excess χ² mass. Output
+    // is one row per digit 1–9 (scaffolded, so a digit with ZERO
+    // observations still reports — an audit that drops empty cells
+    // hides exactly the anomaly it looks for) with observed count/
+    // fraction, the Benford expectation, and the χ² contribution.
+    // First digit = floor(v / 10^floor(log10 v)) — decade-boundary
+    // doubles (1, 10, 100…) are exact in both engines' log10. 100 TB:
+    // one scan → 9-cell aggregation with map-side combine; the rollup
+    // is constant-size at any corpus.
+    // ------------------------------------------------------------------
+    Q("q272_benford",
+      (s, d) => {
+        import s.implicits._
+        val digits = Tables.events(s, d)
+          .filter(col("value").isNotNull && col("value") > 0)
+          .select(floor(col("value") /
+            pow(lit(10.0), floor(log10(col("value"))))).cast("long").as("digit"))
+        val obs = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val total = digits.agg(count(lit(1)).as("n_total"))
+        (1 to 9).toDF("digit").select(col("digit").cast("long").as("digit"))
+          .join(obs, Seq("digit"), "left")
+          .crossJoin(broadcast(total))
+          .select(col("digit"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+            pround(coalesce(col("n_obs"), lit(0L)).cast("double") /
+              col("n_total").cast("double"), 6).as("obs_frac"),
+            pround(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+              log(lit(10.0)), 6).as("benford_frac"),
+            pround(
+              pow(coalesce(col("n_obs"), lit(0L)).cast("double") -
+                col("n_total").cast("double") *
+                  (log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+                    log(lit(10.0))), 2.0) /
+                (col("n_total").cast("double") *
+                  (log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+                    log(lit(10.0)))), 6).as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some(s"""WITH dg AS (SELECT CAST(floor(value /
+             |      pow(10.0, floor(log10(value)))) AS BIGINT) AS digit
+             |  FROM events WHERE value IS NOT NULL AND value > 0),
+             |ob AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+             |  FROM dg GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dg),
+             |ds9 AS (SELECT unnest(range(1, 10)) AS digit),
+             |j AS (SELECT CAST(ds9.digit AS BIGINT) AS digit,
+             |    coalesce(ob.n_obs, 0) AS n_obs, tot.n_total,
+             |    ln(1.0 + 1.0 / ds9.digit) / ln(10.0) AS bf
+             |  FROM ds9 LEFT JOIN ob ON ob.digit = ds9.digit CROSS JOIN tot)
+             |SELECT digit, n_obs,
+             |  ${sqlRound("CAST(n_obs AS DOUBLE) / n_total", 6)} AS obs_frac,
+             |  ${sqlRound("bf", 6)} AS benford_frac,
+             |  ${sqlRound("pow(CAST(n_obs AS DOUBLE) - n_total * bf, 2.0) / (n_total * bf)", 6)} AS chi2_term
+             |FROM j ORDER BY digit""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // q269: n-gram novelty by ingest order — for each document, the
     // fraction of its DISTINCT word-3-grams whose first corpus
     // occurrence (min doc_id, the ingest order q248's incremental tier

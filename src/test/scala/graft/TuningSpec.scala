@@ -155,6 +155,24 @@ class TuningSpec extends SparkSpec {
     assert(approx(rows.map(_._4).sum / 10.0, 1.0, 1e-4))
   }
 
+  test("q272: digit scaffold is total, fractions sum to 1, expectations are Benford's") {
+    val rows = run("q272_benford")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1L to 9L))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "observed fractions don't sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "Benford fractions don't sum to 1")
+    rows.foreach { case (d, n, _, bf, chi2) =>
+      assert(n >= 0 && chi2 >= 0.0)
+      assert(approx(bf, math.log10(1.0 + 1.0 / d), 1e-5),
+        s"digit $d: expectation $bf isn't log10(1+1/$d)")
+    }
+    // First digits of real magnitudes are monotone-decreasing under
+    // Benford; the EXPECTATION column must be, whatever the data does.
+    val bfs = rows.map(_._4)
+    assert(bfs.zip(bfs.tail).forall { case (a, b) => b < a })
+  }
+
   test("q267: OOV output covers only eval splits and its rates are consistent") {
     val rows = run("q267_oov_rate")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
