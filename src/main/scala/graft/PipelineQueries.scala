@@ -4588,9 +4588,117 @@ object PipelineQueries {
            |ORDER BY s.cluster""".stripMargin
       }))
 
+  // ------------------------------------------------------------------
+  // q273: the dedup-impact experiment — held-out (val-split) bigram
+  // cross-entropy under a model trained on (a) the FULL train split vs
+  // (b) the keep-first-deduped train split (banded-verified tier), in
+  // one output. This is the measurement behind "Deduplicating Training
+  // Data Makes Language Models Better" (Lee et al. 2022) re-expressed
+  // on the engine's own components: same add-one bigram model and
+  // nano-quantized scoring as q187, same split law as q226/q267, same
+  // loser tier as q239/q261. The two variants differ ONLY in the
+  // training corpus, so the xent delta and the unseen-bigram-rate
+  // delta are attributable to dedup alone — a quantified design
+  // argument (the q252 pattern), not a style preference. 100 TB:
+  // two count aggregations + vocabulary-sized broadcast joins per
+  // variant over the linear banded tier; output is 2 rows.
+  // ------------------------------------------------------------------
+  private val lmEval: Seq[Q] = Seq(
+    Q("q273_dedup_lm_eval",
+      (s, d) => {
+        import graft.text.Dedup
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+            TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+        val losers = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        def bigrams(df: DataFrame) = df.select(
+          explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bg"))
+        val trainAll = toks.filter(col("split") === "train")
+        val trainDedup = trainAll.join(losers, Seq("doc_id"), "left_anti")
+        val valBg = bigrams(toks.filter(col("split") === "val"))
+        def variant(name: String, train: DataFrame): DataFrame = {
+          val c2 = bigrams(train).groupBy("bg").agg(count(lit(1)).as("c12"))
+          val c1 = train.select(explode(col("toks")).as("w"))
+            .groupBy("w").agg(count(lit(1)).as("c1"))
+          val vocab = train.select(explode(col("toks")).as("w"))
+            .agg(countDistinct(col("w")).as("v"))
+          val nd = train.agg(count(lit(1)).as("n_train_docs"))
+          valBg
+            .join(broadcast(c2), Seq("bg"), "left")
+            .withColumn("w1", split(col("bg"), " ").getItem(0))
+            .join(broadcast(c1.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+            .crossJoin(broadcast(vocab))
+            .withColumn("p",
+              (coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+                (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+            .withColumn("t_q", floor(-log(col("p")) * 1e9 + 0.5).cast("long"))
+            .withColumn("unseen", when(col("c12").isNull, 1L).otherwise(0L))
+            .agg(count(lit(1)).as("n_bigrams"),
+              sum(col("unseen")).as("n_unseen"),
+              pround(sum(col("t_q")).cast("double") / count(lit(1)) / 1e9, 6)
+                .as("xent"),
+              pround(sum(col("unseen")).cast("double") / count(lit(1)), 6)
+                .as("unseen_frac"))
+            .crossJoin(broadcast(nd))
+            .select(lit(name).as("variant"), col("n_train_docs"),
+              col("n_bigrams"), col("n_unseen"), col("xent"),
+              col("unseen_frac"))
+        }
+        variant("dedup", trainDedup).union(variant("full", trainAll))
+          .orderBy("variant")
+      },
+      oracle = None,
+      oracleDyn = Some { () =>
+        def block(x: String, tr: String) =
+          s"""lmbg$x AS (SELECT unnest([toks[i] || ' ' || toks[i + 1]
+             |      FOR i IN range(1, len(toks))]) AS bg FROM $tr),
+             |lmc2$x AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+             |  FROM lmbg$x GROUP BY bg),
+             |lmw$x AS (SELECT unnest(toks) AS w FROM $tr),
+             |lmc1$x AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+             |  FROM lmw$x GROUP BY w),
+             |lmv$x AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM lmw$x),
+             |lmn$x AS (SELECT CAST(count(*) AS BIGINT) AS n_train_docs FROM $tr),
+             |lms$x AS (SELECT
+             |    CAST(floor(-ln(CAST(coalesce(c2.c12, 0) + 1 AS DOUBLE) /
+             |      CAST(coalesce(c1.c1, 0) + lmv$x.v AS DOUBLE)) * 1e9 + 0.5)
+             |      AS BIGINT) AS t_q,
+             |    CASE WHEN c2.c12 IS NULL THEN 1 ELSE 0 END AS unseen
+             |  FROM lmval e
+             |  LEFT JOIN lmc2$x c2 USING (bg)
+             |  LEFT JOIN lmc1$x c1 ON c1.w = string_split(e.bg, ' ')[1]
+             |  CROSS JOIN lmv$x),
+             |lmo$x AS (SELECT '${if (x == "a") "full" else "dedup"}' AS variant,
+             |    (SELECT n_train_docs FROM lmn$x) AS n_train_docs,
+             |    CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(sum(unseen) AS BIGINT) AS n_unseen,
+             |    ${sqlRound("CAST(sum(t_q) AS DOUBLE) / count(*) / 1e9", 6)} AS xent,
+             |    ${sqlRound("CAST(sum(unseen) AS DOUBLE) / count(*)", 6)} AS unseen_frac
+             |  FROM lms$x)""".stripMargin
+        s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
+           |lm0 AS (SELECT doc_id, ${sqlSplitOf("doc_id")} AS split,
+           |    $sqlToks AS toks FROM documents),
+           |lm1 AS (SELECT * FROM lm0 WHERE len(toks) >= 2),
+           |lmtra AS (SELECT * FROM lm1 WHERE split = 'train'),
+           |lmtrd AS (SELECT * FROM lmtra
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+           |lmval AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1]
+           |      FOR i IN range(1, len(toks))]) AS bg
+           |  FROM lm1 WHERE split = 'val'),
+           |${block("a", "lmtra")},
+           |${block("b", "lmtrd")}
+           |SELECT * FROM lmoa UNION ALL SELECT * FROM lmob
+           |ORDER BY variant""".stripMargin
+      }))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
       ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
       retrievalEval ++ lm2 ++ whiten ++ curation ++ policy ++ bandedTwins ++
-      keepBest
+      keepBest ++ lmEval
 }

@@ -1157,4 +1157,21 @@ class CurationSpec extends SparkSpec {
       assert((keptFirst == 1L) == (bestDoc == cluster))
     }
   }
+
+  test("q273: the two variants score the same val set and dedup can only shrink train coverage") {
+    val out = q("q273_dedup_lm_eval").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.map(_._1).sorted.toSeq == Seq("dedup", "full"))
+    val dd = out.find(_._1 == "dedup").get
+    val fl = out.find(_._1 == "full").get
+    // Identical evaluation set: the variants differ ONLY in training
+    // corpus, so any xent delta is attributable to dedup.
+    assert(dd._3 == fl._3, "variants scored different val bigram counts")
+    assert(dd._2 <= fl._2, "dedup grew the train corpus")
+    // The deduped train's bigram set is a subset of the full train's,
+    // so its unseen mass can only be >= the full variant's.
+    assert(dd._4 >= fl._4, "dedup reduced unseen bigrams — subset law broken")
+    assert(dd._5 > 0.0 && fl._5 > 0.0)
+  }
 }
