@@ -4696,9 +4696,66 @@ object PipelineQueries {
            |ORDER BY variant""".stripMargin
       }))
 
+  // ------------------------------------------------------------------
+  // q274: length-bias audit of the quality score — Spearman rank
+  // correlation between document length (n_chars) and the q215 NB
+  // quality score, per source. Quality classifiers preferring long
+  // documents is a DOCUMENTED production pathology (the Gopher/CCNet
+  // filtering literature controls for it explicitly); a |ρ| near 1
+  // means the "quality" signal is largely a length signal and the
+  // budgeted samplers (q219) would silently skew long. Ranks are
+  // row_number with doc_id tie-break (deterministic on both engines;
+  // a tie-broken Spearman, documented), so Σd² is exact BIGINT
+  // arithmetic and ρ = 1 − 6Σd²/(n(n²−1)) is a single rational per
+  // source. 100 TB: q215's aggregation shape + two windows over
+  // per-source groups + a source-sized rollup.
+  // ------------------------------------------------------------------
+  private val biasAudit: Seq[Q] = Seq(
+    Q("q274_len_quality_bias",
+      (s, d) => {
+        val sc = nbDocScores(s, d).select(col("doc_id"), col("score_q"))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .join(sc, "doc_id")
+        val wl = Window.partitionBy("source")
+          .orderBy(col("n_chars").asc, col("doc_id").asc)
+        val wq = Window.partitionBy("source")
+          .orderBy(col("score_q").asc, col("doc_id").asc)
+        base
+          .withColumn("rl", row_number().over(wl).cast("long"))
+          .withColumn("rq", row_number().over(wq).cast("long"))
+          .withColumn("d2", (col("rl") - col("rq")) * (col("rl") - col("rq")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("d2").as("d2_sum"))
+          .filter(col("n_docs") >= 2)
+          .select(col("source"), col("n_docs"), col("d2_sum"),
+            pround(lit(1.0) - lit(6.0) * col("d2_sum").cast("double") /
+              (col("n_docs").cast("double") *
+                (col("n_docs") * col("n_docs") - 1).cast("double")), 6)
+              .as("spearman_rho"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $nbScoreSqlCtes,
+             |lb AS (SELECT d.doc_id, d.source, d.n_chars, ds.score_q
+             |  FROM documents d JOIN ds ON ds.doc_id = d.doc_id),
+             |rk AS (SELECT source,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS rl,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY score_q ASC, doc_id ASC) AS BIGINT) AS rq
+             |  FROM lb),
+             |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum((rl - rq) * (rl - rq)) AS BIGINT) AS d2_sum
+             |  FROM rk GROUP BY 1 HAVING count(*) >= 2)
+             |SELECT source, n_docs, d2_sum,
+             |  ${sqlRound(
+               "1.0 - 6.0 * CAST(d2_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(n_docs * n_docs - 1 AS DOUBLE))",
+               6)} AS spearman_rho
+             |FROM ag ORDER BY source""".stripMargin)))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
       ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
       retrievalEval ++ lm2 ++ whiten ++ curation ++ policy ++ bandedTwins ++
-      keepBest ++ lmEval
+      keepBest ++ lmEval ++ biasAudit
 }

@@ -1174,4 +1174,20 @@ class CurationSpec extends SparkSpec {
     assert(dd._4 >= fl._4, "dedup reduced unseen bigrams — subset law broken")
     assert(dd._5 > 0.0 && fl._5 > 0.0)
   }
+
+  test("q274: Spearman is bounded, consistent with its own integers, and covers every source") {
+    val out = q("q274_len_quality_bias").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nSources = graft.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(out.length == nSources, "a source is missing from the bias audit")
+    out.foreach { case (src, n, d2, rho) =>
+      // Σd² at perfect anticorrelation is (n³ − n)/3 — the upper bound.
+      assert(d2 >= 0 && d2 <= (n * n * n - n) / 3, s"$src: d2_sum out of range")
+      assert(rho >= -1.0 && rho <= 1.0, s"$src: rho $rho out of [-1, 1]")
+      val expect = 1.0 - 6.0 * d2.toDouble / (n.toDouble * (n.toDouble * n - 1))
+      assert(approx(rho, math.floor(expect * 1e6 + 0.5) / 1e6, 1e-9),
+        s"$src: rho $rho inconsistent with d2_sum")
+    }
+  }
 }
