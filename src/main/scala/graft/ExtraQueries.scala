@@ -46,9 +46,14 @@ object ExtraQueries {
     private val fits = new java.util.concurrent.ConcurrentHashMap[
       String, Array[Array[Double]]]()
     def put(dir: String, m: Array[Array[Double]]): Unit = fits.put(dir, m)
+    // Explicit dump dir: exact match only — no single-fit fallback (a
+    // miss must surface as the loud error branch, not another dir's
+    // literals). lookup(None) keeps the single-fit convenience.
     def lookup(dir: Option[String]): Option[Array[Array[Double]]] =
-      dir.flatMap(d => Option(fits.get(d))).orElse {
-        if (fits.size == 1) Some(fits.values.iterator.next()) else None
+      dir match {
+        case Some(d) => Option(fits.get(d))
+        case None =>
+          if (fits.size == 1) Some(fits.values.iterator.next()) else None
       }
     private[graft] def clear(): Unit = fits.clear()
   }

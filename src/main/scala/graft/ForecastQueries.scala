@@ -579,9 +579,13 @@ object ForecastQueries {
   private[graft] object CohortFit {
     private val ps = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     def put(dir: String, p: Int): Unit = ps.put(dir, p)
+    // Explicit dump dir: exact match only (no single-fit fallback — see
+    // LloydFit.lookup's rationale); lookup(None) keeps the convenience.
     def lookup(dir: Option[String]): Option[Int] =
-      dir.flatMap(dd => Option(ps.get(dd)).map(_.toInt)).orElse {
-        if (ps.size == 1) Some(ps.values.iterator.next().toInt) else None
+      dir match {
+        case Some(dd) => Option(ps.get(dd)).map(_.toInt)
+        case None =>
+          if (ps.size == 1) Some(ps.values.iterator.next().toInt) else None
       }
     private[graft] def clear(): Unit = ps.clear()
   }

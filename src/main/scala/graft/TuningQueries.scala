@@ -54,10 +54,16 @@ object TuningQueries {
     def put(dir: String,
         v: (Seq[(Long, Long, Long, Long, Long)], Seq[(Long, Array[Double])])): Unit =
       fits.put(dir, v)
+    // An EXPLICIT dump dir must match exactly — falling back to "the
+    // single cached fit" on a miss would silently embed another dir's
+    // centroids into the oracle SQL (round-13 advice). The single-fit
+    // convenience applies only when no dump context exists at all.
     def lookup(dir: Option[String])
         : Option[(Seq[(Long, Long, Long, Long, Long)], Seq[(Long, Array[Double])])] =
-      dir.flatMap(d => Option(fits.get(d))).orElse {
-        if (fits.size == 1) Some(fits.values.iterator.next()) else None
+      dir match {
+        case Some(d) => Option(fits.get(d))
+        case None =>
+          if (fits.size == 1) Some(fits.values.iterator.next()) else None
       }
     private[graft] def clear(): Unit = fits.clear()
   }
@@ -337,7 +343,6 @@ object TuningQueries {
         import s.implicits._
         import org.apache.spark.sql.graft.GraftExpressions.arraySqDiff
         import graft.sim.Lsh
-        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         // reuse = true: the trained coarse quantizer is an index
         // artifact (production IVF trains once and serves many sweeps);
         // value-identical to refit — the fit is bit-reproducible.
@@ -347,9 +352,14 @@ object TuningQueries {
         val thr = emb.agg(count(lit(1)).as("c"))
           .select(floor(lit(64L * 4294967296L).cast("double") /
             col("c").cast("double")).as("thr"))
+        // NOT persisted (round-13 advice): caching the whole tagged
+        // corpus leaked a MEMORY_AND_DISK copy of the embeddings table
+        // past the query's lifetime. The reuses below are each one
+        // columnar parquet re-scan + a codegen'd hash — cheaper than
+        // holding a corpus-sized cache, and the only posture that holds
+        // at 100 TB anyway (you re-scan; you don't pin the corpus).
         val tagged = emb.crossJoin(broadcast(thr))
           .withColumn("is_q", Hashing.hash32(col("vec_id")) < col("thr"))
-          .persist(lvl)
         val queries = tagged.filter(col("is_q"))
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val corpus = tagged.filter(!col("is_q"))
@@ -598,10 +608,17 @@ object TuningQueries {
     Q("q272_benford",
       (s, d) => {
         import s.implicits._
+        // Clamp to the 1..9 domain: floor(v/10^floor(log10 v)) can only
+        // escape it through a float log10 edge (ratio hitting exactly 10
+        // or 0.999…), and the scaffold join below would silently DROP
+        // such a row — obs_frac would stop summing to 1, hiding exactly
+        // the kind of cell this audit exists to surface. The clamp folds
+        // the edge into the adjacent digit identically on both engines.
         val digits = Tables.events(s, d)
           .filter(col("value").isNotNull && col("value") > 0)
-          .select(floor(col("value") /
-            pow(lit(10.0), floor(log10(col("value"))))).cast("long").as("digit"))
+          .select(least(greatest(floor(col("value") /
+            pow(lit(10.0), floor(log10(col("value"))))).cast("long"),
+            lit(1L)), lit(9L)).as("digit"))
         val obs = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
         val total = digits.agg(count(lit(1)).as("n_total"))
         (1 to 9).toDF("digit").select(col("digit").cast("long").as("digit"))
@@ -623,8 +640,8 @@ object TuningQueries {
                     log(lit(10.0)))), 6).as("chi2_term"))
           .orderBy("digit")
       },
-      Some(s"""WITH dg AS (SELECT CAST(floor(value /
-             |      pow(10.0, floor(log10(value)))) AS BIGINT) AS digit
+      Some(s"""WITH dg AS (SELECT least(greatest(CAST(floor(value /
+             |      pow(10.0, floor(log10(value)))) AS BIGINT), 1), 9) AS digit
              |  FROM events WHERE value IS NOT NULL AND value > 0),
              |ob AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
              |  FROM dg GROUP BY 1),

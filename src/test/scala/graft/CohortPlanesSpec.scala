@@ -45,6 +45,9 @@ class CohortPlanesSpec extends AnyFunSuite {
       ForecastQueries.CohortFit.put("/a", 5)
       assert(ForecastQueries.CohortFit.lookup(Some("/a")).contains(5))
       assert(ForecastQueries.CohortFit.lookup(None).contains(5))
+      // Explicit-but-unmatched dir: no single-fit fallback (round-13
+      // advice) — must miss loudly, not reuse /a's fit.
+      assert(ForecastQueries.CohortFit.lookup(Some("/zz")).isEmpty)
       ForecastQueries.CohortFit.put("/b", 8)
       assert(ForecastQueries.CohortFit.lookup(Some("/b")).contains(8))
       assert(ForecastQueries.CohortFit.lookup(None).isEmpty)

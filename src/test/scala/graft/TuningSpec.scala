@@ -70,8 +70,14 @@ class TuningSpec extends SparkSpec {
   }
 
   test("q266: recall and scan cost are monotone in nprobe; recall@full-probe is high") {
+    // Leak pin (round-13 advice): q266 must not leave a corpus-sized
+    // cache behind after its plan is consumed — new persisted RDDs
+    // after the run means the MEMORY_AND_DISK leak is back.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val rows = run("q266_ivf_probe_sweep")
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"q266 leaked persisted RDDs: $leaked")
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
     assert(rows.map(_._2).distinct.length == 1, "query budget differs across rows")
     val recalls = rows.map(_._3)
@@ -156,10 +162,20 @@ class TuningSpec extends SparkSpec {
   }
 
   test("q272: digit scaffold is total, fractions sum to 1, expectations are Benford's") {
+    import org.apache.spark.sql.functions._
     val rows = run("q272_benford")
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4)))
     assert(rows.map(_._1).toSeq == (1L to 9L))
+    // Conservation (round-13 advice): EVERY positive value contributes
+    // to exactly one digit cell — the 1..9 clamp means a float-log10
+    // edge case folds into an adjacent digit instead of being silently
+    // dropped by the scaffold join, so Σ n_obs equals the raw positive
+    // row count exactly (not just "fractions ≈ 1").
+    val positives = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("value") > 0).count()
+    assert(rows.map(_._2).sum == positives,
+      s"digit mass ${rows.map(_._2).sum} != positive rows $positives")
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "observed fractions don't sum to 1")
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "Benford fractions don't sum to 1")
     rows.foreach { case (d, n, _, bf, chi2) =>
@@ -171,6 +187,22 @@ class TuningSpec extends SparkSpec {
     // Benford; the EXPECTATION column must be, whatever the data does.
     val bfs = rows.map(_._4)
     assert(bfs.zip(bfs.tail).forall { case (a, b) => b < a })
+  }
+
+  test("LloydFit.lookup: explicit dir never falls back to another dir's fit") {
+    import TuningQueries.LloydFit
+    LloydFit.clear()
+    try {
+      val fit = (Seq((1L, 0L, 1L, 0L, 0L)), Seq((0L, Array(1.0))))
+      LloydFit.put("/data/a", fit)
+      assert(LloydFit.lookup(Some("/data/a")).isDefined)
+      // Single-fit convenience applies ONLY without a dump context.
+      assert(LloydFit.lookup(None).isDefined)
+      // An explicit-but-unmatched dir must MISS (loud oracle error
+      // branch), not silently embed /data/a's centroids.
+      assert(LloydFit.lookup(Some("/data/other")).isEmpty,
+        "mismatched explicit dir fell back to another dir's fit")
+    } finally LloydFit.clear()
   }
 
   test("q267: OOV output covers only eval splits and its rates are consistent") {

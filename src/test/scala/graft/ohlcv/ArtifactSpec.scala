@@ -31,6 +31,9 @@ class ArtifactSpec extends SparkSpec {
       // Single fit: resolvable with or without a dump context.
       assert(PcaFit.lookup(Some("/data/a")).contains(mA))
       assert(PcaFit.lookup(None).contains(mA))
+      // Explicit-but-unmatched dir: no single-fit fallback (round-13
+      // advice) — the oracle's loud error branch beats wrong literals.
+      assert(PcaFit.lookup(Some("/data/zz")).isEmpty)
       PcaFit.put("/data/b", mB)
       // Two dirs: the context picks the right fit; no context is ambiguous.
       assert(PcaFit.lookup(Some("/data/a")).contains(mA))
