@@ -95,7 +95,22 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.sharedState.cacheManager.clearCache()
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Self-normalizing calibration (round-13 verdict #2): the SAME pinned
+    // query (q01) re-timed at the start, middle, and end of the suite,
+    // emitted in the artifact — so ambient host elevation (the uniform
+    // ~1.1× driver-vs-local per-row ratio argued in prose every round) is
+    // measured INSIDE the run. Compare rounds as row/calibration ratios.
+    def calibRep(): Double = {
+      val (t, _) = time(SparkEntry.queries("q01_pricing_summary"))
+      dropLeakedBlocks()
+      t
+    }
+    ExtraQueries.Q204Evidence.clear() // artifact reflects THIS run only
+    val calibStart = calibRep()
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    var calibMid = -1.0
+    val firstPass = names.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == names.size / 2) calibMid = calibRep()
       val (cold, _) = time(fn)
       val (warm1, _) = time(fn)
       val (warm2, err) = time(fn)
@@ -230,6 +245,19 @@ object Bench {
           ExtraQueries.FlagSeqLen, ExtraQueries.FlagPred).count())
     } catch { case _: Throwable => q61Stages("profile_error") = -1.0 }
     dropLeakedBlocks()
+    val calibEnd = calibRep()
+    // q204 per-rep evidence (round-13 verdict #1): one record per
+    // q204Pipeline invocation this run, in order — the suite's
+    // cold/warm1/warm2 reps, any revisit, then the post-suite refit
+    // profile. `cached=1` means the rep reused the fit artifact;
+    // `persisted` is the resident block count at rep entry; `hash` is
+    // the fit-matrix fingerprint (drift across reps = plan-identity
+    // instability, the round-9 failure mode).
+    val q204Ev = ExtraQueries.Q204Evidence.snapshot()
+    val q204EvJson = q204Ev.map(r =>
+      s"""{"cached":${if (r.fitCached) 1 else 0},"persisted":${r.persistedAtEntry},"hash":"${r.fitHash}"}""")
+      .mkString("[", ",", "]")
+    val q204FitDrift = if (q204Ev.map(_.fitHash).distinct.size > 1) 1 else 0
     def implName(f: => Any): String =
       try f.getClass.getSimpleName catch { case _: Throwable => "unavailable" }
     val blas = implName(dev.ludovic.netlib.blas.BLAS.getInstance())
@@ -259,10 +287,24 @@ object Bench {
       "q175_stream_holt", "q190_late_data", "q201_stream_kalman",
       "q209_stream_decontam")
     val streamFamilyTotal = ok.filter(r => streamFamily(r._1)).map(_._3).sum
-    val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisited":${revisitNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisit_first":${jmap(revisitFirst.toSeq.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","lapack":"$lapack","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}"""
+    val calibField = s""""calibration":{"start":${r2(calibStart)},"mid":${r2(calibMid)},"end":${r2(calibEnd)}}"""
+    val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisited":${revisitNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisit_first":${jmap(revisitFirst.toSeq.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q204_evidence":$q204EvJson,"q204_fit_drift":$q204FitDrift,"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},$calibField,"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","lapack":"$lapack","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
+    // Versioned artifact (round-13 verdict #7): driver runs overwrite
+    // bench_full.json in the working tree, clobbering the committed clean
+    // local run. Builder runs set SPARK_GRAFT_BENCH_COPY to also write a
+    // round-named copy (e.g. bench_local_r14.json) that gets committed.
+    sys.env.get("SPARK_GRAFT_BENCH_COPY").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
+    }
     val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"n_warm_shares_cache":${cachedNames.size},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}""")
+    // Stdout gets the COMPACT evidence form ("h104" = cache hit with 104
+    // resident blocks at entry, "m0" = miss with none) — the full per-rep
+    // array with fit hashes lives in bench_full.json; the ~2 KB tail
+    // capture can't afford the long form.
+    val q204EvCompact = q204Ev.map(r =>
+      (if (r.fitCached) "h" else "m") + r.persistedAtEntry).mkString(",")
+    println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"n_warm_shares_cache":${cachedNames.size},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q204_ev":"$q204EvCompact","q204_fit_drift":$q204FitDrift,"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},$calibField,"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}""")
     spark.stop()
   }
 }

@@ -80,6 +80,47 @@ object ExtraQueries {
     private[graft] def clear(): Unit = cache.clear()
   }
 
+  /** Per-invocation evidence trail for q204 (round-13 verdict #1: the
+    * driver-warm 7.42 s vs 0.5 s local could not be attributed because
+    * the artifact recorded nothing about the warm reps themselves).
+    * Every q204Pipeline call appends one record:
+    *   - `fitCached`: whether this invocation hit [[FitArtifacts]]
+    *     (false ⇒ it re-ran users_count/fit/artifact);
+    *   - `persistedAtEntry`: persisted RDD block count at entry — for a
+    *     warm rep, whether the cold rep's intra-query persist was still
+    *     resident on this host;
+    *   - `fitHash`: 12-hex MD5 of the fit matrix actually used, so
+    *     literal drift across reps/refits (the round-9 plan-identity
+    *     failure mode) is directly observable from the artifact.
+    * Ring-capped so spec JVMs that call q204 repeatedly don't grow it.
+    */
+  private[graft] object Q204Evidence {
+    final case class Rec(fitCached: Boolean, persistedAtEntry: Int, fitHash: String)
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Rec]()
+    def add(r: Rec): Unit = {
+      buf.add(r)
+      while (buf.size > 64) buf.poll()
+    }
+    def snapshot(): Seq[Rec] = {
+      val it = buf.iterator()
+      val out = scala.collection.mutable.ArrayBuffer[Rec]()
+      while (it.hasNext) out += it.next()
+      out.toSeq
+    }
+    private[graft] def clear(): Unit = buf.clear()
+  }
+
+  /** Short, stable fingerprint of a fit matrix: MD5 over the quantized
+    * entries' canonical string form, first 12 hex chars. Two reps that
+    * used value-identical literals — the premise behind artifact reuse
+    * and plan-cache identity — hash identically.
+    */
+  private[graft] def matrixHash(m: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val s = m.map(_.mkString(",")).mkString(";")
+    md.digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   /** q204's fit-sample modulus for U users: keep ~targetUsers series in
     * the PCA fit regardless of corpus size, never below the historical
     * 1-in-7 (so the verify/bench corpora, U ≤ 7·targetUsers, behave
@@ -124,6 +165,8 @@ object ExtraQueries {
     // parameter); the modulus itself derives deterministically from the
     // dir's corpus, so a cache hit skips the users-count pass too.
     val fitKey = s"$d|pca|$FlagSeqLen|$FlagDim|frac0.35"
+    val persistedAtEntry = s.sparkContext.getPersistentRDDs.size
+    val cacheHit = FitArtifacts.get(fitKey).isDefined
     val m = FitArtifacts.get(fitKey) match {
       case Some(cached) =>
         if (stages != null) stages("fit_cached") = 1.0
@@ -152,6 +195,7 @@ object ExtraQueries {
         loaded
     }
     PcaFit.put(d, m)
+    Q204Evidence.add(Q204Evidence.Rec(cacheHit, persistedAtEntry, matrixHash(m)))
     Flagship.scoredQueries(s, d, metric = "l1", seqLen = FlagSeqLen,
       predWindow = FlagPred, stride = FlagStride, k = 2, embedDim = FlagDim,
       projection = Some(m))

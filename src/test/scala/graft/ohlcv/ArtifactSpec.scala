@@ -47,6 +47,33 @@ class ArtifactSpec extends SparkSpec {
     } finally PcaFit.clear()
   }
 
+  test("q204 evidence trail: miss-then-hit reps, and fresh refits hash identically") {
+    import graft.ExtraQueries
+    val sf = "/root/testdata/sf0.001"
+    ExtraQueries.FitArtifacts.clear()
+    ExtraQueries.Q204Evidence.clear()
+    try {
+      // Rep 1 (cold): artifact miss — full users_count/fit/artifact path.
+      ExtraQueries.q204Pipeline(spark, sf).count()
+      // Rep 2 (warm): artifact HIT — the amortization q204's registered
+      // semantics promise, now directly observable per rep.
+      ExtraQueries.q204Pipeline(spark, sf).count()
+      // Independent refit (cache cleared): fit-literal stability under
+      // the shared-sample-fraction plumbing — the round-13 verdict's
+      // open question. Identical quantized literals ⇒ identical hash.
+      ExtraQueries.FitArtifacts.clear()
+      ExtraQueries.q204Pipeline(spark, sf).count()
+      val ev = ExtraQueries.Q204Evidence.snapshot()
+      assert(ev.map(_.fitCached) == Seq(false, true, false),
+        s"expected miss,hit,miss got ${ev.map(_.fitCached)}")
+      assert(ev.map(_.fitHash).distinct.size == 1,
+        s"fit literals drifted across reps/refits: ${ev.map(_.fitHash)}")
+    } finally {
+      ExtraQueries.FitArtifacts.clear()
+      ExtraQueries.Q204Evidence.clear()
+    }
+  }
+
   test("selectNumeric keeps numeric + protected columns only (P5)") {
     val df = Seq((1L, "x", 2.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("id", "name", "score", "ts")
