@@ -471,56 +471,75 @@ object PipelineQueries {
     accepted.toSeq
   }
 
-  /** One round's candidate pool: the corpus-state pair aggregation with
-    * a constant-size top-W TakeOrdered collect (the learned
-    * hyperparameters, q210's epoch-loop pattern). Shared by the trainer
-    * and DevBpePhase (round-12 ADVICE #4). */
-  private[graft] def phraseBpePool(cur: DataFrame): Array[(String, String, Long)] =
-    bpePairCounts(cur)
-      .orderBy(desc("cnt"), asc("l"), asc("r")).limit(PhraseBpeW)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-
-  /** Apply one accepted phrase-merge batch to the (enc, freq) state in
-    * ONE symbol-scan pass instead of a ≤B-deep replace() chain: the
-    * chain re-scans every enc string once per accepted merge (measured
-    * as ~2/3 of the trainer's wall — 64 rounds × ~16–47 replaces ×
-    * |state| strings), while batch members are pairwise symbol-disjoint
-    * BY CONSTRUCTION ([[phraseBpeAccept]] blocks shared AND created
-    * symbols), so their leftmost-non-overlapping replaces commute and
-    * one left-to-right scan that merges any (cur, next) in the batch map
-    * is bit-identical to the chain: matches of different patterns can
-    * never overlap (that would need a shared boundary symbol) and a
-    * merged symbol can never re-match (no accepted pair uses another's
-    * created symbol). mapPartitions is justified here as the per-row
-    * local scan the Catalyst chain cannot express in one pass; the
-    * DuckDB oracle keeps the list_reduce replace chain, so the hash
-    * check itself pins the equivalence. Shared by the production loop
-    * and DevBpePhase so the probe always measures the production kernel
-    * (round-12 ADVICE #4).
+  /** The single-pass batch-merge scan of the apply kernel: ONE
+    * left-to-right symbol scan instead of a ≤B-deep replace() chain
+    * (the chain re-scans every enc string once per accepted merge —
+    * measured as ~2/3 of the trainer's wall before the batch kernel).
+    * Batch members are pairwise symbol-disjoint BY CONSTRUCTION
+    * ([[phraseBpeAccept]] blocks shared AND created symbols), so their
+    * leftmost-non-overlapping replaces commute and one scan that merges
+    * any (cur, next) in the batch map is bit-identical to the chain:
+    * matches of different patterns can never overlap (that would need a
+    * shared boundary symbol) and a merged symbol can never re-match (no
+    * accepted pair uses another's created symbol). The DuckDB oracle
+    * keeps the list_reduce replace chain, so the hash check itself pins
+    * the equivalence.
     */
-  private[graft] def phraseBpeApply(s: SparkSession, cur: DataFrame,
-      batch: Seq[(String, String)]): DataFrame = {
-    val mergeMap = batch.map { case (l, r) => (l, r) -> phraseSym(l, r) }.toMap
-    val bc = s.sparkContext.broadcast(mergeMap)
-    import s.implicits._
-    cur.select(col("enc"), col("freq")).as[(String, Long)]
-      .mapPartitions { it =>
-        val m = bc.value
-        it.map { case (enc, freq) =>
-          val syms = enc.substring(1, enc.length - 1).split(";;")
-          val sb = new StringBuilder(enc.length + 2)
-          var i = 0
-          while (i < syms.length) {
-            val merged = if (i + 1 < syms.length)
-              m.get((syms(i), syms(i + 1))) else None
-            merged match {
-              case Some(lr) => sb.append(';').append(lr).append(';'); i += 2
-              case None => sb.append(';').append(syms(i)).append(';'); i += 1
-            }
-          }
-          (sb.toString, freq)
-        }
-      }.toDF("enc", "freq")
+  private[graft] def applyMergeScan(
+      m: Map[(String, String), String], enc: String): String = {
+    val syms = enc.substring(1, enc.length - 1).split(";;")
+    val sb = new StringBuilder(enc.length + 2)
+    var i = 0
+    while (i < syms.length) {
+      val merged = if (i + 1 < syms.length)
+        m.get((syms(i), syms(i + 1))) else None
+      merged match {
+        case Some(lr) => sb.append(';').append(lr).append(';'); i += 2
+        case None => sb.append(';').append(syms(i)).append(';'); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** One round's candidate pool, RDD tier: the corpus-state pair
+    * aggregation + exact top-W under the (cnt DESC, l ASC, r ASC) total
+    * order, with no Catalyst plan construction or AQE re-optimization
+    * in the loop — per-round overhead the retired DataFrame tier paid
+    * 64 times (round-13 verdict #3: q260's 28.4 s was 12% of the whole
+    * suite; the RDD loop measured ~20% faster same-session with a
+    * BIT-IDENTICAL trajectory, PLANS.md round 14). reduceByKey keeps
+    * the aggregation DISTRIBUTED and map-side-combined (same shuffle
+    * shape as the DataFrame groupBy — this is NOT a driver-side count
+    * map, which would not hold at 100 TB); takeOrdered merges one
+    * bounded W-heap per partition. Symbols are ASCII ([A-Za-z0-9~]),
+    * so the String tuple ordering is byte-identical to the SQL
+    * collation — the pool, and with it the whole trajectory, is
+    * bit-equal to the old tier's (measured at sf0.1 before the swap),
+    * and the UNCHANGED q260 recursive-CTE oracle pins it at all SFs.
+    */
+  private[graft] def phraseBpePoolRdd(
+      state: org.apache.spark.rdd.RDD[(String, Long)]): Array[(String, String, Long)] =
+    state.flatMap { case (enc, freq) =>
+      val syms = enc.substring(1, enc.length - 1).split(";;")
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), freq))
+    }.reduceByKey(_ + _)
+      .takeOrdered(PhraseBpeW)(Ordering.by { case ((l, r), c) => (-c, l, r) })
+      .map { case ((l, r), c) => (l, r, c) }
+
+  /** Apply one accepted phrase-merge batch to the (enc, freq) state —
+    * the [[applyMergeScan]] kernel over a broadcast merge map, zero
+    * plan construction. mapPartitions is justified here as the per-row
+    * local scan a Catalyst replace chain cannot express in one pass. */
+  private[graft] def phraseBpeApplyRdd(s: SparkSession,
+      state: org.apache.spark.rdd.RDD[(String, Long)],
+      batch: Seq[(String, String)]): org.apache.spark.rdd.RDD[(String, Long)] = {
+    val bc = s.sparkContext.broadcast(
+      batch.map { case (l, r) => (l, r) -> phraseSym(l, r) }.toMap)
+    state.mapPartitions { it =>
+      val m = bc.value
+      it.map { case (enc, freq) => (applyMergeScan(m, enc), freq) }
+    }
   }
 
   /** Phrase-BPE trainer: rounds of (corpus-state pair count → top-W pool
@@ -533,31 +552,56 @@ object PipelineQueries {
     * batching, demonstrated here at ≥1024 merges (q221's sequential
     * ~0.1 s/merge floor would put 1024 merges at ~100 s of scheduling
     * alone; this loop reaches it in 45–64 rounds).
+    *
+    * The round loop runs on the RDD tier (round-14): each round's state
+    * is a pure function of the previous one's, so there is nothing for
+    * Catalyst to optimize ACROSS rounds, and re-planning inside the
+    * loop was pure overhead — the RDD loop measured ~20% faster at
+    * sf0.1 with a bit-identical trajectory (PLANS.md round 14 records
+    * the experiment trail: task count is NOT the floor — 2 vs 32
+    * partitions measured equal — and per-round cost grows 0.26→0.50 s
+    * over the 64 rounds with vocabulary-driven pair-type growth on
+    * both tiers). `stages` (optional, the q204Pipeline pattern)
+    * accumulates pool/accept/apply wall so DevBpePhase always profiles
+    * the production kernels (round-12 ADVICE #4).
     */
-  private[graft] def phraseBpeMerges(s: SparkSession, d: String)
+  private[graft] def phraseBpeMerges(s: SparkSession, d: String,
+      levels: Int = PhraseBpeLevels,
+      stages: scala.collection.mutable.Map[String, Double] = null)
       : Seq[(Long, Long, String, String, Long)] = {
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (stages != null)
+        stages(name) = stages.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+      r
+    }
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, Long)]()
-    val cur = phraseSeqs(s, d)
     // Partitioning/AQE deliberately NOT pinned: an experiment pinning the
     // loop to 1 non-adaptive partition bought nothing at sf0.1 (the
-    // ~0.26 s/round pool job is scheduling latency, not task count) and
-    // serialized the corpus-sized pair scan at the octaves (30× ratio
-    // 8.05 pinned vs 1.37 natural) — the state keeps its natural
-    // partitioning so per-round work stays distributed at scale.
-    phraseBpeLoop(s, cur, out)
-    out.toSeq
-  }
-
-  private def phraseBpeLoop(s: SparkSession, start: DataFrame,
-      out: scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, Long)]): Unit = {
-    var cur = start
+    // per-round pool job is job latency + aggregation mass, not task
+    // count — re-measured on the RDD tier round 14: 2 ≈ 8 ≈ 32
+    // partitions) and serialized the corpus-sized pair scan at the
+    // octaves (30× ratio 8.05 pinned vs 1.37 natural) — the state keeps
+    // its natural partitioning so per-round work stays distributed at
+    // scale.
+    var cur = timed("seed") {
+      phraseSeqs(s, d).rdd.map(r => (r.getString(0), r.getLong(1)))
+    }
+    // cur's parent state: dead once a pool job materializes cur's
+    // localCheckpoint (which truncates the lineage), but needed until
+    // then. Dropping it keeps the loop's cache footprint at ~2 states
+    // instead of ~rounds (unpersist on the seed's un-persisted mapped
+    // RDD is a no-op; phraseSeqs' own eager checkpoint is shared with
+    // other queries and is left alone).
+    var prevState: org.apache.spark.rdd.RDD[(String, Long)] = null
     var round = 0
     var tot = 0
     var exhausted = false
     while (round < PhraseBpeRoundCap && tot < PhraseBpeTarget && !exhausted) {
       round += 1
-      val pool = phraseBpePool(cur)
-      val accepted = phraseBpeAccept(pool, PhraseBpeLevels)
+      val pool = timed("pool") { phraseBpePoolRdd(cur) }
+      if (prevState != null) { prevState.unpersist(false); prevState = null }
+      val accepted = timed("accept") { phraseBpeAccept(pool, levels) }
       // Loud totality guard, not a silent truncation: acceptance is
       // naturally matching-bounded (observed ≤ 47/round); a corpus that
       // blows past the cap needs a re-derived batch bound, not a quietly
@@ -572,11 +616,22 @@ object PipelineQueries {
         // LAZY localCheckpoint: the new state materializes as a side
         // effect of the NEXT round's pair-count job instead of paying a
         // dedicated materialization job per round.
-        cur = phraseBpeApply(s, cur,
-          accepted.map { case (l, r, _, _) => (l, r) }).localCheckpoint(false)
+        val next = timed("apply") {
+          val n = phraseBpeApplyRdd(s, cur,
+            accepted.map { case (l, r, _, _) => (l, r) })
+          n.localCheckpoint()
+          n
+        }
+        prevState = cur
+        cur = next
         tot += accepted.size
       }
     }
+    if (prevState != null) prevState.unpersist(false)
+    // Drop the final state's cache too: the trajectory in `out` is the
+    // query's whole payload — nothing downstream reads the state.
+    cur.unpersist(false)
+    out.toSeq
   }
 
   /** DuckDB mirror of [[phraseBpeMerges]] as ONE recursive CTE: state
@@ -4434,12 +4489,15 @@ object PipelineQueries {
     // shape: per round ONE pair aggregation over the (enc, freq) state +
     // a ≤W-row pool collect; wall is round-bound, not merge-bound
     // (q221's sequential floor would pay ~0.1 s × 1024 of scheduling).
-    // MEASURED round budget (DevBpePhase, sf0.1): pool job 0.26 s/round
-    // × 64 rounds = 16.8 s, acceptance 0.1 s TOTAL (O(|pool|) one-pass
-    // dominance), batch apply 2.7 s total (single symbol-scan pass) —
-    // the registered wall IS the per-round job-latency floor × rounds,
-    // the documented semantics of a trainer whose every round depends
-    // on the previous one's state.
+    // MEASURED round budget (DevBpePhase on the round-14 RDD loop,
+    // sf0.1): pool jobs dominate the wall (acceptance 0.1 s TOTAL —
+    // O(|pool|) one-pass dominance — and the lazy apply folds into the
+    // next pool job), with per-round cost growing 0.26 → 0.50 s across
+    // the 64 rounds as merges diversify the pair-type space; task count
+    // and Catalyst re-planning both measured as NON-floors (PLANS.md
+    // round 14). The registered wall (25.9 s warm, bench-identical) IS
+    // rounds × pair-aggregation-job cost, the documented semantics of a
+    // trainer whose every round depends on the previous one's state.
     Q("q260_bpe_phrase_1k",
       (s, d) => {
         import s.implicits._
