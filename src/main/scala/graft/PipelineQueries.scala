@@ -2785,6 +2785,80 @@ object PipelineQueries {
            |FROM a$BpeSteps GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }),
 
+    // TOKENIZER FERTILITY AUDIT per source (round-14; the standard
+    // tokenizer eval the BPE family stopped short of — fertility,
+    // compression, and continued-word rate are the per-slice health
+    // metrics of e.g. the XLM-R/BLOOM tokenizer analyses, public
+    // knowledge): under the q221-learned 32-merge vocabulary, each
+    // source's word occurrences are segmented and rolled up to
+    //   fertility          = subwords / word,
+    //   chars_per_subword  = chars / subword (≡ bytes/token on this
+    //                        all-ASCII alphanumeric word universe), and
+    //   continued_rate     = fraction of words split into ≥2 subwords
+    //                        (the wordpiece "##"-continuation rate).
+    // A source whose fertility/continued rate is an outlier is exactly
+    // the slice a shared tokenizer under-serves (the mixture/curation
+    // decision q275 weighs). Reuses q222's apply state verbatim (the
+    // same learned-literal replace fold) with `source` carried instead
+    // of doc_id, and the oracle nests the q221 CTE chain — the merge
+    // table cannot drift from the trainer it audits. 100 TB shape:
+    // identical to q222 (vocab-sized training loop, then ONE corpus
+    // scan through k literal replaces into a source-sized rollup —
+    // corpus-linear, one shuffle).
+    Q("q276_bpe_fertility",
+      (s, d) => {
+        val merges = bpeMerges(s, d, BpeSteps)
+        val enc0 = regexp_replace(col("w"), "(.)", ";$1;")
+        val encK = merges.foldLeft(enc0) { case (e, (_, l, r, _)) =>
+          replace(e, lit(s";$l;;$r;"), lit(s";$l$r;"))
+        }
+        Tables.documents(s, d)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+          .select(col("source"), length(col("w")).cast("long").as("nc"),
+            size(split(trim(encK, ";"), ";;")).cast("long").as("ns"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
+            sum("ns").as("n_subwords"),
+            sum(when(col("ns") >= 2, 1L).otherwise(0L)).as("n_continued"))
+          .select(col("source"), col("n_words"), col("n_chars"),
+            col("n_subwords"),
+            pround(col("n_subwords").cast("double") /
+              col("n_words").cast("double"), 6).as("fertility"),
+            pround(col("n_chars").cast("double") /
+              col("n_subwords").cast("double"), 6).as("chars_per_subword"),
+            pround(col("n_continued").cast("double") /
+              col("n_words").cast("double"), 6).as("continued_rate"))
+          .orderBy("source")
+      },
+      Some {
+        val applies = (1 to BpeSteps).map { i =>
+          val prev = s"f${i - 1}"
+          s"""f$i AS (SELECT source, ncc,
+             |    replace(enc, ';' || b$i.l || ';;' || b$i.r || ';',
+             |      ';' || b$i.l || b$i.r || ';') AS enc
+             |  FROM $prev CROSS JOIN b$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${bpeSqlCtes(BpeSteps)},
+           |fd AS (SELECT source, w FROM
+           |    (SELECT source, unnest($sqlToks) AS w FROM documents)
+           |  WHERE regexp_matches(w, '^[A-Za-z0-9]+$$')),
+           |f0 AS (SELECT source, len(w) AS ncc,
+           |    regexp_replace(w, '(.)', ';\\1;', 'g') AS enc FROM fd),
+           |$applies,
+           |fx AS (SELECT source, ncc,
+           |    len(string_split(trim(enc, ';'), ';;')) AS nss
+           |  FROM f$BpeSteps)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(ncc) AS BIGINT) AS n_chars,
+           |  CAST(sum(nss) AS BIGINT) AS n_subwords,
+           |  ${sqlRound("CAST(sum(nss) AS DOUBLE) / count(*)", 6)} AS fertility,
+           |  ${sqlRound("CAST(sum(ncc) AS DOUBLE) / sum(nss)", 6)}
+           |    AS chars_per_subword,
+           |  ${sqlRound("CAST(sum(CASE WHEN nss >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS continued_rate
+           |FROM fx GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // BPE training at REAL-tokenizer merge counts (round-10 verdict #6):
     // 32 rounds × up-to-16 batched conflict-free merges (capacity 512 ≥
     // the 256 the verdict names; the corpus's own merge CLOSURE — 31

@@ -20,4 +20,14 @@ object Rounding {
   /** DuckDB rendering of [[pround]]. */
   def sqlRound(expr: String, n: Int): String =
     s"floor(($expr) * 1e$n + 0.5) / 1e$n"
+
+  /** Driver-side (Scala double) twin of [[pround]]/[[sqlRound]] — the
+    * same pure-IEEE floor(x·10ⁿ + 0.5)/10ⁿ, for driver-loop queries
+    * whose learned per-step values must round exactly like the SQL
+    * oracle recomputing them (q275's mixture weights).
+    */
+  def dround(x: Double, n: Int): Double = {
+    val p = math.pow(10, n)
+    math.floor(x * p + 0.5) / p
+  }
 }

@@ -701,5 +701,161 @@ object TuningQueries {
              |FROM gr JOIN f USING (h) GROUP BY gr.doc_id
              |ORDER BY gr.doc_id""".stripMargin)))
 
-  val all: Seq[Q] = clustering
+  /** DoReMi hyperparameters (Xie et al. 2023, "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining" — public knowledge).
+    * All FIXED (the q229/q263 fixed-budget discipline): the step count,
+    * learning rate, and smoothing are model knobs, not corpus
+    * statistics, so per-step work stays corpus-linear at any scale.
+    */
+  private val DoremiSteps = 4
+  private val DoremiEta = 2.0
+  private val DoremiSmooth = 0.1
+
+  // --------------------------------------------------------------------
+  // q275: DoReMi-style learned mixture weights — the missing LEARNED
+  // layer of the curation stack (q129 reweights by a static temperature,
+  // q219 selects by quality budget; nothing learned domain weights from
+  // a proxy objective until now). Group-DRO exponentiated-gradient over
+  // per-domain EXCESS loss, with the proxy model in closed form: the
+  // α-mixture of per-domain add-1 unigram LMs (refitting the proxy under
+  // the current mixture is then a weighted combination, not a training
+  // run — the tractable stand-in for DoReMi's 280M proxy transformer,
+  // same update rule). Per step t:
+  //   p_t(w)    = Σ_d α_d · (c_d(w)+1)/(N_d+V)          (proxy)
+  //   excess_d  = max(0, L_d(p_t) − L_d(ref))            (clipped)
+  //   α'        = α · exp(η · excess_d)                  (EG ascent)
+  //   α_{t+1}   = (1−s)·α'/Σα' + s/D                     (smoothed)
+  // with ref the corpus-level add-1 unigram fit once. Determinism: all
+  // xent masses are per-(domain,word)-cell quantized to µnat BIGINTs
+  // before the order-free integer sum (|cell| ≤ c·|ln p|·1e6 ≈ 1e15 at
+  // 100× — inside the 2^53 exact-double range), and α is published at
+  // 6 dp through the shared floor-based rounding each step, so the SQL
+  // oracle — which recomputes the whole trajectory from scratch,
+  // unrolled (the q210 pattern; no learned literals needed) — replays
+  // it exactly (residual: the documented quantization-midpoint hazard).
+  // Driver state is D-sized; per step the distributed work is ONE
+  // aggregation over the (domain, word) count table — which at 100 TB
+  // is vocab×domains-sized and stays DISTRIBUTED (persisted for the
+  // T+3 passes, dropped in `finally` — the q266 leak lesson), never a
+  // driver-side count map. Output: (step, source, n_tokens,
+  // excess_unats, alpha) for all T×D steps — the full learned
+  // trajectory, constant-size at any corpus.
+  // --------------------------------------------------------------------
+  private def doremiQ: Q =
+    Q("q275_doremi_mixture",
+      (s, d) => {
+        import s.implicits._
+        import graft.Rounding.dround
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        val cw = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nd = cw.groupBy("source").agg(sum("c").as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val sources = nd.keys.toSeq.sorted
+          val dCount = sources.size
+          val vTotal = cw.select("w").distinct().count()
+          val nTotal = nd.values.sum
+          // Reference xent mass per domain (µnat BIGINT), fit once:
+          // corpus-level add-1 unigram.
+          val cwt = cw.groupBy("w").agg(sum("c").as("cwt"))
+          val ref = cw.join(cwt, "w")
+            .select(col("source"),
+              floor(col("c").cast("double") *
+                log((col("cwt").cast("double") + lit(1.0)) /
+                  lit((nTotal + vTotal).toDouble)) * lit(1e6) + lit(0.5))
+                .cast("long").as("q"))
+            .groupBy("source").agg(sum("q").as("refq"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          var alpha = sources.map(src => src -> dround(1.0 / dCount, 6)).toMap
+          val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Double)]()
+          for (t <- 1 to DoremiSteps) {
+            val aNdv = sources.map(src =>
+              (src, alpha(src), (nd(src) + vTotal).toDouble)).toDF("source", "alpha", "ndv")
+            // Smoothing mass of ABSENT (domain, word) cells folds into one
+            // driver constant: Σ_d α_d/(N_d+V) is w-independent.
+            val k0 = sources.map(src => alpha(src) / (nd(src) + vTotal)).sum
+            // Per-PRESENT-cell term is α·c/(N+V): the add-1 smoothing for
+            // every (domain, word) cell — present or absent — is already
+            // the k0 constant above, so using c+1 here would double-count.
+            val pw = cw.join(broadcast(aNdv), "source")
+              .groupBy("w")
+              .agg(sum(col("alpha") * col("c").cast("double") /
+                col("ndv")).as("pp"))
+            val prox = cw.join(pw, "w")
+              .select(col("source"),
+                floor(col("c").cast("double") * log(col("pp") + lit(k0)) *
+                  lit(1e6) + lit(0.5)).cast("long").as("q"))
+              .groupBy("source").agg(sum("q").as("proxq"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val excess = sources.map(src =>
+              src -> math.max(0L, ref(src) - prox(src))).toMap
+            val aRaw = sources.map(src => src -> alpha(src) *
+              math.exp(DoremiEta * excess(src).toDouble / 1e6 / nd(src))).toMap
+            // Normalizer summed in SORTED source order (the SQL sum order
+            // is arbitrary; double-add order differences are below the
+            // 6 dp grid except at the documented midpoint residual).
+            val z = sources.map(aRaw).sum
+            alpha = sources.map(src => src -> dround(
+              (1.0 - DoremiSmooth) * aRaw(src) / z +
+                DoremiSmooth / dCount, 6)).toMap
+            sources.foreach(src =>
+              rows += ((t.toLong, src, nd(src), excess(src), alpha(src))))
+          }
+          rows.toSeq.toDF("step", "source", "n_tokens", "excess_unats", "alpha")
+            .orderBy("step", "source")
+        } finally cw.unpersist()
+      },
+      Some {
+        val r6 = (e: String) => sqlRound(e, 6)
+        val hd = s"""tk AS (SELECT source, unnest($sqlToks) AS w FROM documents),
+           |cwx AS MATERIALIZED (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           |  FROM tk GROUP BY 1, 2),
+           |ndx AS MATERIALIZED (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cwx GROUP BY 1),
+           |vn AS MATERIALIZED (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v,
+           |    CAST(count(*) AS BIGINT) AS ntt FROM tk),
+           |dcx AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS dcount FROM ndx),
+           |cwt AS MATERIALIZED (SELECT w, CAST(sum(c) AS BIGINT) AS cwt FROM cwx GROUP BY 1),
+           |refx AS MATERIALIZED (SELECT cwx.source,
+           |    CAST(sum(floor(CAST(c AS DOUBLE) *
+           |      ln((cwt + 1.0) / (ntt + v)) * 1e6 + 0.5)) AS BIGINT) AS refq
+           |  FROM cwx JOIN cwt USING (w) CROSS JOIN vn GROUP BY 1),
+           |al0 AS MATERIALIZED (SELECT source, ${r6("1.0 / dcount")} AS alpha
+           |  FROM ndx CROSS JOIN dcx)""".stripMargin
+        val steps = (1 to DoremiSteps).map { i =>
+          val prev = s"al${i - 1}"
+          s"""kk$i AS (SELECT sum(alpha / (n + v)) AS k
+             |  FROM $prev JOIN ndx USING (source) CROSS JOIN vn),
+             |pw$i AS MATERIALIZED (SELECT w, sum(alpha * CAST(c AS DOUBLE) / (n + v)) AS pp
+             |  FROM cwx JOIN $prev USING (source) JOIN ndx USING (source)
+             |  CROSS JOIN vn GROUP BY w),
+             |px$i AS MATERIALIZED (SELECT cwx.source,
+             |    CAST(sum(floor(CAST(c AS DOUBLE) * ln(pp + k) * 1e6 + 0.5))
+             |      AS BIGINT) AS proxq
+             |  FROM cwx JOIN pw$i USING (w) CROSS JOIN kk$i GROUP BY 1),
+             |ex$i AS MATERIALIZED (SELECT source, greatest(refq - proxq, 0) AS excess
+             |  FROM refx JOIN px$i USING (source)),
+             |ar$i AS MATERIALIZED (SELECT e.source,
+             |    $prev.alpha * exp($DoremiEta * CAST(excess AS DOUBLE) / 1e6 / ndx.n)
+             |      AS araw
+             |  FROM ex$i e JOIN $prev USING (source) JOIN ndx USING (source)),
+             |zz$i AS MATERIALIZED (SELECT sum(araw) AS z FROM ar$i),
+             |al$i AS MATERIALIZED (SELECT source,
+             |    ${r6(s"(1.0 - $DoremiSmooth) * araw / z + $DoremiSmooth / dcount")}
+             |      AS alpha
+             |  FROM ar$i CROSS JOIN zz$i CROSS JOIN dcx)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to DoremiSteps).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS step, source, ndx.n AS n_tokens,
+             |  CAST(excess AS BIGINT) AS excess_unats, alpha
+             |FROM ex$i JOIN al$i USING (source) JOIN ndx USING (source)""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH $hd,
+           |$steps
+           |$out
+           |ORDER BY step, source""".stripMargin
+      })
+
+  val all: Seq[Q] = clustering :+ doremiQ
 }

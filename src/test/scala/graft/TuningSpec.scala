@@ -205,6 +205,49 @@ class TuningSpec extends SparkSpec {
     } finally LloydFit.clear()
   }
 
+  test("q275: DoReMi trajectory — simplex weights, clipped excess, EG direction, no leak") {
+    import org.apache.spark.sql.functions._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = run("q275_doremi_mixture")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"q275 leaked persisted RDDs: $leaked")
+    val byStep = rows.groupBy(_._1)
+    assert(byStep.keySet == Set(1L, 2L, 3L, 4L))
+    val dCount = byStep(1L).size
+    byStep.foreach { case (t, rs) =>
+      assert(rs.size == dCount, s"step $t: domain set changed mid-trajectory")
+      // Weights live on the (rounded) simplex: Σα = 1 within D half-grid
+      // units, every α above the smoothing floor s/D and below 1.
+      val sum = rs.map(_._5).sum
+      assert(math.abs(sum - 1.0) <= dCount * 5e-7 + 1e-9,
+        s"step $t: Σα = $sum")
+      rs.foreach { case (_, src, nTok, ex, a) =>
+        assert(ex >= 0L, s"step $t $src: clipped excess is negative")
+        assert(nTok > 0L)
+        assert(a >= 0.1 / dCount - 1e-6 && a < 1.0,
+          s"step $t $src: α=$a escapes (smoothing floor, 1)")
+      }
+    }
+    // n_tokens is the raw per-source token count — recount one source.
+    val (src0, nTok0) = (rows.head._2, rows.head._3)
+    val recount = Tables.documents(spark, sf)
+      .filter(col("source") === src0)
+      .select(explode(graft.text.TextOps.tokens(col("text")))).count()
+    assert(nTok0 == recount, s"$src0: n_tokens $nTok0 != recount $recount")
+    // Exponentiated-gradient direction at step 1 (uniform start): the
+    // strictly-max-excess domain must end step 1 with the max weight.
+    val s1 = byStep(1L)
+    val maxEx = s1.map(_._4).max
+    if (s1.count(_._4 == maxEx) == 1) {
+      val exArg = s1.maxBy(_._4)._2
+      val aArg = s1.maxBy(_._5)._2
+      assert(exArg == aArg,
+        s"step 1: max-excess domain $exArg did not get max weight ($aArg did)")
+    }
+  }
+
   test("q267: OOV output covers only eval splits and its rates are consistent") {
     val rows = run("q267_oov_rate")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),

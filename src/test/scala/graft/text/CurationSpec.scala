@@ -276,6 +276,33 @@ class CurationSpec extends SparkSpec {
     j.unpersist(); out.unpersist()
   }
 
+  test("q276: fertility audit — per-source mass conserved, metrics bounded and self-consistent") {
+    val out = q("q276_bpe_fertility").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // Every source with ≥1 alphanumeric word appears exactly once, and
+    // the per-source word/char masses match an independent recount.
+    val expected = graft.Tables.documents(spark, sf)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[A-Za-z0-9]+$"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("ew"), sum(length(col("w"))).as("ec"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.map(_._1).toSet == expected.keySet, "source set mismatch")
+    out.foreach { case (src, nw, nc, ns, fert, cps, cont) =>
+      val (ew, ec) = expected(src)
+      assert(nw == ew && nc == ec, s"$src: word/char mass != recount")
+      // Segmentation bounds: every word is 1..len(word) subwords.
+      assert(ns >= nw && ns <= nc, s"$src: n_subwords $ns outside [words, chars]")
+      assert(approx(fert, math.floor(ns.toDouble / nw * 1e6 + 0.5) / 1e6, 1e-9))
+      assert(approx(cps, math.floor(nc.toDouble / ns * 1e6 + 0.5) / 1e6, 1e-9))
+      assert(cont >= 0.0 && cont <= 1.0)
+      // fertility == 1 exactly when nothing was ever continued.
+      assert((ns == nw) == (cont == 0.0),
+        s"$src: fertility/continued-rate inconsistent ($ns/$nw vs $cont)")
+    }
+  }
+
   test("q223: LSH dedup eval — counts consistent, ratios in [0,1], tp bounded") {
     val out = q("q223_lsh_dedup_eval").collect()
     assert(out.length == 1)
