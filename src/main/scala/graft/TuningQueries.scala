@@ -741,16 +741,46 @@ object TuningQueries {
   // excess_unats, alpha) for all T×D steps — the full learned
   // trajectory, constant-size at any corpus.
   // --------------------------------------------------------------------
-  private def doremiQ: Q =
-    Q("q275_doremi_mixture",
-      (s, d) => {
-        import s.implicits._
-        import graft.Rounding.dround
-        val toks = Tables.documents(s, d)
-          .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
-        val cw = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
+  /** Per-dir DoReMi trajectory artifact — the LloydFit discipline
+    * (round-13 lesson): the trajectory-emitting query (q275) always
+    * REFITS so its measured cost is the fit's; consumers (q277) reuse.
+    * The fit is deterministic (quantized masses, 6 dp weights), so
+    * reuse is value-identical to refit.
+    */
+  private[graft] object DoremiFit {
+    private val fits = new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(Long, String, Long, Long, Double)]]()
+    def get(dir: String): Option[Seq[(Long, String, Long, Long, Double)]] =
+      Option(fits.get(dir))
+    def put(dir: String, v: Seq[(Long, String, Long, Long, Double)]): Unit =
+      fits.put(dir, v)
+    private[graft] def clear(): Unit = fits.clear()
+  }
+
+  /** The q275 training loop (see the q275 block comment below for the
+    * algorithm and determinism argument) — shared by the trajectory
+    * query and its consumers. Returns (step, source, n_tokens,
+    * excess_unats, alpha) rows for steps 1..T.
+    */
+  private[graft] def doremiTrajectory(s: SparkSession, d: String,
+      reuse: Boolean = false): Seq[(Long, String, Long, Long, Double)] = {
+    val cached = if (reuse) DoremiFit.get(d) else None
+    cached.getOrElse {
+      val fitted = doremiFitRun(s, d)
+      DoremiFit.put(d, fitted)
+      fitted
+    }
+  }
+
+  private def doremiFitRun(s: SparkSession, d: String)
+      : Seq[(Long, String, Long, Long, Double)] = {
+    import s.implicits._
+    import graft.Rounding.dround
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+    val cw = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
           val nd = cw.groupBy("source").agg(sum("c").as("n"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           val sources = nd.keys.toSeq.sorted
@@ -803,13 +833,18 @@ object TuningQueries {
             sources.foreach(src =>
               rows += ((t.toLong, src, nd(src), excess(src), alpha(src))))
           }
-          rows.toSeq.toDF("step", "source", "n_tokens", "excess_unats", "alpha")
-            .orderBy("step", "source")
+          rows.toSeq
         } finally cw.unpersist()
-      },
-      Some {
-        val r6 = (e: String) => sqlRound(e, 6)
-        val hd = s"""tk AS (SELECT source, unnest($sqlToks) AS w FROM documents),
+  }
+
+  /** The q275 oracle's CTE chain (header + T unrolled steps), shared
+    * verbatim with consumer oracles (q277) so the learned-mixture SQL
+    * cannot drift from the query it composes. Ends at `al$T` (final
+    * weights); `ex$i`/`ndx`/`vn`/`dcx` are also addressable.
+    */
+  private def doremiSqlCtes: String = {
+    val r6 = (e: String) => sqlRound(e, 6)
+    val hd = s"""tk AS (SELECT source, unnest($sqlToks) AS w FROM documents),
            |cwx AS MATERIALIZED (SELECT source, w, CAST(count(*) AS BIGINT) AS c
            |  FROM tk GROUP BY 1, 2),
            |ndx AS MATERIALIZED (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cwx GROUP BY 1),
@@ -846,16 +881,71 @@ object TuningQueries {
              |      AS alpha
              |  FROM ar$i CROSS JOIN zz$i CROSS JOIN dcx)""".stripMargin
         }.mkString(",\n")
+    s"$hd,\n$steps"
+  }
+
+  private def doremiQ: Q =
+    Q("q275_doremi_mixture",
+      (s, d) => {
+        import s.implicits._
+        doremiTrajectory(s, d)
+          .toDF("step", "source", "n_tokens", "excess_unats", "alpha")
+          .orderBy("step", "source")
+      },
+      Some {
         val out = (1 to DoremiSteps).map { i =>
           s"""SELECT CAST($i AS BIGINT) AS step, source, ndx.n AS n_tokens,
              |  CAST(excess AS BIGINT) AS excess_unats, alpha
              |FROM ex$i JOIN al$i USING (source) JOIN ndx USING (source)""".stripMargin
         }.mkString("\nUNION ALL ")
-        s"""WITH $hd,
-           |$steps
+        s"""WITH $doremiSqlCtes
            |$out
            |ORDER BY step, source""".stripMargin
       })
 
-  val all: Seq[Q] = clustering :+ doremiQ
+  // --------------------------------------------------------------------
+  // q277: mixture-apply resampling plan — turn q275's LEARNED final
+  // weights into the per-source sampling plan a dataloader executes
+  // (the step DoReMi itself prescribes: train the big model on the
+  // learned mixture). Per source: the corpus token share, the learned
+  // target weight α, the sampling rate α/share a per-token sampler
+  // applies to realize the mixture, and the expected token budget α·N
+  // per corpus-sized epoch. sampling_rate > 1 means the domain repeats
+  // (the data-constrained up-sampling regime; Muennighoff et al. 2023,
+  // public knowledge); < 1 means down-sampling. Drift-proofing: the
+  // engine consumes the SAME trajectory function (per-dir artifact,
+  // consumer-reuse per the LloydFit discipline) and the oracle nests
+  // [[doremiSqlCtes]] verbatim, so plan and audit can never disagree
+  // with the mixture they apply. 100 TB: the fit's cost (q275's, flat
+  // octaves) plus a D-sized rollup — nothing else.
+  // --------------------------------------------------------------------
+  private def doremiApplyQ: Q =
+    Q("q277_mixture_apply",
+      (s, d) => {
+        import s.implicits._
+        import graft.Rounding.dround
+        val last = doremiTrajectory(s, d, reuse = true)
+          .filter(_._1 == DoremiSteps.toLong)
+        val nTotal = last.map(_._3).sum
+        last.map { case (_, src, nTok, _, a) =>
+          (src, nTok,
+            dround(nTok.toDouble / nTotal, 6), a,
+            dround(a * nTotal.toDouble / nTok, 6),
+            math.floor(a * nTotal + 0.5).toLong)
+        }.toDF("source", "n_tokens", "token_share", "alpha",
+            "sampling_rate", "expected_tokens")
+          .orderBy("source")
+      },
+      Some {
+        s"""WITH $doremiSqlCtes
+           |SELECT source, ndx.n AS n_tokens,
+           |  ${sqlRound("CAST(ndx.n AS DOUBLE) / ntt", 6)} AS token_share,
+           |  alpha,
+           |  ${sqlRound("alpha * ntt / ndx.n", 6)} AS sampling_rate,
+           |  CAST(floor(alpha * ntt + 0.5) AS BIGINT) AS expected_tokens
+           |FROM al$DoremiSteps JOIN ndx USING (source) CROSS JOIN vn
+           |ORDER BY source""".stripMargin
+      })
+
+  val all: Seq[Q] = clustering ++ Seq(doremiQ, doremiApplyQ)
 }

@@ -248,6 +248,31 @@ class TuningSpec extends SparkSpec {
     }
   }
 
+  test("q277: mixture apply — budget conserved, rates consistent, pinned to q275 step-T") {
+    val plan = run("q277_mixture_apply")
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    val q275 = run("q275_doremi_mixture")
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4)))
+    val lastStep = q275.map(_._1).max
+    val finalW = q275.filter(_._1 == lastStep).map(t => t._2 -> t._3).toMap
+    assert(plan.map(_._1).toSet == finalW.keySet, "source sets differ")
+    val n = plan.map(_._2).sum
+    plan.foreach { case (src, nTok, share, a, rate, exp) =>
+      // Composition pin: the plan applies EXACTLY the learned weights.
+      assert(a == finalW(src), s"$src: plan α $a != q275 final ${finalW(src)}")
+      assert(approx(share, math.floor(nTok.toDouble / n * 1e6 + 0.5) / 1e6, 1e-9))
+      assert(approx(rate, math.floor(a * n / nTok * 1e6 + 0.5) / 1e6, 1e-9))
+      assert(exp == math.floor(a * n + 0.5).toLong)
+      assert(rate > 0.0)
+    }
+    // Shares and weights are both (rounded) simplexes ⇒ the planned
+    // token budget conserves the corpus within rounding.
+    assert(math.abs(plan.map(_._3).sum - 1.0) <= plan.size * 5e-7 + 1e-9)
+    assert(math.abs(plan.map(_._6).sum - n).toDouble <=
+      plan.size * (1.0 + n * 5e-7), "planned budget drifts from corpus size")
+  }
+
   test("q267: OOV output covers only eval splits and its rates are consistent") {
     val rows = run("q267_oov_rate")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
