@@ -947,5 +947,79 @@ object TuningQueries {
            |ORDER BY source""".stripMargin
       })
 
-  val all: Seq[Q] = clustering ++ Seq(doremiQ, doremiApplyQ)
+  /** Epochs audited by q278 — fixed (hyperparameter, not a corpus
+    * statistic): E+1 orders, E consecutive-pair correlations. */
+  private val ShuffleEpochs = 4
+
+  // --------------------------------------------------------------------
+  // q278: epoch-shuffle decorrelation audit — deterministic seeded
+  // shuffling (order_e(doc) = sort by hash(epoch, doc_id)) is how
+  // reproducible training dataloaders permute a corpus each epoch
+  // (hash-keyed reshuffling, public knowledge: the tf.data /
+  // webdataset-style deterministic shuffle). A BROKEN shuffle — seed
+  // reused across epochs, hash ignoring the epoch, or a stable sort on
+  // a constant key — feeds the model near-identical batch order every
+  // epoch, which quietly degrades training; the audit catches it as
+  // rank correlation ≈ 1 between consecutive epochs. Per (source,
+  // epoch e): the exact Spearman ρ between the epoch-(e−1) and
+  // epoch-e orders via the q274 integer-rank identity (Σd² BIGINT —
+  // exact on both engines; ρ published at 6 dp). Ranks are per-source
+  // (the q274 window shape): the audit parallelizes across sources and
+  // each (source, epoch) order is a true permutation because the sort
+  // key (hash, doc_id) is total. 100 TB: E+1 per-source sorts of a
+  // 2-column projection plus a source-sized rollup — E is fixed, so
+  // the whole audit is a constant number of linear passes.
+  // --------------------------------------------------------------------
+  private def shuffleAuditQ: Q = {
+    def epochKey(e: Int): Column =
+      TextOps.md5Hash60(concat(lit(s"ep$e:"), col("doc_id").cast("string")))
+    Q("q278_epoch_shuffle_audit",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.documents(s, d).select(col("source"), col("doc_id"))
+        val ranked = (0 to ShuffleEpochs).foldLeft(base) { (df, e) =>
+          df.withColumn(s"r$e", row_number().over(
+            Window.partitionBy("source").orderBy(epochKey(e), col("doc_id"))))
+        }
+        (1 to ShuffleEpochs).map { e =>
+          ranked.select(col("source"), lit(e.toLong).as("epoch"),
+            ((col(s"r${e - 1}") - col(s"r$e")) *
+              (col(s"r${e - 1}") - col(s"r$e"))).cast("long").as("d2"))
+        }.reduce(_ unionAll _)
+          .groupBy("source", "epoch")
+          .agg(count(lit(1)).as("n_docs"), sum("d2").as("d2_sum"))
+          .filter(col("n_docs") >= 2)
+          .select(col("source"), col("epoch"), col("n_docs"), col("d2_sum"),
+            pround(lit(1.0) - lit(6.0) * col("d2_sum").cast("double") /
+              (col("n_docs").cast("double") *
+                (col("n_docs") * col("n_docs") - 1).cast("double")), 6)
+              .as("spearman_rho"))
+          .orderBy("source", "epoch")
+      },
+      Some {
+        def key(e: Int) = sqlHash60(s"'ep$e:' || CAST(doc_id AS VARCHAR)")
+        val ranks = (0 to ShuffleEpochs).map(e =>
+          s"""    row_number() OVER (PARTITION BY source
+             |      ORDER BY ${key(e)}, doc_id) AS r$e""".stripMargin)
+          .mkString(",\n")
+        val pairs = (1 to ShuffleEpochs).map(e =>
+          s"""SELECT source, CAST($e AS BIGINT) AS epoch,
+             |  CAST((r${e - 1} - r$e) * (r${e - 1} - r$e) AS BIGINT) AS d2
+             |FROM rks""".stripMargin)
+          .mkString("\nUNION ALL ")
+        s"""WITH rks AS MATERIALIZED (SELECT source, doc_id,
+           |$ranks
+           |  FROM documents),
+           |pr AS ($pairs)
+           |SELECT source, epoch, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(d2) AS BIGINT) AS d2_sum,
+           |  ${sqlRound(
+             "1.0 - 6.0 * CAST(sum(d2) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * CAST(count(*) * count(*) - 1 AS DOUBLE))",
+             6)} AS spearman_rho
+           |FROM pr GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY source, epoch""".stripMargin
+      })
+  }
+
+  val all: Seq[Q] = clustering ++ Seq(doremiQ, doremiApplyQ, shuffleAuditQ)
 }

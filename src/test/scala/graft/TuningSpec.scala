@@ -273,6 +273,36 @@ class TuningSpec extends SparkSpec {
       plan.size * (1.0 + n * 5e-7), "planned budget drifts from corpus size")
   }
 
+  test("q278: shuffle audit — epoch coverage, exact rank identity, hash orders decorrelated") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q278_epoch_shuffle_audit")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val perSource = Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val audited = perSource.filter(_._2 >= 2)
+    assert(rows.groupBy(_._1).keySet == audited.keySet)
+    rows.foreach { case (src, ep, n, d2, rho) =>
+      assert(ep >= 1 && ep <= 4)
+      assert(n == audited(src), s"$src: n_docs $n != corpus ${audited(src)}")
+      // Both orders are permutations of 1..n ⇒ Σd² ∈ [0, (n³−n)/3].
+      assert(d2 >= 0 && d2 <= (n * n * n - n) / 3, s"$src ep$ep: d2 out of range")
+      val expect = 1.0 - 6.0 * d2.toDouble / (n.toDouble * (n.toDouble * n - 1))
+      assert(approx(rho, math.floor(expect * 1e6 + 0.5) / 1e6, 1e-9),
+        s"$src ep$ep: rho inconsistent with d2")
+      assert(rho >= -1.0 && rho <= 1.0)
+    }
+    // The point of the audit: epoch-keyed hash orders are DECORRELATED.
+    // |ρ| of independent permutations concentrates at ~1/√(n−1); a
+    // broken shuffle (epoch ignored) would measure ρ = 1.0 exactly.
+    rows.foreach { case (src, ep, n, _, rho) =>
+      val bound = math.min(0.99, 6.0 / math.sqrt(n.toDouble - 1))
+      assert(math.abs(rho) <= bound,
+        s"$src ep$ep: |rho|=$rho suspiciously correlated (n=$n)")
+    }
+  }
+
   test("q267: OOV output covers only eval splits and its rates are consistent") {
     val rows = run("q267_oov_rate")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
