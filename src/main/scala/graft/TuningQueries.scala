@@ -1021,5 +1021,104 @@ object TuningQueries {
       })
   }
 
-  val all: Seq[Q] = clustering ++ Seq(doremiQ, doremiApplyQ, shuffleAuditQ)
+  // --------------------------------------------------------------------
+  // q279: DSIR data selection — importance resampling over hashed
+  // n-gram features (Xie et al. 2023, "Data Selection for Language
+  // Models via Importance Resampling", public knowledge). Where DoReMi
+  // (q275) learns per-DOMAIN mixture weights, DSIR selects individual
+  // EXAMPLES: fit two add-1-smoothed multinomials over a FIXED hashed
+  // feature space — p_target from the target domain, p_raw from the
+  // whole corpus — and score every candidate document by its log
+  // importance weight Σ_b c_b·(ln p_t(b) − ln p_r(b)), then keep the
+  // top-K. All three knobs are hyperparameters (the fixed-budget
+  // discipline): the target domain is a user choice, B fixes the model
+  // size independent of vocabulary growth (the paper's own hashing
+  // trick), and K is the selection budget. Determinism: the paper's
+  // Gumbel-noise resampling is replaced by the deterministic top-K
+  // with doc_id tiebreak — the temperature→0 limit — so both engines
+  // rank identical BIGINT scores identically. Quantization: the
+  // per-bucket log-ratio is floored to µnat BIGINTs ONCE (model-side),
+  // so every per-doc score is an exact integer dot product — order-free
+  // under any shuffle. 100 TB: one tokenize+bucket-count pass for the
+  // fit (map-side combine into ≤B cells per domain flag, constant
+  // driver fetch), one scoring pass joining the B-row broadcast model,
+  // and a TakeOrdered(K) — two linear scans, no corpus-sized shuffle
+  // beyond the (doc,b) combine keyed by doc_id.
+  // --------------------------------------------------------------------
+  private val DsirTarget = "src0"
+  private val DsirBuckets = 1024
+  private val DsirK = 100
+
+  private def dsirQ: Q = {
+    def bucketCounts(s: SparkSession, d: String): DataFrame =
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("b", pmod(TextOps.md5Hash60(col("w")), lit(DsirBuckets.toLong)))
+        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
+    Q("q279_dsir_select",
+      (s, d) => {
+        import s.implicits._
+        val bt = bucketCounts(s, d)
+        // Fit pass: one B-sized aggregation (raw + target counts per
+        // bucket in the same job), constant-size driver fetch.
+        val agg = bt.groupBy("b").agg(
+            sum("c").as("cr"),
+            sum(when(col("source") === DsirTarget, col("c")).otherwise(0L)).as("ct"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val nr = agg.valuesIterator.map(_._1).sum
+        val nt = agg.valuesIterator.map(_._2).sum
+        val model = (0L until DsirBuckets.toLong).map { b =>
+          val (cr, ct) = agg.getOrElse(b, (0L, 0L))
+          val ll = math.floor(
+            (math.log((ct + 1.0) / (nt + DsirBuckets).toDouble) -
+              math.log((cr + 1.0) / (nr + DsirBuckets).toDouble)) * 1e6 + 0.5).toLong
+          (b, ll)
+        }.toDF("b", "ll")
+        // Scoring pass: broadcast the B-row model, integer dot product
+        // per doc, TakeOrdered(K); the rank window runs on K rows only.
+        val top = bt.filter(col("source") =!= DsirTarget)
+          .join(broadcast(model), "b")
+          .groupBy("doc_id", "source")
+          .agg(sum("c").as("n_tokens"), sum(col("c") * col("ll")).as("logw_unats"))
+          .orderBy(col("logw_unats").desc, col("doc_id").asc)
+          .limit(DsirK)
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(col("logw_unats").desc, col("doc_id").asc)).cast("long"))
+          .select("rank", "doc_id", "source", "n_tokens", "logw_unats")
+          .orderBy("rank")
+      },
+      Some {
+        val B = DsirBuckets
+        s"""WITH tk AS (SELECT doc_id, source, unnest($sqlToks) AS w FROM documents),
+           |bt AS MATERIALIZED (SELECT doc_id, source,
+           |    ${sqlHash60("w")} % $B AS b, CAST(count(*) AS BIGINT) AS c
+           |  FROM tk GROUP BY 1, 2, 3),
+           |ag AS MATERIALIZED (SELECT b, CAST(sum(c) AS BIGINT) AS cr,
+           |    CAST(sum(CASE WHEN source = '$DsirTarget' THEN c ELSE 0 END)
+           |      AS BIGINT) AS ct
+           |  FROM bt GROUP BY 1),
+           |nn AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+           |    CAST(sum(ct) AS BIGINT) AS nt FROM ag),
+           |grid AS (SELECT CAST(range AS BIGINT) AS b FROM range($B)),
+           |mdl AS MATERIALIZED (SELECT g.b,
+           |    CAST(floor((ln((coalesce(ct, 0) + 1.0) / (nt + $B)) -
+           |                ln((coalesce(cr, 0) + 1.0) / (nr + $B))) * 1e6 + 0.5)
+           |      AS BIGINT) AS ll
+           |  FROM grid g LEFT JOIN ag USING (b) CROSS JOIN nn),
+           |sc AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |    CAST(sum(c * ll) AS BIGINT) AS logw_unats
+           |  FROM bt JOIN mdl USING (b)
+           |  WHERE source <> '$DsirTarget' GROUP BY 1, 2),
+           |top AS (SELECT * FROM sc
+           |  ORDER BY logw_unats DESC, doc_id ASC LIMIT $DsirK)
+           |SELECT CAST(row_number() OVER (ORDER BY logw_unats DESC, doc_id ASC)
+           |    AS BIGINT) AS rank,
+           |  doc_id, source, n_tokens, logw_unats
+           |FROM top ORDER BY rank""".stripMargin
+      })
+  }
+
+  val all: Seq[Q] =
+    clustering ++ Seq(doremiQ, doremiApplyQ, shuffleAuditQ, dsirQ)
 }

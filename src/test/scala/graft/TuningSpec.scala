@@ -303,6 +303,58 @@ class TuningSpec extends SparkSpec {
     }
   }
 
+  test("q279: DSIR selection — budget, ordering, target exclusion, independent score recompute") {
+    val rows = run("q279_dsir_select")
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // Fixed selection budget: the corpus has more than K non-target docs,
+    // so exactly K rows come back with dense ranks 1..K.
+    assert(rows.length == 100, s"expected K=100 rows, got ${rows.length}")
+    assert(rows.map(_._1).toSeq == (1L to 100L), "ranks not dense 1..K")
+    // Total order: scores non-increasing, doc_id ascending within ties,
+    // no doc selected twice, and the target domain is never selected.
+    rows.sliding(2).foreach { case Array((_, d1, _, _, w1), (_, d2, _, _, w2)) =>
+      assert(w1 > w2 || (w1 == w2 && d1 < d2), "selection order broken")
+    }
+    assert(rows.map(_._2).distinct.length == rows.length)
+    assert(rows.forall(_._3 != "src0"), "target-domain doc selected")
+    // Independent recompute of the full DSIR scoring (pure Scala: JDK md5,
+    // whitespace split, add-1 hashed unigram models) for the top-ranked
+    // doc — pins the hash, the bucketing, the smoothing, and the µnat
+    // quantization against the engine's distributed plan.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def buckets(text: String): Seq[Long] =
+      text.split("\\s+").filter(_.nonEmpty).toSeq.map(w => h60(w) % 1024L)
+    val tgt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val raw = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, src, text) =>
+      buckets(text).foreach { b =>
+        raw(b) += 1; if (src == "src0") tgt(b) += 1
+      }
+    }
+    val (nr, nt) = (raw.values.sum, tgt.values.sum)
+    def ll(b: Long): Long = math.floor(
+      (math.log((tgt(b) + 1.0) / (nt + 1024).toDouble) -
+        math.log((raw(b) + 1.0) / (nr + 1024).toDouble)) * 1e6 + 0.5).toLong
+    val (_, topDoc, _, topN, topW) = rows.head
+    val (_, _, topText) = docs.find(_._1 == topDoc).get
+    val bs = buckets(topText)
+    assert(bs.length.toLong == topN, s"token count $topN != recount ${bs.length}")
+    assert(bs.map(ll).sum == topW, s"score $topW != independent recompute")
+    // And the top doc really is the arg-max over all non-target docs.
+    val best = docs.filter(d => d._2 != "src0" && d._3.split("\\s+").exists(_.nonEmpty))
+      .map { case (id, _, text) => (buckets(text).map(ll).sum, id) }
+      .max(Ordering.Tuple2(Ordering.Long, Ordering.Long.reverse))
+    assert(best._2 == topDoc && best._1 == topW, s"rank-1 doc is not arg-max: $best")
+  }
+
   test("q267: OOV output covers only eval splits and its rates are consistent") {
     val rows = run("q267_oov_rate")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
