@@ -4889,9 +4889,99 @@ object PipelineQueries {
                6)} AS spearman_rho
              |FROM ag ORDER BY source""".stripMargin)))
 
+  // --------------------------------------------------------------------
+  // q280: Hill tail-index estimator over the duplicate-cluster size
+  // distribution (Hill 1975, public knowledge — the standard estimator
+  // of a power-law tail exponent from the top-k order statistics).
+  // Duplicate-cluster sizes in web corpora are heavy-tailed; the tail
+  // index α decides dedup COST PLANNING at scale: α ≤ 1 means a few
+  // mega-clusters dominate the pair mass (cluster-size caps / keep-best
+  // election become mandatory), α > 2 means the tail is thin and plain
+  // connected components stay cheap. Estimated on the banded-verified
+  // tier (the measured-linear dedup path) at a FIXED grid of k values —
+  // the classic Hill plot, and the fixed-budget discipline: k is an
+  // estimator knob, not a corpus statistic. Per k: k_eff = min(k, n−1),
+  // the tail threshold s_(k_eff+1) (singleton clusters count as size 1),
+  // and α̂ = k_eff / Σ_{i≤k_eff} ln(s_(i)/s_(k_eff+1)) — NULL when the
+  // top-k sizes are all equal to the threshold (the estimator is
+  // undefined there, and hiding that as 0 or ∞ would mislead the
+  // planner). Parity: each log term is floored to µnat BIGINTs before
+  // summing (order-free), and the driver math mirrors the SQL literally.
+  // 100 TB: the banded tier is measured-linear; on top of it one
+  // cluster-count-sized aggregation, a TakeOrdered(k_max+1), and
+  // constant driver math — the collect is ≤ 51 rows by construction.
+  // --------------------------------------------------------------------
+  private val HillKs = Seq(5L, 10L, 20L, 50L)
+
+  private val tailAudit: Seq[Q] = Seq(
+    Q("q280_dup_tail_hill",
+      (s, d) => {
+        import s.implicits._
+        import graft.text.Dedup
+        import graft.Rounding.dround
+        val kMax = HillKs.max.toInt
+        val sizes = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
+          .groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (top, m, docsIn) =
+          try {
+            val t = sizes.orderBy(col("sz").desc, col("cluster").asc)
+              .limit(kMax + 1).collect().map(_.getLong(1))
+            val a = sizes.agg(count(lit(1)).as("m"), sum("sz").as("di"))
+              .collect().head
+            (t, a.getLong(0), a.getLong(1))
+          } finally { sizes.unpersist(); () }
+        val total = Tables.documents(s, d).count()
+        val n = m + (total - docsIn) // singleton docs are size-1 clusters
+        val rows = HillKs.map { kReq =>
+          val kEff = math.min(kReq, n - 1)
+          val sk1 = if (kEff + 1 <= m) top(kEff.toInt) else 1L
+          // Terms beyond the m non-singleton clusters are ln(1/1) → 0
+          // after quantization (floor(0.5) = 0), so the sum over
+          // i ≤ min(k_eff, m) is exact.
+          val q = (1L to math.min(kEff, m)).map { i =>
+            math.floor(math.log(top(i.toInt - 1).toDouble / sk1) * 1e6 + 0.5).toLong
+          }.sum
+          val alpha =
+            if (q > 0) Some(dround(kEff.toDouble * 1e6 / q, 6)) else None
+          (kReq, kEff, n, sk1, q, alpha)
+        }
+        rows.toDF("k_req", "k_eff", "n_clusters", "tail_size",
+            "hill_sum_unats", "alpha_hat")
+          .orderBy("k_req")
+      },
+      Some {
+        val ks = HillKs.mkString("[", ", ", "]")
+        s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
+           |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+           |  FROM comp GROUP BY cluster),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents),
+           |nin AS (SELECT CAST(count(*) AS BIGINT) AS di,
+           |    CAST(count(DISTINCT cluster) AS BIGINT) AS m FROM comp),
+           |nc AS (SELECT (t - di) + m AS n, m FROM tot CROSS JOIN nin),
+           |ord AS (SELECT sz, CAST(row_number() OVER (ORDER BY sz DESC, cluster ASC)
+           |    AS BIGINT) AS rn FROM cs),
+           |ks AS (SELECT CAST(unnest($ks) AS BIGINT) AS k_req),
+           |tl AS (SELECT k_req, least(k_req, n - 1) AS k_eff, n, m,
+           |    coalesce((SELECT sz FROM ord
+           |      WHERE rn = least(k_req, n - 1) + 1), 1) AS sk1
+           |  FROM ks CROSS JOIN nc),
+           |sm AS (SELECT t.k_req, CAST(coalesce(sum(
+           |      CAST(floor(ln(CAST(o.sz AS DOUBLE) / t.sk1) * 1e6 + 0.5)
+           |        AS BIGINT)), 0) AS BIGINT) AS q
+           |  FROM tl t LEFT JOIN ord o ON o.rn <= t.k_eff
+           |  GROUP BY t.k_req)
+           |SELECT t.k_req, t.k_eff, t.n AS n_clusters, t.sk1 AS tail_size,
+           |  sm.q AS hill_sum_unats,
+           |  CASE WHEN sm.q > 0
+           |    THEN ${sqlRound("CAST(t.k_eff AS DOUBLE) * 1e6 / sm.q", 6)}
+           |  END AS alpha_hat
+           |FROM tl t JOIN sm USING (k_req) ORDER BY t.k_req""".stripMargin
+      }))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
       ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
       retrievalEval ++ lm2 ++ whiten ++ curation ++ policy ++ bandedTwins ++
-      keepBest ++ lmEval ++ biasAudit
+      keepBest ++ lmEval ++ biasAudit ++ tailAudit
 }

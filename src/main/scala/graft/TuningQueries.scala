@@ -1024,7 +1024,10 @@ object TuningQueries {
   // --------------------------------------------------------------------
   // q279: DSIR data selection — importance resampling over hashed
   // n-gram features (Xie et al. 2023, "Data Selection for Language
-  // Models via Importance Resampling", public knowledge). Where DoReMi
+  // Models via Importance Resampling", public knowledge). q213 fits
+  // the importance WEIGHTS (lang-targeted, score-per-doc output); this
+  // query completes the method with the step the paper is named for —
+  // the budgeted SELECTION against a source-domain target. Where DoReMi
   // (q275) learns per-DOMAIN mixture weights, DSIR selects individual
   // EXAMPLES: fit two add-1-smoothed multinomials over a FIXED hashed
   // feature space — p_target from the target domain, p_raw from the

@@ -1202,6 +1202,39 @@ class CurationSpec extends SparkSpec {
     assert(dd._5 > 0.0 && fl._5 > 0.0)
   }
 
+  test("q280: Hill tail estimator — k grid, recompute from the q240 histogram, null only when degenerate") {
+    val out = q("q280_dup_tail_hill").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(out.map(_._1).toSeq == Seq(5L, 10L, 20L, 50L), "k grid changed")
+    // Independent recompute from a DIFFERENT registered query: q240's
+    // banded-tier histogram is the full cluster-size multiset (incl.
+    // singletons), so the whole Hill table must be derivable from it.
+    val hist = q("q240_dup_prevalence_banded").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = hist.sortBy(-_._1).flatMap { case (sz, n) =>
+      Seq.fill(math.min(n, 60L).toInt)(sz) // 60 ≥ k_max+1 caps the expansion
+    }
+    val n = hist.map(_._2).sum
+    out.foreach { case (kReq, kEff, nOut, sk1, q, alpha) =>
+      assert(nOut == n, s"k=$kReq: n_clusters $nOut != histogram total $n")
+      assert(kEff == math.min(kReq, n - 1))
+      val expSk1 = if (kEff < sizes.length) sizes(kEff.toInt) else 1L
+      assert(sk1 == expSk1, s"k=$kReq: tail size $sk1 != histogram $expSk1")
+      val expQ = (0 until math.min(kEff, sizes.length.toLong).toInt).map { i =>
+        math.floor(math.log(sizes(i).toDouble / expSk1) * 1e6 + 0.5).toLong
+      }.sum
+      assert(q == expQ, s"k=$kReq: hill sum $q != recompute $expQ")
+      alpha match {
+        case Some(a) =>
+          assert(q > 0)
+          assert(approx(a, math.floor(kEff.toDouble * 1e6 / q * 1e6 + 0.5) / 1e6, 1e-9))
+          assert(a > 0.0)
+        case None => assert(q == 0L, s"k=$kReq: alpha null but sum $q > 0")
+      }
+    }
+  }
+
   test("q274: Spearman is bounded, consistent with its own integers, and covers every source") {
     val out = q("q274_len_quality_bias").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
