@@ -989,17 +989,20 @@ object PipelineQueries {
 
   /** DuckDB quality-score subquery over a relation with (doc_id, lang,
     * text) — the q44 formula composable as a FROM-clause fragment.
+    * `extra` names additional columns of `srcRel` to carry through
+    * unchanged (q281 needs `source` next to the score).
     */
-  private def sqlQuality(srcRel: String): String = {
+  private[graft] def sqlQuality(srcRel: String, extra: Seq[String] = Nil): String = {
+    val ex = extra.map(c => s", $c").mkString
     val stopList = TextOps.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""SELECT doc_id, lang, text,
+    s"""SELECT doc_id, lang, text$ex,
        |  ${sqlRound("""CASE WHEN n_tokens = 0 THEN 0.0 ELSE
        |    1.0 * least(1.0, n_tokens::DOUBLE / 16.0)
        |        * least(1.0, stopword_ratio * 8.0)
        |        * greatest(0.0, 1.0 - punct_ratio * 4.0)
        |        * (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
        |  END""", 6)} AS quality_score
-       |FROM (SELECT doc_id, lang, text,
+       |FROM (SELECT doc_id, lang, text$ex,
        |    len(toks)::BIGINT AS n_tokens,
        |    CASE WHEN len(toks) > 0
        |      THEN list_sum(list_transform(toks, x -> len(x)::DOUBLE)) / len(toks) END AS mean_word_len,
@@ -1007,7 +1010,7 @@ object PipelineQueries {
        |      THEN len(list_filter(toks, x -> list_contains($stopList, lower(x))))::DOUBLE / len(toks) END AS stopword_ratio,
        |    CASE WHEN len(text) > 0
        |      THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / len(text) END AS punct_ratio
-       |  FROM (SELECT doc_id, lang, text, $sqlToks AS toks FROM $srcRel))""".stripMargin
+       |  FROM (SELECT doc_id, lang, text$ex, $sqlToks AS toks FROM $srcRel))""".stripMargin
   }
 
   private val composed: Seq[Q] = Seq(

@@ -1122,6 +1122,115 @@ object TuningQueries {
       })
   }
 
+  // --------------------------------------------------------------------
+  // q281: Neyman-allocation stratified eval split (Neyman 1934, public
+  // knowledge — the optimal-variance allocation of classical survey
+  // sampling). Building an eval set by uniform per-source quotas wastes
+  // budget on homogeneous sources; Neyman allocates n_h ∝ N_h·σ_h —
+  // more eval docs where the quality signal VARIES — which minimizes
+  // the variance of the stratified corpus-quality estimate at a fixed
+  // budget. σ_h is the population std of the q44 quality score; the
+  // budget B is a hyperparameter (fixed-budget discipline: the eval set
+  // does not grow with the corpus). The realized pick is the
+  // deterministic hash-rank sample (the q113/q219 salt pattern), so
+  // both engines select the identical doc set. Parity: scores enter as
+  // exact µ-unit BIGINTs (the 6-dp score re-quantized), σ comes off two
+  // integer sums (identical IEEE division/sqrt both sides), the weight
+  // N_h·σ_h is floored to BIGINT before the D-sized allocation math.
+  // 100 TB: one quality-scan aggregation (D cells), a constant driver
+  // allocation step, and one rank-filter pass — the per-source windows
+  // parallelize across sources and the output is D rows.
+  // --------------------------------------------------------------------
+  private val NeymanBudget = 100L
+
+  private def neymanQ: Q = {
+    def quantized(s: SparkSession, d: String): DataFrame =
+      TextOps.qualityScore(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("source"),
+          floor(col("quality_score") * 1e6 + 0.5).cast("long").as("qu"))
+    Q("q281_neyman_split",
+      (s, d) => {
+        import s.implicits._
+        import graft.Rounding.dround
+        val qq = quantized(s, d)
+        // One D-cell aggregation; the allocation itself is driver math
+        // over D rows (D = source count, constant).
+        val st = qq.groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("qu").as("s1"),
+            sum(col("qu") * col("qu")).as("s2"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1)
+        val withSig = st.map { case (src, n, s1, s2) =>
+          val mean = s1.toDouble / n
+          val sig = math.sqrt(math.max(s2.toDouble / n - mean * mean, 0.0))
+          (src, n, sig, math.floor(n * sig + 0.5).toLong)
+        }
+        val sumW = withSig.map(_._4).sum
+        val dCount = withSig.length
+        val al = withSig.toSeq.map { case (src, n, sig, w) =>
+          val raw =
+            if (sumW > 0) NeymanBudget.toDouble * w / sumW
+            else NeymanBudget.toDouble / dCount
+          (src, n, dround(sig / 1e6, 6), w,
+            math.min(n, math.floor(raw + 0.5).toLong))
+        }.toDF("source", "n_docs", "sigma_q", "weight", "alloc_docs")
+        // Realized pick: per-source hash-rank windows, then the D-sized
+        // sample rollup joined back to the allocation table.
+        val rk = qq.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(
+            TextOps.md5Hash60(concat(lit("neyman:"), col("doc_id").cast("string"))),
+            col("doc_id"))))
+        val sm = rk.join(broadcast(al.select("source", "alloc_docs")), "source")
+          .filter(col("rn") <= col("alloc_docs"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("sn"), sum("qu").as("sq"))
+        al.join(sm, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("sigma_q"), col("weight"),
+            col("alloc_docs"),
+            pround(col("sq").cast("double") / col("sn") / lit(1e6), 6)
+              .as("sample_mean_q"))
+          .orderBy("source")
+      },
+      Some {
+        s"""WITH qsrc AS (${PipelineQueries.sqlQuality("documents", Seq("source"))}),
+           |qq AS MATERIALIZED (SELECT doc_id, source,
+           |    CAST(floor(quality_score * 1e6 + 0.5) AS BIGINT) AS qu FROM qsrc),
+           |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(qu) AS BIGINT) AS s1,
+           |    CAST(sum(qu * qu) AS BIGINT) AS s2
+           |  FROM qq GROUP BY 1),
+           |sg AS (SELECT source, n,
+           |    sqrt(greatest(CAST(s2 AS DOUBLE) / n -
+           |      (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0)) AS sig
+           |  FROM st),
+           |wt AS (SELECT source, n, sig,
+           |    CAST(floor(n * sig + 0.5) AS BIGINT) AS w FROM sg),
+           |tw AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+           |    CAST(count(*) AS BIGINT) AS dc FROM wt),
+           |al AS (SELECT source, n, sig, w,
+           |    least(n, CAST(floor(CASE WHEN sw > 0
+           |        THEN $NeymanBudget.0 * w / sw
+           |        ELSE $NeymanBudget.0 / dc END + 0.5) AS BIGINT)) AS alloc
+           |  FROM wt CROSS JOIN tw),
+           |rk AS (SELECT doc_id, source, qu, row_number() OVER (
+           |    PARTITION BY source ORDER BY
+           |      ${sqlHash60("'neyman:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+           |  FROM qq),
+           |sm AS (SELECT r.source, CAST(count(*) AS BIGINT) AS sn,
+           |    CAST(sum(r.qu) AS BIGINT) AS sq
+           |  FROM rk r JOIN al a USING (source)
+           |  WHERE r.rn <= a.alloc GROUP BY 1)
+           |SELECT a.source, a.n AS n_docs, ${sqlRound("a.sig / 1e6", 6)} AS sigma_q,
+           |  a.w AS weight, a.alloc AS alloc_docs,
+           |  CASE WHEN coalesce(sm.sn, 0) > 0
+           |    THEN ${sqlRound("CAST(sm.sq AS DOUBLE) / sm.sn / 1e6", 6)}
+           |  END AS sample_mean_q
+           |FROM al a LEFT JOIN sm ON sm.source = a.source
+           |ORDER BY a.source""".stripMargin
+      })
+  }
+
   val all: Seq[Q] =
-    clustering ++ Seq(doremiQ, doremiApplyQ, shuffleAuditQ, dsirQ)
+    clustering ++ Seq(doremiQ, doremiApplyQ, shuffleAuditQ, dsirQ, neymanQ)
 }

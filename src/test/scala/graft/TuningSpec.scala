@@ -355,6 +355,58 @@ class TuningSpec extends SparkSpec {
     assert(best._2 == topDoc && best._1 == topW, s"rank-1 doc is not arg-max: $best")
   }
 
+  test("q281: Neyman split — budget conserved, allocation monotone in weight, sample independently recomputed") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q281_neyman_split")
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length == nSources, "a source is missing from the allocation")
+    val d = rows.length
+    // Largest-remainder-free rounding: per-source floor(x+0.5) keeps the
+    // realized budget within D/2 of the target.
+    val totalAlloc = rows.map(_._5).sum
+    assert(math.abs(totalAlloc - 100L) <= d / 2 + 1,
+      s"allocated $totalAlloc docs against budget 100")
+    // More variance·mass ⇒ at least as much budget (floor is monotone).
+    rows.sortBy(_._4).sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5 || a._5 == a._2 || b._5 == b._2,
+        s"allocation not monotone in weight: $a vs $b")
+    }
+    rows.foreach { case (src, n, sig, w, alloc, mean) =>
+      assert(alloc <= n, s"$src: allocated more than the stratum holds")
+      assert(sig >= 0.0 && w >= 0L)
+      mean.foreach(m => assert(m >= 0.0 && m <= 1.0, s"$src: sample mean $m"))
+      assert(mean.isDefined == (alloc > 0L), s"$src: mean/alloc mismatch")
+    }
+    // Independent recompute of one stratum end-to-end: σ and the realized
+    // hash-rank sample via the engine's own scored corpus but JDK md5 +
+    // pure-Scala order — pins the quantization, the weight, and the pick.
+    val scored = graft.text.TextOps
+      .qualityScore(Tables.documents(spark, sf), "text")
+      .select(col("doc_id"), col("source"),
+        floor(col("quality_score") * 1e6 + 0.5).cast("long").as("qu"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (src0, n0, sig0, w0, alloc0, mean0) = rows.head
+    val qs = scored.filter(_._2 == src0)
+    val mean = qs.map(_._3).sum.toDouble / qs.length
+    val sigU = math.sqrt(math.max(
+      qs.map(q => q._3 * q._3).sum.toDouble / qs.length - mean * mean, 0.0))
+    assert(n0 == qs.length)
+    assert(approx(sig0, math.floor(sigU / 1e6 * 1e6 + 0.5) / 1e6, 1e-9))
+    assert(w0 == math.floor(qs.length * sigU + 0.5).toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    if (alloc0 > 0) {
+      val picked = qs.sortBy(q => (h60(s"neyman:${q._1}"), q._1)).take(alloc0.toInt)
+      val expMean = math.floor(
+        picked.map(_._3).sum.toDouble / picked.length / 1e6 * 1e6 + 0.5) / 1e6
+      assert(mean0.exists(approx(_, expMean, 1e-9)),
+        s"$src0: sample mean ${mean0} != recomputed pick $expMean")
+    }
+  }
+
   test("q267: OOV output covers only eval splits and its rates are consistent") {
     val rows = run("q267_oov_rate")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
