@@ -1231,6 +1231,90 @@ object TuningQueries {
       })
   }
 
+  // --------------------------------------------------------------------
+  // q282: data-constrained scaling planner (Muennighoff et al. 2023,
+  // "Scaling Data-Constrained Language Models", public knowledge). The
+  // q277 mixture plan hands each source a token BUDGET; this planner
+  // answers the question that budget raises at 100 TB: how much of it
+  // is real signal once the source's UNIQUE data runs out and epochs
+  // repeat? Unique tokens U are the exact-dedup survivors' tokens (the
+  // q40/q117 keep-min-id fingerprint rule — repetition of exact dups is
+  // what the paper's decay measures); epochs = budget/U; and the
+  // effective data follows the paper's fitted exponential-decay value
+  // model D' = U + U·R*·(1−e^(−R/R*)) with R = epochs−1 repetitions
+  // and R* = 15.4 (the paper's fitted decay constant, pinned as a
+  // hyperparameter). A budget inside the unique pool is all signal
+  // (effective = budget, utilization 1); past it, utilization decays —
+  // the number a mixture planner must see before up-sampling a small
+  // source. Parity: budgets and U are exact BIGINTs, epochs/exp run on
+  // identical IEEE doubles (the q275 exp precedent), effective tokens
+  // are floored to BIGINT before the 6-dp utilization. A source whose
+  // unique pool is EMPTY fails loudly (require) rather than planning
+  // on a division by zero. 100 TB: the DoReMi fit artifact (measured
+  // flat) + one fingerprint-window dedup pass + a D-sized rollup.
+  // --------------------------------------------------------------------
+  private val RepeatDecay = 15.4
+
+  private def dataConstrainedQ: Q =
+    Q("q282_data_constrained_plan",
+      (s, d) => {
+        import s.implicits._
+        import graft.Rounding.dround
+        val last = doremiTrajectory(s, d, reuse = true)
+          .filter(_._1 == DoremiSteps.toLong)
+        val nTotal = last.map(_._3).sum
+        val budgets = last.map { case (_, src, _, _, a) =>
+          src -> math.floor(a * nTotal + 0.5).toLong
+        }.toMap
+        val w = Window.partitionBy("__fp").orderBy("doc_id")
+        val uniq = Tables.documents(s, d)
+          .withColumn("__fp", TextOps.fingerprint(col("text")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .groupBy("source")
+          .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("u"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rows = budgets.keys.toSeq.sorted.map { src =>
+          val b = budgets(src)
+          val u = uniq.getOrElse(src, 0L)
+          require(u > 0, s"q282: source $src has no unique tokens after dedup")
+          val ep = b.toDouble / u
+          val eff =
+            if (b <= u) b
+            else math.floor(u + u * RepeatDecay *
+              (1.0 - math.exp(-(ep - 1.0) / RepeatDecay)) + 0.5).toLong
+          (src, b, u, dround(ep, 6), eff, dround(eff.toDouble / b, 6))
+        }
+        rows.toDF("source", "budget_tokens", "unique_tokens", "epochs",
+            "effective_tokens", "utilization")
+          .orderBy("source")
+      },
+      Some {
+        s"""WITH $doremiSqlCtes,
+           |dd AS (SELECT source, text FROM documents
+           |  QUALIFY row_number() OVER (
+           |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           |    ORDER BY doc_id) = 1),
+           |uq AS (SELECT source, CAST(sum(len($sqlToks)) AS BIGINT) AS u
+           |  FROM dd GROUP BY 1),
+           |bd AS (SELECT source, CAST(floor(alpha * ntt + 0.5) AS BIGINT) AS b
+           |  FROM al$DoremiSteps JOIN ndx USING (source) CROSS JOIN vn),
+           |pl AS (SELECT bd.source, bd.b, uq.u,
+           |    CAST(bd.b AS DOUBLE) / uq.u AS ep
+           |  FROM bd JOIN uq USING (source)),
+           |ef AS (SELECT source, b, u, ep,
+           |    CASE WHEN b <= u THEN b
+           |      ELSE CAST(floor(u + u * $RepeatDecay *
+           |        (1.0 - exp(-(ep - 1.0) / $RepeatDecay)) + 0.5) AS BIGINT)
+           |    END AS eff
+           |  FROM pl)
+           |SELECT source, b AS budget_tokens, u AS unique_tokens,
+           |  ${sqlRound("ep", 6)} AS epochs, eff AS effective_tokens,
+           |  ${sqlRound("CAST(eff AS DOUBLE) / b", 6)} AS utilization
+           |FROM ef ORDER BY source""".stripMargin
+      })
+
   val all: Seq[Q] =
-    clustering ++ Seq(doremiQ, doremiApplyQ, shuffleAuditQ, dsirQ, neymanQ)
+    clustering ++ Seq(doremiQ, doremiApplyQ, shuffleAuditQ, dsirQ, neymanQ,
+      dataConstrainedQ)
 }

@@ -407,6 +407,39 @@ class TuningSpec extends SparkSpec {
     }
   }
 
+  test("q282: data-constrained plan — pinned to q277 budgets, decay laws, dedup bound") {
+    val plan = run("q282_data_constrained_plan")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    val budgets = run("q277_mixture_apply")
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(plan.map(_._1).toSet == budgets.keySet, "source sets differ")
+    // Unique tokens can never exceed the raw corpus tokens of the source.
+    val rawTok = run("q275_doremi_mixture")
+      .filter(_.getLong(0) == 1L).map(r => r.getString(1) -> r.getLong(2)).toMap
+    plan.foreach { case (src, b, u, ep, eff, util) =>
+      // Composition pin: budget is EXACTLY q277's expected_tokens.
+      assert(b == budgets(src), s"$src: budget $b != q277 ${budgets(src)}")
+      assert(u > 0 && u <= rawTok(src), s"$src: unique tokens out of bounds")
+      assert(approx(ep, math.floor(b.toDouble / u * 1e6 + 0.5) / 1e6, 1e-9))
+      // Value laws from the decay model: effective tokens are bounded by
+      // the budget on the fresh side and by U·(1+R*) asymptotically, and
+      // utilization is consistent and ≤ 1.
+      if (b <= u) assert(eff == b, s"$src: fresh budget not fully effective")
+      else {
+        assert(eff >= u, s"$src: repetition made data vanish")
+        assert(eff <= b, s"$src: effective exceeds trained budget")
+        assert(eff <= math.ceil(u * (1.0 + 15.4)).toLong,
+          s"$src: effective exceeds the decay asymptote")
+        val expect = math.floor(u + u * 15.4 *
+          (1.0 - math.exp(-(b.toDouble / u - 1.0) / 15.4)) + 0.5).toLong
+        assert(eff == expect, s"$src: effective $eff != recompute $expect")
+      }
+      assert(approx(util, math.floor(eff.toDouble / b * 1e6 + 0.5) / 1e6, 1e-9))
+      assert(util > 0.0 && util <= 1.0, s"$src: utilization $util")
+    }
+  }
+
   test("q267: OOV output covers only eval splits and its rates are consistent") {
     val rows = run("q267_oov_rate")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
