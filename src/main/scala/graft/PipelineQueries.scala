@@ -4982,9 +4982,67 @@ object PipelineQueries {
            |FROM tl t JOIN sm USING (k_req) ORDER BY t.k_req""".stripMargin
       }))
 
+  // --------------------------------------------------------------------
+  // q283: contamination-dirtiness accounting — the GPT-3-style release
+  // table (Brown et al. 2020 §C, public knowledge: documents are classed
+  // by the FRACTION of their n-grams shared with a benchmark, and the
+  // corpus report counts docs/tokens per class). q110 emits the raw
+  // per-doc overlap; this query normalizes it into bands and rolls the
+  // corpus up per (source, band): `clean` (zero shared grams),
+  // `dirty_low` (≤ 20 % of the doc's distinct grams), `dirty_high`
+  // (> 20 %), and `ungauged` for docs too short to form one 8-gram —
+  // reported, not hidden (the q272 audit doctrine: a class that cannot
+  // be measured must stay visible). The 20 % bar is a hyperparameter,
+  // compared as the exact integer inequality 5·n_shared ≤ n_grams so
+  // neither engine touches a float. 100 TB: q110's shape (benchmark
+  // hash set broadcast, gram hashes never leave the scan) plus one
+  // (source, band) hash aggregation — output is D×4 rows.
+  // --------------------------------------------------------------------
+  private val dirtiness: Seq[Q] = Seq(
+    Q("q283_contamination_bands",
+      (s, d) => {
+        import graft.text.Contamination
+        val docs = Tables.documents(s, d)
+        val perDoc = Contamination.benchmarkDirtiness(
+          docs, "doc_id", "text", col("source") === "src0", n = 8)
+        val band = when(col("n_grams") === 0L, "ungauged")
+          .when(col("n_shared") === 0L, "clean")
+          .when(col("n_shared") * 5 <= col("n_grams"), "dirty_low")
+          .otherwise("dirty_high")
+        docs.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("nt"))
+          .join(perDoc, "doc_id")
+          .withColumn("band", band)
+          .groupBy("source", "band")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+          .orderBy("source", "band")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS w FROM documents),
+              |sh AS (SELECT doc_id, source, unnest(${shinglesW(8)}) AS g FROM t),
+              |hh AS (SELECT doc_id, source, ${sqlHash60("g")} AS h FROM sh),
+              |b AS (SELECT DISTINCT h FROM hh WHERE source = 'src0'),
+              |c AS (SELECT DISTINCT doc_id, h FROM hh WHERE source <> 'src0'),
+              |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM c GROUP BY 1),
+              |sj AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns
+              |  FROM c JOIN b USING (h) GROUP BY 1),
+              |j AS (SELECT t.source, coalesce(g.ng, 0) AS ng,
+              |    coalesce(sj.ns, 0) AS ns, CAST(len(t.w) AS BIGINT) AS nt
+              |  FROM t LEFT JOIN g USING (doc_id) LEFT JOIN sj USING (doc_id)
+              |  WHERE t.source <> 'src0'),
+              |bd AS (SELECT source,
+              |    CASE WHEN ng = 0 THEN 'ungauged'
+              |         WHEN ns = 0 THEN 'clean'
+              |         WHEN ns * 5 <= ng THEN 'dirty_low'
+              |         ELSE 'dirty_high' END AS band, nt
+              |  FROM j)
+              |SELECT source, band, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(nt) AS BIGINT) AS n_tokens
+              |FROM bd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+
   def all: Seq[Q] =
     quality ++ relevance ++ pq ++ streamingChecked ++ composed ++ ml ++
       ordered ++ lm ++ dedupApply ++ passage ++ entropy ++ fusion ++
       retrievalEval ++ lm2 ++ whiten ++ curation ++ policy ++ bandedTwins ++
-      keepBest ++ lmEval ++ biasAudit ++ tailAudit
+      keepBest ++ lmEval ++ biasAudit ++ tailAudit ++ dirtiness
 }

@@ -45,6 +45,36 @@ object Contamination {
         (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[benchmarkOverlap]] plus the candidate's own distinct-gram count —
+    * the denominator of the GPT-3-style "dirtiness" fraction (Brown et
+    * al. 2020 §C measure contamination as the FRACTION of a doc's
+    * n-grams shared with a benchmark, not the raw count). Output:
+    * (idCol, n_grams, n_shared) for every candidate doc; docs too short
+    * to form a single n-gram report n_grams = 0 (the caller decides how
+    * to class them — hiding them as clean would skew the audit). Same
+    * 100 TB shape as [[benchmarkOverlap]]: the extra per-doc gram count
+    * rides the same distinct (doc, hash) relation, no new corpus scan.
+    */
+  def benchmarkDirtiness(docs: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, n: Int): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), benchPred.as("__bench"),
+        explode(TextOps.wordShingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), col("__bench"), TextOps.md5Hash60(col("__g")).as("__h"))
+    val bench = hashed.filter(col("__bench")).select("__h").distinct()
+    val cand = hashed.filter(!col("__bench"))
+      .select(col(idCol), col("__h")).distinct()
+    val grams = cand.groupBy(idCol).agg(count(lit(1)).as("__ng"))
+    val shared = cand.join(bench, "__h")
+      .groupBy(idCol).agg(count(lit(1)).as("__ns"))
+    docs.filter(!benchPred).select(col(idCol))
+      .join(grams, Seq(idCol), "left")
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        coalesce(col("__ns"), lit(0L)).as("n_shared"))
+  }
+
   /** Bloom-pruned variant of [[benchmarkOverlap]] — identical output
     * (the Bloom filter has no false negatives and an exact join verifies
     * the survivors, so the prune is lossless), different 100 TB shape:

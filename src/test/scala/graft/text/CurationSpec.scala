@@ -1235,6 +1235,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q283: dirtiness bands partition the candidate corpus and agree with q110's verdicts") {
+    val rows = q("q283_contamination_bands").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bands = Set("ungauged", "clean", "dirty_low", "dirty_high")
+    assert(rows.map(_._2).toSet.subsetOf(bands), "unknown band label")
+    // The bands PARTITION the non-benchmark corpus: doc and token mass
+    // both reconcile exactly against a direct recount.
+    val cand = graft.Tables.documents(spark, sf)
+      .filter(col("source") =!= "src0")
+    val nDocs = cand.count()
+    val nTok = cand.select(sum(size(graft.text.TextOps.tokens(col("text")))
+      .cast("long"))).collect().head.getLong(0)
+    assert(rows.map(_._3).sum == nDocs, "band doc counts don't partition")
+    assert(rows.map(_._4).sum == nTok, "band token counts don't partition")
+    // Cross-query pin: q110 (same n = 8, same benchmark) says which docs
+    // are contaminated at all; its verdict counts must equal the band
+    // rollup's clean/dirty split.
+    val q110 = q("q110_contamination").collect()
+      .map(r => r.getBoolean(2))
+    val contaminated = q110.count(identity).toLong
+    val dirty = rows.filter(r => r._2 == "dirty_low" || r._2 == "dirty_high")
+      .map(_._3).sum
+    val cleanish = rows.filter(r => r._2 == "clean" || r._2 == "ungauged")
+      .map(_._3).sum
+    assert(dirty == contaminated, s"dirty bands $dirty != q110 contaminated $contaminated")
+    assert(cleanish == q110.length - contaminated)
+  }
+
   test("q274: Spearman is bounded, consistent with its own integers, and covers every source") {
     val out = q("q274_len_quality_bias").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
