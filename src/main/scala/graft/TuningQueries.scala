@@ -1041,33 +1041,40 @@ object TuningQueries {
   // with doc_id tiebreak — the temperature→0 limit — so both engines
   // rank identical BIGINT scores identically. Quantization: the
   // per-bucket log-ratio is floored to µnat BIGINTs ONCE (model-side),
-  // so every per-doc score is an exact integer dot product — order-free
-  // under any shuffle. 100 TB: one tokenize+bucket-count pass for the
-  // fit (map-side combine into ≤B cells per domain flag, constant
-  // driver fetch), one scoring pass joining the B-row broadcast model,
-  // and a TakeOrdered(K) — two linear scans, no corpus-sized shuffle
-  // beyond the (doc,b) combine keyed by doc_id.
+  // so every per-doc score is an exact integer sum — order-free under
+  // any shuffle. 100 TB: one tokenize pass aggregating straight into B
+  // cells for the fit (map-side combine, constant driver fetch), one
+  // scoring pass joining the B-row broadcast model and summing per doc
+  // (N cells), and a TakeOrdered(K) — two linear scans whose aggregate
+  // state is B and N cells respectively, never N×B.
   // --------------------------------------------------------------------
   private val DsirTarget = "src0"
   private val DsirBuckets = 1024
   private val DsirK = 100
 
   private def dsirQ: Q = {
-    def bucketCounts(s: SparkSession, d: String): DataFrame =
+    // One exploded (doc, source, bucket) token stream — NO per-(doc,
+    // bucket) count intermediate. The fit needs only per-BUCKET sums
+    // (B cells) and the scorer only per-DOC sums (N cells), so the
+    // (doc, bucket) partial aggregate would add a ~uniq-buckets-per-doc
+    // × N group state for nothing: measured at the 30× octave it
+    // spilled the hash aggregate and turned a linear plan into a 20×
+    // wall (PLANS.md round 14) — aggregate to the consumer's own
+    // granularity directly and both passes stay in-memory map-side.
+    def bucketed(s: SparkSession, d: String): DataFrame =
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           explode(TextOps.tokens(col("text"))).as("w"))
         .withColumn("b", pmod(TextOps.md5Hash60(col("w")), lit(DsirBuckets.toLong)))
-        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
     Q("q279_dsir_select",
       (s, d) => {
         import s.implicits._
-        val bt = bucketCounts(s, d)
+        val bt = bucketed(s, d)
         // Fit pass: one B-sized aggregation (raw + target counts per
         // bucket in the same job), constant-size driver fetch.
         val agg = bt.groupBy("b").agg(
-            sum("c").as("cr"),
-            sum(when(col("source") === DsirTarget, col("c")).otherwise(0L)).as("ct"))
+            count(lit(1)).as("cr"),
+            sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ct"))
           .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
         val nr = agg.valuesIterator.map(_._1).sum
         val nt = agg.valuesIterator.map(_._2).sum
@@ -1078,12 +1085,13 @@ object TuningQueries {
               math.log((cr + 1.0) / (nr + DsirBuckets).toDouble)) * 1e6 + 0.5).toLong
           (b, ll)
         }.toDF("b", "ll")
-        // Scoring pass: broadcast the B-row model, integer dot product
-        // per doc, TakeOrdered(K); the rank window runs on K rows only.
+        // Scoring pass: broadcast the B-row model, per-token lookup,
+        // integer sum per doc (Σ_t ll(b_t) ≡ Σ_b c_b·ll_b exactly),
+        // TakeOrdered(K); the rank window runs on K rows only.
         val top = bt.filter(col("source") =!= DsirTarget)
           .join(broadcast(model), "b")
           .groupBy("doc_id", "source")
-          .agg(sum("c").as("n_tokens"), sum(col("c") * col("ll")).as("logw_unats"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("ll")).as("logw_unats"))
           .orderBy(col("logw_unats").desc, col("doc_id").asc)
           .limit(DsirK)
         top.withColumn("rank", row_number().over(
@@ -1314,7 +1322,98 @@ object TuningQueries {
            |FROM ef ORDER BY source""".stripMargin
       })
 
+  // --------------------------------------------------------------------
+  // q284: temperature-mixture audit — the sweep that answers "do we
+  // need DoReMi, or does a temperature get close enough?". Temperature
+  // sampling w_h ∝ p_h^τ (Arivazhagan et al. 2019 / the mBERT exponent,
+  // public knowledge) is the zero-training alternative to learned
+  // mixture weights; per τ this emits the mixture's entropy, its
+  // effective domain count e^H, its max weight, and the L1 distance to
+  // the q275 LEARNED weights — the decision table for picking the
+  // static τ that best approximates the learned mixture. The τ grid is
+  // pinned to {0.25, 0.5, 1.0}: exactly the powers computable as sqrt
+  // chains, which are correctly rounded by IEEE 754 on both engines —
+  // a general pow(p, τ) is NOT, so a τ like 0.7 would break bit parity
+  // (the q129 sqrt precedent, extended one level). Entropy and L1 sums
+  // are per-term µ·1e9-quantized BIGINTs (order-free); the lone ordered
+  // fold is the normalizer Σ p^τ, summed in sorted source order on
+  // both sides (the q275 z-normalizer rule). Consumer discipline: the
+  // token shares and the learned α come from the per-dir DoReMi
+  // artifact — the audit costs ZERO corpus scans beyond the fit that
+  // q275 already measured. 100 TB: D-sized driver math, output 3 rows.
+  // --------------------------------------------------------------------
+  private val TauGrid = Seq(0.25, 0.5, 1.0)
+
+  private def tauAuditQ: Q =
+    Q("q284_tau_mixture_audit",
+      (s, d) => {
+        import s.implicits._
+        import graft.Rounding.dround
+        val traj = doremiTrajectory(s, d, reuse = true)
+        val nTok = traj.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+        val alpha = traj.filter(_._1 == DoremiSteps.toLong)
+          .map(t => t._2 -> t._5).toMap
+        val sources = nTok.keys.toSeq.sorted
+        val ntt = sources.map(nTok).sum
+        def pw(p: Double, tau: Double): Double = tau match {
+          case 1.0  => p
+          case 0.5  => math.sqrt(p)
+          case 0.25 => math.sqrt(math.sqrt(p))
+          case t => throw new IllegalArgumentException(s"non-sqrt-exact tau $t")
+        }
+        val rows = TauGrid.map { tau =>
+          val sv = sources.map(src => src -> pw(nTok(src).toDouble / ntt, tau))
+          val z = sv.map(_._2).sum // sorted source order — the q275 rule
+          val w = sv.map { case (src, v) => src -> (v / z) }
+          val hq = w.map { case (_, wv) =>
+            math.floor(wv * math.log(wv) * 1e9 + 0.5).toLong
+          }.sum
+          val lq = w.map { case (src, wv) =>
+            math.floor(math.abs(wv - alpha(src)) * 1e9 + 0.5).toLong
+          }.sum
+          val h6 = dround(-hq.toDouble / 1e9, 6)
+          (tau, h6, dround(math.exp(h6), 6),
+            dround(w.map(_._2).max, 6), dround(lq.toDouble / 1e9, 6))
+        }
+        rows.toDF("tau", "entropy_nats", "eff_domains", "max_weight",
+            "l1_to_learned")
+          .orderBy("tau")
+      },
+      Some {
+        val ent = sqlRound("-CAST(hq AS DOUBLE) / 1e9", 6)
+        val arms = TauGrid.map { tau =>
+          val svExpr = tau match {
+            case 1.0  => "pp"
+            case 0.5  => "sqrt(pp)"
+            case 0.25 => "sqrt(sqrt(pp))"
+          }
+          val t = tau.toString.replace(".", "_")
+          (s"""sh$t AS (SELECT source, $svExpr AS sv FROM
+              |    (SELECT source, CAST(n AS DOUBLE) / ntt AS pp
+              |     FROM ndx CROSS JOIN vn)),
+              |zw$t AS (SELECT source, sv / sum(sv) OVER (ORDER BY source
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              |    AS wv FROM sh$t),
+              |ag$t AS (SELECT
+              |    CAST(sum(CAST(floor(wv * ln(wv) * 1e9 + 0.5) AS BIGINT))
+              |      AS BIGINT) AS hq,
+              |    max(wv) AS mx,
+              |    CAST(sum(CAST(floor(abs(wv - alpha) * 1e9 + 0.5) AS BIGINT))
+              |      AS BIGINT) AS lq
+              |  FROM zw$t JOIN al$DoremiSteps USING (source))""".stripMargin,
+            s"""SELECT CAST($tau AS DOUBLE) AS tau, $ent AS entropy_nats,
+               |  ${sqlRound(s"exp($ent)", 6)} AS eff_domains,
+               |  ${sqlRound("mx", 6)} AS max_weight,
+               |  ${sqlRound("CAST(lq AS DOUBLE) / 1e9", 6)} AS l1_to_learned
+               |FROM ag$t""".stripMargin)
+        }
+        s"""WITH $doremiSqlCtes,
+           |${arms.map(_._1).mkString(",\n")}
+           |${arms.map(_._2).mkString("\nUNION ALL ")}
+           |ORDER BY tau""".stripMargin
+      })
+
   val all: Seq[Q] =
     clustering ++ Seq(doremiQ, doremiApplyQ, shuffleAuditQ, dsirQ, neymanQ,
-      dataConstrainedQ)
+      dataConstrainedQ, tauAuditQ)
 }

@@ -440,6 +440,53 @@ class TuningSpec extends SparkSpec {
     }
   }
 
+  test("q284: tau sweep — flattening law, exp(H) consistency, tau=1 arm recomputed from q275") {
+    val rows = run("q284_tau_mixture_audit")
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(0.25, 0.5, 1.0), "tau grid changed")
+    val q275 = run("q275_doremi_mixture")
+    val nTok = q275.filter(_.getLong(0) == 1L)
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val lastStep = q275.map(_.getLong(0)).max
+    val alpha = q275.filter(_.getLong(0) == lastStep)
+      .map(r => r.getString(1) -> r.getDouble(4)).toMap
+    val d = nTok.size
+    rows.foreach { case (tau, h, eff, mx, l1) =>
+      assert(h >= 0.0 && h <= math.log(d.toDouble) + 1e-6,
+        s"tau=$tau: entropy $h outside [0, ln D]")
+      assert(approx(eff, math.floor(math.exp(h) * 1e6 + 0.5) / 1e6, 1e-9),
+        s"tau=$tau: eff_domains inconsistent with entropy")
+      assert(mx >= 1.0 / d - 1e-6 && mx <= 1.0, s"tau=$tau: max weight $mx")
+      assert(l1 >= 0.0 && l1 <= 2.0 + 1e-9, s"tau=$tau: L1 $l1 outside [0, 2]")
+    }
+    // Flattening law: lower temperature exponent ⇒ flatter mixture ⇒
+    // entropy non-increasing and max weight non-decreasing in tau.
+    assert(rows(0)._2 >= rows(1)._2 - 1e-6 && rows(1)._2 >= rows(2)._2 - 1e-6,
+      "entropy not monotone in tau")
+    assert(rows(0)._4 <= rows(1)._4 + 1e-6 && rows(1)._4 <= rows(2)._4 + 1e-6,
+      "max weight not monotone in tau")
+    // Independent recompute of the tau = 1 arm straight from q275's raw
+    // token counts — pins the share fold, both quantized sums, and the
+    // rounding chain.
+    val sources = nTok.keys.toSeq.sorted
+    val ntt = sources.map(nTok).sum
+    val sv = sources.map(src => src -> nTok(src).toDouble / ntt)
+    val z = sv.map(_._2).sum
+    val w = sv.map { case (src, v) => src -> v / z }
+    val hq = w.map { case (_, wv) =>
+      math.floor(wv * math.log(wv) * 1e9 + 0.5).toLong }.sum
+    val lq = w.map { case (src, wv) =>
+      math.floor(math.abs(wv - alpha(src)) * 1e9 + 0.5).toLong }.sum
+    val h6 = math.floor(-hq.toDouble / 1e9 * 1e6 + 0.5) / 1e6
+    val arm1 = rows.find(_._1 == 1.0).get
+    assert(approx(arm1._2, h6, 1e-9), "tau=1 entropy != recompute")
+    assert(approx(arm1._4,
+      math.floor(w.map(_._2).max * 1e6 + 0.5) / 1e6, 1e-9))
+    assert(approx(arm1._5, math.floor(lq.toDouble / 1e9 * 1e6 + 0.5) / 1e6, 1e-9),
+      "tau=1 L1 != recompute")
+  }
+
   test("q267: OOV output covers only eval splits and its rates are consistent") {
     val rows = run("q267_oov_rate")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
