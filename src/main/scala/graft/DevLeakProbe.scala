@@ -1,0 +1,17 @@
+package graft
+object DevLeakProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Session.get()
+    val dir = "/root/testdata/sf0.01"
+    val names = Seq("q279_dsir_select", "q280_dup_tail_hill",
+      "q281_neyman_split", "q282_data_constrained_plan",
+      "q283_contamination_bands", "q284_tau_mixture_audit")
+    names.foreach { n =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(n)(spark, dir).count()
+      val after = spark.sparkContext.getPersistentRDDs.keySet
+      println(s"== $n leaked=${(after -- before).size}")
+    }
+    spark.stop()
+  }
+}
