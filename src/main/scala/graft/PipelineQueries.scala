@@ -4932,13 +4932,18 @@ object PipelineQueries {
               .limit(kMax + 1).collect().map(_.getLong(1))
             val a = sizes.agg(count(lit(1)).as("m"), sum("sz").as("di"))
               .collect().head
-            (t, a.getLong(0), a.getLong(1))
+            // sum over zero clusters is NULL — a dup-free corpus is a
+            // legal input, and the SQL twin coalesces the same way.
+            (t, a.getLong(0), if (a.isNullAt(1)) 0L else a.getLong(1))
           } finally { sizes.unpersist(); () }
         val total = Tables.documents(s, d).count()
         val n = m + (total - docsIn) // singleton docs are size-1 clusters
         val rows = HillKs.map { kReq =>
           val kEff = math.min(kReq, n - 1)
-          val sk1 = if (kEff + 1 <= m) top(kEff.toInt) else 1L
+          // kEff can be negative on an EMPTY corpus (n = 0 ⇒ kEff = −1);
+          // the SQL twin's `rn = kEff + 1` subquery then matches nothing
+          // and coalesces to 1 — mirror that instead of indexing top(−1).
+          val sk1 = if (kEff >= 0 && kEff + 1 <= m) top(kEff.toInt) else 1L
           // Terms beyond the m non-singleton clusters are ln(1/1) → 0
           // after quantization (floor(0.5) = 0), so the sum over
           // i ≤ min(k_eff, m) is exact.

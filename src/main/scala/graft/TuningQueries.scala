@@ -1257,8 +1257,9 @@ object TuningQueries {
   // source. Parity: budgets and U are exact BIGINTs, epochs/exp run on
   // identical IEEE doubles (the q275 exp precedent), effective tokens
   // are floored to BIGINT before the 6-dp utilization. A source whose
-  // unique pool is EMPTY fails loudly (require) rather than planning
-  // on a division by zero. 100 TB: the DoReMi fit artifact (measured
+  // unique pool is EMPTY fails loudly ON BOTH ENGINES (require here,
+  // error() in the SQL twin) rather than planning on a division by
+  // zero. 100 TB: the DoReMi fit artifact (measured
   // flat) + one fingerprint-window dedup pass + a D-sized rollup.
   // --------------------------------------------------------------------
   private val RepeatDecay = 15.4
@@ -1308,7 +1309,9 @@ object TuningQueries {
            |bd AS (SELECT source, CAST(floor(alpha * ntt + 0.5) AS BIGINT) AS b
            |  FROM al$DoremiSteps JOIN ndx USING (source) CROSS JOIN vn),
            |pl AS (SELECT bd.source, bd.b, uq.u,
-           |    CAST(bd.b AS DOUBLE) / uq.u AS ep
+           |    CASE WHEN uq.u = 0
+           |      THEN error('q282: source has no unique tokens after dedup')
+           |      ELSE CAST(bd.b AS DOUBLE) / uq.u END AS ep
            |  FROM bd JOIN uq USING (source)),
            |ef AS (SELECT source, b, u, ep,
            |    CASE WHEN b <= u THEN b
@@ -1335,9 +1338,11 @@ object TuningQueries {
   // chains, which are correctly rounded by IEEE 754 on both engines —
   // a general pow(p, τ) is NOT, so a τ like 0.7 would break bit parity
   // (the q129 sqrt precedent, extended one level). Entropy and L1 sums
-  // are per-term µ·1e9-quantized BIGINTs (order-free); the lone ordered
-  // fold is the normalizer Σ p^τ, summed in sorted source order on
-  // both sides (the q275 z-normalizer rule). Consumer discipline: the
+  // are per-term µ·1e9-quantized BIGINTs (order-free), and the
+  // normalizer Σ p^τ is ALSO a quantized-BIGINT sum — a window-frame
+  // sum is allowed to associate pairwise, so double-fold parity with
+  // the driver would be fragile; exact integers are not. Consumer
+  // discipline: the
   // token shares and the learned α come from the per-dir DoReMi
   // artifact — the audit costs ZERO corpus scans beyond the fit that
   // q275 already measured. 100 TB: D-sized driver math, output 3 rows.
@@ -1362,9 +1367,15 @@ object TuningQueries {
           case t => throw new IllegalArgumentException(s"non-sqrt-exact tau $t")
         }
         val rows = TauGrid.map { tau =>
-          val sv = sources.map(src => src -> pw(nTok(src).toDouble / ntt, tau))
-          val z = sv.map(_._2).sum // sorted source order — the q275 rule
-          val w = sv.map { case (src, v) => src -> (v / z) }
+          // Normalizer parity: each share p^τ is floored to a 1e-9-unit
+          // BIGINT BEFORE summing, so Σ is an exact integer on both
+          // engines regardless of summation order (a double fold vs a
+          // window-frame sum could drift a ulp and flip a floor term).
+          val svq = sources.map { src =>
+            src -> math.floor(pw(nTok(src).toDouble / ntt, tau) * 1e9 + 0.5).toLong
+          }
+          val zq = svq.map(_._2).sum
+          val w = svq.map { case (src, vq) => src -> (vq.toDouble / zq) }
           val hq = w.map { case (_, wv) =>
             math.floor(wv * math.log(wv) * 1e9 + 0.5).toLong
           }.sum
@@ -1388,12 +1399,12 @@ object TuningQueries {
             case 0.25 => "sqrt(sqrt(pp))"
           }
           val t = tau.toString.replace(".", "_")
-          (s"""sh$t AS (SELECT source, $svExpr AS sv FROM
+          (s"""sh$t AS (SELECT source,
+              |    CAST(floor($svExpr * 1e9 + 0.5) AS BIGINT) AS svq FROM
               |    (SELECT source, CAST(n AS DOUBLE) / ntt AS pp
               |     FROM ndx CROSS JOIN vn)),
-              |zw$t AS (SELECT source, sv / sum(sv) OVER (ORDER BY source
-              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-              |    AS wv FROM sh$t),
+              |zw$t AS (SELECT source, CAST(svq AS DOUBLE) /
+              |    CAST(sum(svq) OVER () AS DOUBLE) AS wv FROM sh$t),
               |ag$t AS (SELECT
               |    CAST(sum(CAST(floor(wv * ln(wv) * 1e9 + 0.5) AS BIGINT))
               |      AS BIGINT) AS hq,
