@@ -27,47 +27,48 @@ object Bench {
     */
   private val headline = Seq(
     // Trimmed to one entry per operator family (round 9, re-trimmed
-    // round 12 when the 63-entry line measured 1,966 bytes — 34 bytes
-    // from the driver's ~2 KB tail capture, which a populated error
-    // field would blow): the stdout line must stay WELL under the
-    // capture. Dropped names (q13/q41/q43/q56/q58/q163 in r9;
-    // q20/q21/q109/q126/q150/q161/q186/q216/q217/q218/q220 in r12 —
-    // all sub-second rows whose family has another representative)
-    // keep their full per-round numbers in bench_full.json.
-    "q01_pricing_summary", "q06_broadcast_join", "q23_window_zscore",
-    "q27_ema", "q28_savgol", "q42_ngram_jaccard",
-    "q49_simhash_neardup", "q52_minhash_pairs",
-    "q60_flagship_mae", "q61_flagship_cosine",
-    "q75_seq_packing", "q99_psar", "q101_flagship_lsh",
-    "q103_stream_upsert", "q105_winnowing", "q107_dedup_clusters",
-    "q111_pq_adc", "q112_stream_ohlcv", "q116_bm25",
-    "q117_pipeline_e2e", "q127_bloom_decontam",
-    "q131_stream_join", "q142_bucketed_join", "q146_tfidf_topk",
-    "q152_symspell_join", "q157_partition_prune",
-    "q168_passage_dedup",
-    "q170_seasonal", "q174_ar1_forecast", "q180_holt_winters",
-    "q191_ivfpq_rerank", "q196_sma_backtest",
-    "q199_ivol_portfolio", "q204_flagship_pca", "q206_exact_substr",
-    "q207_pair_corr_lsh", "q209_stream_decontam", "q212_semdedup",
-    "q213_dsir_weights", "q214_semdedup_lsh", "q215_nb_quality",
-    "q219_quality_budget_sample",
-    "q221_bpe_train", "q222_bpe_apply",
-    "q223_lsh_dedup_eval", "q229_dedup_eval_budget", "q230_bpe_batch",
-    "q256_simhash_banded", "q259_jaccard_pairs_banded", "q260_bpe_phrase_1k",
-    "q261_release_manifest", "q262_flagship_pca_whitened",
-    // Round-13 family representatives (the full family is in
-    // bench_full.json): clustering fit, gram-novelty shuffle mass,
-    // keep-best dedup policy. 55 entries ≈ 1.78 KB — still inside the
-    // driver's ~2 KB tail capture with error-field headroom.
-    "q263_kmeans_lloyd", "q269_ngram_novelty", "q270_dedup_keep_best")
+    // round 12, re-trimmed HARD round 15: the r14 driver line outgrew
+    // the ~2 KB tail capture and the round recorded `parsed: null` —
+    // the round-4 failure mode recurring. 55 entries + the calibration
+    // and evidence fields was too much; the list is now the heavy rows
+    // plus one representative per family, ~0.9 KB, leaving room for the
+    // extended q204 per-rep evidence). Dropped names (r15: q23/q28/q49/
+    // q52/q60/q75/q99/q105/q111/q116/q127/q131/q142/q152/q157/q168/
+    // q170/q174/q196/q199/q212/q213/q215/q219/q222/q223/q261/q262/q269
+    // — every one sub-second or family-represented) keep their full
+    // per-round numbers in bench_full_r{N}.json, which is now ALWAYS
+    // written and committed.
+    "q01_pricing_summary", "q06_broadcast_join",
+    "q27_ema", "q42_ngram_jaccard", "q61_flagship_cosine",
+    "q101_flagship_lsh", "q103_stream_upsert", "q107_dedup_clusters",
+    "q112_stream_ohlcv", "q117_pipeline_e2e", "q146_tfidf_topk",
+    "q180_holt_winters", "q191_ivfpq_rerank", "q204_flagship_pca",
+    "q206_exact_substr", "q207_pair_corr_lsh", "q209_stream_decontam",
+    "q211_exact_substr_hashkey", "q214_semdedup_lsh", "q221_bpe_train",
+    "q229_dedup_eval_budget", "q230_bpe_batch",
+    "q240_dup_prevalence_banded", "q256_simhash_banded",
+    "q259_jaccard_pairs_banded", "q260_bpe_phrase_1k",
+    "q263_kmeans_lloyd", "q270_dedup_keep_best", "q273_dedup_lm_eval",
+    // Round-15 family representatives: image perceptual-hash dedup,
+    // learned quality classifier, streaming selection gate.
+    "q285_image_phash_pairs", "q287_quality_classifier",
+    "q289_stream_quality_gate")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")
       .replace("\\", "\\\\").replace("\"", "'").take(120)
 
+  /** Round tag for the always-written versioned artifact (round-14
+    * verdict #4: the env-var opt-in copy left the driver host clobbering
+    * the committed artifact — the versioned write must be unconditional).
+    */
+  private val BenchRound = 15
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.get()
+    val counters = new TaskCounters
+    spark.sparkContext.addSparkListener(counters)
     // Warm the JVM/session once so even "cold" timings measure the query,
     // not first-ever class loading.
     SparkEntry.queries.get("q01_pricing_summary")
@@ -77,6 +78,32 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         ((System.nanoTime() - t0) / 1e9, null)
+      } catch {
+        case e: Throwable =>
+          (-1.0, sanitize(e.getClass.getSimpleName + ": " + e.getMessage))
+      }
+    }
+    // q204 rep timing (round-14 verdict #1): identical wall measurement
+    // to time(), plus action-side evidence completion — the search wall
+    // and the task-counter deltas for the WHOLE rep (listener bus
+    // drained on both edges so the deltas cover exactly this rep's
+    // tasks). Wall ≫ Δtask-run-time fingerprints a driver-side
+    // single-thread stall; Δtask-time tracking wall fingerprints a
+    // genuinely slower distributed stage.
+    def timeQ204(): (Double, String) = {
+      org.apache.spark.sql.graft.ListenerBridge.waitUntilListenerBusEmpty(spark)
+      val before = counters.snapshot()
+      val t0 = System.nanoTime()
+      try {
+        val df = ExtraQueries.q204Pipeline(spark, sfDir)
+        val tS = System.nanoTime()
+        df.count()
+        val tEnd = System.nanoTime()
+        org.apache.spark.sql.graft.ListenerBridge.waitUntilListenerBusEmpty(spark)
+        val dl = counters.snapshot().minus(before)
+        ExtraQueries.Q204Evidence.completeLast((tEnd - t0) / 1e9,
+          (tEnd - tS) / 1e9, dl.runMs, dl.gcMs, dl.schedDelayMs, dl.tasks)
+        ((tEnd - t0) / 1e9, null)
       } catch {
         case e: Throwable =>
           (-1.0, sanitize(e.getClass.getSimpleName + ": " + e.getMessage))
@@ -111,9 +138,11 @@ object Bench {
     var calibMid = -1.0
     val firstPass = names.zipWithIndex.map { case ((name, fn), i) =>
       if (i == names.size / 2) calibMid = calibRep()
-      val (cold, _) = time(fn)
-      val (warm1, _) = time(fn)
-      val (warm2, err) = time(fn)
+      val tm: () => (Double, String) =
+        if (name == "q204_flagship_pca") () => timeQ204() else () => time(fn)
+      val (cold, _) = tm()
+      val (warm1, _) = tm()
+      val (warm2, err) = tm()
       val warm = if (warm1 < 0) warm2 else if (warm2 < 0) warm1
         else math.min(warm1, warm2)
       // Honest-numbers flag: a query that leaves persisted RDD blocks
@@ -186,7 +215,8 @@ object Bench {
     val revisitNames = (firstPass.filter(r => r._4 == null && r._3 > 1.0)
       .sortBy(-_._3).take(16).map(_._1).toSet ++ drifted)
     val revisited: Map[String, Double] = revisitNames.toSeq.map { name =>
-      val (t, err) = time(SparkEntry.queries(name))
+      val (t, err) = if (name == "q204_flagship_pca") timeQ204()
+        else time(SparkEntry.queries(name))
       dropLeakedBlocks()
       name -> (if (err == null) t else -1.0)
     }.toMap
@@ -213,10 +243,18 @@ object Bench {
       // then search-only — round-10 verdict #3), so this profile is the
       // one place a true refit's stage costs stay observable.
       ExtraQueries.FitArtifacts.clear()
+      org.apache.spark.sql.graft.ListenerBridge.waitUntilListenerBusEmpty(spark)
+      val before = counters.snapshot()
+      val tRep0 = System.nanoTime()
       val df = ExtraQueries.q204Pipeline(spark, sfDir, q204Stages)
       val t0 = System.nanoTime()
       df.count()
-      q204Stages("search") = (System.nanoTime() - t0) / 1e9
+      val tEnd = System.nanoTime()
+      q204Stages("search") = (tEnd - t0) / 1e9
+      org.apache.spark.sql.graft.ListenerBridge.waitUntilListenerBusEmpty(spark)
+      val dl = counters.snapshot().minus(before)
+      ExtraQueries.Q204Evidence.completeLast((tEnd - tRep0) / 1e9,
+        (tEnd - t0) / 1e9, dl.runMs, dl.gcMs, dl.schedDelayMs, dl.tasks)
     } catch { case _: Throwable => q204Stages("profile_error") = -1.0 }
     dropLeakedBlocks()
     // q61 stage profile (round-9 verdict #2: the driver read q61 at
@@ -254,9 +292,15 @@ object Bench {
     // the fit-matrix fingerprint (drift across reps = plan-identity
     // instability, the round-9 failure mode).
     val q204Ev = ExtraQueries.Q204Evidence.snapshot()
-    val q204EvJson = q204Ev.map(r =>
-      s"""{"cached":${if (r.fitCached) 1 else 0},"persisted":${r.persistedAtEntry},"hash":"${r.fitHash}"}""")
-      .mkString("[", ",", "]")
+    val q204EvJson = q204Ev.map { r =>
+      val sw = r.stageWalls
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      // Action-side fields exist only for reps Bench itself completed.
+      val act = if (r.wall < 0) "" else
+        s""","wall":${f"${r.wall}%.2f"},"search":${f"${r.searchWall}%.2f"},"task_run_ms":${r.taskRunMs},"task_gc_ms":${r.taskGcMs},"task_sched_ms":${r.taskSchedDelayMs},"tasks":${r.tasks}"""
+      s"""{"cached":${if (r.fitCached) 1 else 0},"persisted":${r.persistedAtEntry},"hash":"${r.fitHash}","stages":$sw$act}"""
+    }.mkString("[", ",", "]")
     val q204FitDrift = if (q204Ev.map(_.fitHash).distinct.size > 1) 1 else 0
     def implName(f: => Any): String =
       try f.getClass.getSimpleName catch { case _: Throwable => "unavailable" }
@@ -290,10 +334,15 @@ object Bench {
     val calibField = s""""calibration":{"start":${r2(calibStart)},"mid":${r2(calibMid)},"end":${r2(calibEnd)}}"""
     val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisited":${revisitNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisit_first":${jmap(revisitFirst.toSeq.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q204_evidence":$q204EvJson,"q204_fit_drift":$q204FitDrift,"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},$calibField,"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","lapack":"$lapack","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
-    // Versioned artifact (round-13 verdict #7): driver runs overwrite
-    // bench_full.json in the working tree, clobbering the committed clean
-    // local run. Builder runs set SPARK_GRAFT_BENCH_COPY to also write a
-    // round-named copy (e.g. bench_local_r14.json) that gets committed.
+    // Versioned artifact, ALWAYS written (round-14 verdict #4: the
+    // env-var opt-in left the driver host clobbering only the legacy
+    // name and losing its own full detail). The driver's end-of-round
+    // run lands in bench_full_r{N}.json and gets committed by the
+    // driver; the builder's clean local run is additionally copied to
+    // the SPARK_GRAFT_BENCH_COPY path (e.g. bench_local_r15.json) so
+    // the two never collide.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"bench_full_r$BenchRound.json"), full + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_COPY").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
     }
@@ -302,8 +351,14 @@ object Bench {
     // resident blocks at entry, "m0" = miss with none) — the full per-rep
     // array with fit hashes lives in bench_full.json; the ~2 KB tail
     // capture can't afford the long form.
-    val q204EvCompact = q204Ev.map(r =>
-      (if (r.fitCached) "h" else "m") + r.persistedAtEntry).mkString(",")
+    val q204EvCompact = q204Ev.map { r =>
+      val base = (if (r.fitCached) "h" else "m") + r.persistedAtEntry
+      // Completed reps append the wall/search walls and the task-counter
+      // deltas (run/gc/sched-delay, in seconds) — the wall-vs-task-time
+      // split readable straight off the driver's captured line.
+      if (r.wall < 0) base
+      else base + f":w${r.wall}%.1f/s${r.searchWall}%.1f/t${r.taskRunMs / 1e3}%.1f/g${r.taskGcMs / 1e3}%.1f/d${r.taskSchedDelayMs / 1e3}%.1f"
+    }.mkString(",")
     println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"n_warm_shares_cache":${cachedNames.size},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q204_ev":"$q204EvCompact","q204_fit_drift":$q204FitDrift,"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},$calibField,"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}""")
     spark.stop()
   }

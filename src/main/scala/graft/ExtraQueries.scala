@@ -95,19 +95,41 @@ object ExtraQueries {
     * Ring-capped so spec JVMs that call q204 repeatedly don't grow it.
     */
   private[graft] object Q204Evidence {
-    final case class Rec(fitCached: Boolean, persistedAtEntry: Int, fitHash: String)
-    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Rec]()
-    def add(r: Rec): Unit = {
-      buf.add(r)
-      while (buf.size > 64) buf.poll()
+    /** One record per q204Pipeline invocation. The fit-side fields
+      * (`fitCached`/`persistedAtEntry`/`fitHash`/`stageWalls`) are
+      * written by the pipeline itself; the action-side fields (wall,
+      * search wall, and the SparkListener task-counter deltas — round-14
+      * verdict #1: the artifact must separate a driver-side
+      * single-thread stall, wall ≫ task-time, from a distributed-stage
+      * slowdown, task-time ∝ wall) are filled in by the CALLER via
+      * [[completeLast]] after it runs the action, because the returned
+      * frame is lazy and only the caller sees the count() finish. A
+      * record never completed (spec JVMs, Verify) keeps the -1
+      * sentinels and the bench JSON emits the fit-side fields only.
+      */
+    final case class Rec(fitCached: Boolean, persistedAtEntry: Int,
+        fitHash: String, stageWalls: Seq[(String, Double)] = Nil,
+        wall: Double = -1.0, searchWall: Double = -1.0,
+        taskRunMs: Long = -1L, taskGcMs: Long = -1L,
+        taskSchedDelayMs: Long = -1L, tasks: Long = -1L)
+    private val buf = scala.collection.mutable.ArrayBuffer[Rec]()
+    def add(r: Rec): Unit = buf.synchronized {
+      buf += r
+      if (buf.size > 64) buf.remove(0, buf.size - 64)
     }
-    def snapshot(): Seq[Rec] = {
-      val it = buf.iterator()
-      val out = scala.collection.mutable.ArrayBuffer[Rec]()
-      while (it.hasNext) out += it.next()
-      out.toSeq
-    }
-    private[graft] def clear(): Unit = buf.clear()
+    /** Fill the action-side fields of the most recent record. */
+    def completeLast(wall: Double, searchWall: Double, taskRunMs: Long,
+        taskGcMs: Long, taskSchedDelayMs: Long, tasks: Long): Unit =
+      buf.synchronized {
+        if (buf.nonEmpty) {
+          val r = buf.last
+          buf(buf.size - 1) = r.copy(wall = wall, searchWall = searchWall,
+            taskRunMs = taskRunMs, taskGcMs = taskGcMs,
+            taskSchedDelayMs = taskSchedDelayMs, tasks = tasks)
+        }
+      }
+    def snapshot(): Seq[Rec] = buf.synchronized(buf.toSeq)
+    private[graft] def clear(): Unit = buf.synchronized(buf.clear())
   }
 
   /** Short, stable fingerprint of a fit matrix: MD5 over the quantized
@@ -146,9 +168,15 @@ object ExtraQueries {
     */
   def q204Pipeline(s: SparkSession, d: String,
       stages: scala.collection.mutable.Map[String, Double] = null): DataFrame = {
+    // Stage walls are ALWAYS captured into the per-rep evidence record
+    // (round-14 verdict #1 — previously only the post-suite profile rep
+    // had them); the optional `stages` map additionally mirrors them for
+    // Bench's q204_stages field.
+    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      if (stages != null) stages(name) = (System.nanoTime() - t0) / 1e9
+      walls(name) = (System.nanoTime() - t0) / 1e9
+      if (stages != null) stages(name) = walls(name)
       r
     }
     // Fit pass: sample at the SERIES level so the key filter prunes
@@ -195,13 +223,20 @@ object ExtraQueries {
         loaded
     }
     PcaFit.put(d, m)
-    Q204Evidence.add(Q204Evidence.Rec(cacheHit, persistedAtEntry, matrixHash(m)))
-    Flagship.scoredQueries(s, d, metric = "l1", seqLen = FlagSeqLen,
-      predWindow = FlagPred, stride = FlagStride, k = 2, embedDim = FlagDim,
-      projection = Some(m))
-      .select(col("q_key"), col("q_start"),
-        pround(col("mae_err"), 6).as("mae_err"))
-      .orderBy("q_key", "q_start")
+    // `build` is the driver-side plan construction (scoredQueries runs
+    // eager planning work like count hints); everything after it is the
+    // caller's action — the `search` wall completeLast records.
+    val df = timed("build") {
+      Flagship.scoredQueries(s, d, metric = "l1", seqLen = FlagSeqLen,
+        predWindow = FlagPred, stride = FlagStride, k = 2, embedDim = FlagDim,
+        projection = Some(m))
+        .select(col("q_key"), col("q_start"),
+          pround(col("mae_err"), 6).as("mae_err"))
+        .orderBy("q_key", "q_start")
+    }
+    Q204Evidence.add(Q204Evidence.Rec(cacheHit, persistedAtEntry,
+      matrixHash(m), walls.toSeq))
+    df
   }
 
   /** DuckDB L1 over two list expressions (numeric struct indices —

@@ -1,0 +1,51 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Cumulative task-level counters for the bench's q204 evidence trail
+  * (round-14 verdict #1): executor run time, JVM GC time, scheduler
+  * delay, and task count, summed over every task end the listener bus
+  * delivers. Bench snapshots the counters around a rep (after draining
+  * the bus) and records the deltas — the wall/task-time split that
+  * separates a driver-side single-thread stall (wall ≫ Δtask-time)
+  * from a distributed-stage slowdown (Δtask-time ∝ wall).
+  *
+  * Scheduler delay uses the web-UI formula: task wall (finish − launch)
+  * minus executor run + deserialize + result-serialize time, floored at
+  * zero — the portion of a task's life spent queued or in transit
+  * rather than executing.
+  */
+object TaskCounters {
+  final case class Snap(runMs: Long, gcMs: Long, schedDelayMs: Long, tasks: Long) {
+    def minus(o: Snap): Snap =
+      Snap(runMs - o.runMs, gcMs - o.gcMs,
+        schedDelayMs - o.schedDelayMs, tasks - o.tasks)
+  }
+}
+
+final class TaskCounters extends SparkListener {
+  import TaskCounters.Snap
+
+  val runMs = new AtomicLong(0L)
+  val gcMs = new AtomicLong(0L)
+  val schedDelayMs = new AtomicLong(0L)
+  val tasks = new AtomicLong(0L)
+
+  def snapshot(): Snap =
+    Snap(runMs.get(), gcMs.get(), schedDelayMs.get(), tasks.get())
+
+  override def onTaskEnd(end: SparkListenerTaskEnd): Unit = {
+    val info = end.taskInfo
+    val m = end.taskMetrics
+    if (info != null && m != null) {
+      runMs.addAndGet(m.executorRunTime)
+      gcMs.addAndGet(m.jvmGCTime)
+      val delay = info.duration - m.executorRunTime -
+        m.executorDeserializeTime - m.resultSerializationTime
+      schedDelayMs.addAndGet(math.max(0L, delay))
+      tasks.incrementAndGet()
+    }
+  }
+}

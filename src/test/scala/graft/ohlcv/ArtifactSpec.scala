@@ -68,6 +68,23 @@ class ArtifactSpec extends SparkSpec {
         s"expected miss,hit,miss got ${ev.map(_.fitCached)}")
       assert(ev.map(_.fitHash).distinct.size == 1,
         s"fit literals drifted across reps/refits: ${ev.map(_.fitHash)}")
+      // Round-15: stage walls are recorded on EVERY rep — a miss carries
+      // the full users_count/fit/artifact/build decomposition, a hit
+      // only the plan-build wall (the fit stages never ran).
+      assert(ev.filterNot(_.fitCached).forall(r =>
+        Seq("users_count", "fit", "artifact", "build")
+          .forall(k => r.stageWalls.exists(_._1 == k))),
+        s"miss rep missing stage walls: ${ev.map(_.stageWalls.map(_._1))}")
+      assert(ev.filter(_.fitCached).forall(_.stageWalls.map(_._1) == Seq("build")),
+        s"hit rep stage walls: ${ev.filter(_.fitCached).map(_.stageWalls.map(_._1))}")
+      // Action-side completion (wall/search + task-counter deltas) lands
+      // on the MOST RECENT record only; uncompleted reps keep sentinels.
+      ExtraQueries.Q204Evidence.completeLast(1.5, 1.0, 100L, 5L, 7L, 42L)
+      val ev2 = ExtraQueries.Q204Evidence.snapshot()
+      assert(ev2.init.forall(_.wall < 0), "completion touched an older rep")
+      assert(ev2.last.wall == 1.5 && ev2.last.searchWall == 1.0 &&
+        ev2.last.taskRunMs == 100L && ev2.last.taskGcMs == 5L &&
+        ev2.last.taskSchedDelayMs == 7L && ev2.last.tasks == 42L)
     } finally {
       ExtraQueries.FitArtifacts.clear()
       ExtraQueries.Q204Evidence.clear()
