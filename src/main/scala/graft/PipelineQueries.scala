@@ -62,7 +62,7 @@ object PipelineQueries {
     * 30×). A vocabulary too large to broadcast (hundreds of MB) should
     * drop the hint and let the equi-join shuffle — same rows either way.
     */
-  private def nbDocScores(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nbDocScores(s: SparkSession, d: String): DataFrame = {
     def qln(c: org.apache.spark.sql.Column) =
       floor(log(c.cast("double")) * 1e9 + 0.5).cast("long")
     val nb = Tables.documents(s, d)
@@ -89,7 +89,7 @@ object PipelineQueries {
   /** DuckDB mirror of [[nbDocScores]]: CTE chain ending in
     * `ds(doc_id, source, n_tokens, score_q)`.
     */
-  private val nbScoreSqlCtes: String =
+  private[graft] val nbScoreSqlCtes: String =
     s"""t AS (SELECT doc_id, source, lower(unnest($sqlToks)) AS w
        |  FROM documents),
        |nb AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS nb
