@@ -329,7 +329,7 @@ object Bench {
       "q112_stream_ohlcv", "q118_stream_sliding", "q124_stream_sessions",
       "q131_stream_join", "q137_stream_enrich", "q151_stream_dedup",
       "q175_stream_holt", "q190_late_data", "q201_stream_kalman",
-      "q209_stream_decontam")
+      "q209_stream_decontam", "q289_stream_quality_gate")
     val streamFamilyTotal = ok.filter(r => streamFamily(r._1)).map(_._3).sum
     val calibField = s""""calibration":{"start":${r2(calibStart)},"mid":${r2(calibMid)},"end":${r2(calibEnd)}}"""
     val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisited":${revisitNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisit_first":${jmap(revisitFirst.toSeq.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q204_evidence":$q204EvJson,"q204_fit_drift":$q204FitDrift,"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},$calibField,"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","lapack":"$lapack","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"sf":"$sfDir"$errField}"""

@@ -79,8 +79,7 @@ object ClassifierQueries {
     * Lowercased tokens — q215's convention, so the q288 agreement audit
     * compares classifiers over the same token stream.
     */
-  private def featureTable(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private[graft] def featureTableOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("w0"))
@@ -89,6 +88,36 @@ object ClassifierQueries {
       .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("c"))
       .unionByName(docs.select(col("doc_id"), col("source"),
         lit(ClfBuckets.toLong).as("b"), lit(1L).as("c")))
+
+  private def featureTable(s: SparkSession, d: String): DataFrame =
+    featureTableOf(Tables.documents(s, d))
+
+  /** Score `docs` with µ-unit weights: exact BIGINT margin per doc via
+    * a broadcast join on the (B+1)-row weight table. Per-doc local —
+    * no cross-doc state — which is what makes the streaming gate
+    * (q289) batch-composition-invariant.
+    */
+  private[graft] def marginsOf(s: SparkSession, docs: DataFrame,
+      wq: Array[Long]): DataFrame = {
+    import s.implicits._
+    val wdf = wq.zipWithIndex.map { case (w, b) => (b.toLong, w) }
+      .toSeq.toDF("b", "wq")
+    featureTableOf(docs).join(broadcast(wdf), "b")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("c") * col("wq")).as("m"))
+  }
+
+  /** The prior log-odds keep threshold in µ-units, from exact corpus
+    * class counts (identical single double expression on the oracle
+    * side — see q288's `thr` CTE).
+    */
+  private[graft] def priorThresholdQ(s: SparkSession, d: String): Long = {
+    val cnts = Tables.documents(s, d)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("source") === ClfTarget, 1L).otherwise(0L)).as("p"))
+      .collect().head
+    val (n, nPos) = (cnts.getLong(0), cnts.getLong(1))
+    math.floor(math.log(nPos.toDouble / (n - nPos)) * 1e6 + 0.5).toLong
   }
 
   private[graft] def clfFit(s: SparkSession, d: String, reuse: Boolean = false)
@@ -259,21 +288,8 @@ object ClassifierQueries {
       (s, d) => {
         import s.implicits._
         val wq = clfFit(s, d, reuse = true)._2
-        val wdf = wq.zipWithIndex.map { case (w, b) => (b.toLong, w) }
-          .toSeq.toDF("b", "wq")
-        // Prior log-odds threshold from exact counts (identical single
-        // double expression on the oracle side).
-        val cnts = Tables.documents(s, d)
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("source") === ClfTarget, 1L).otherwise(0L)).as("p"))
-          .collect().head
-        val (n, nPos) = (cnts.getLong(0), cnts.getLong(1))
-        val thrQ = math.floor(
-          math.log(nPos.toDouble / (n - nPos)) * 1e6 + 0.5).toLong
-        val clf = featureTable(s, d)
-          .join(broadcast(wdf), "b")
-          .groupBy("doc_id", "source")
-          .agg(sum(col("c") * col("wq")).as("m"))
+        val thrQ = priorThresholdQ(s, d)
+        val clf = marginsOf(s, Tables.documents(s, d), wq)
         val nb = PipelineQueries.nbDocScores(s, d)
           .select(col("doc_id"), col("score_q"))
         clf.join(nb, "doc_id")
@@ -315,5 +331,91 @@ object ClassifierQueries {
            |GROUP BY 1 ORDER BY 1""".stripMargin
       })
 
-  val all: Seq[Q] = Seq(clfQ, clfAgreementQ)
+  // --------------------------------------------------------------------
+  // q289: streaming quality gate — the selection stack applied ON
+  // ARRIVAL. The streaming family covers dedup (q151) and
+  // decontamination (q209) in flight but not selection, yet an ingest
+  // pipeline applies its quality/importance filter as data lands.
+  // Documents arrive as a file stream; each micro-batch is scored with
+  // the q287 classifier (the per-dir fit artifact as a broadcast
+  // (B+1)-row table — the LloydFit consumer discipline) and gated at
+  // the q288 prior-odds threshold. The gate is PER-DOC LOCAL — no
+  // cross-batch state — so no watermark is needed (a watermark bounds
+  // STATE, and a stateless row filter has none) and the committed
+  // final state is batch-composition-invariant, which is exactly what
+  // makes the q103-style final-state oracle exact. Sink writes are
+  // idempotent per batch (batchId-keyed subdirectory overwrite, the
+  // q209 replay-safety discipline), and each batch also commits its
+  // kept/dropped admission counters; the run reconciles the counters
+  // against the final state and fails loudly on any mismatch. 100 TB:
+  // per batch, one broadcast join + batch-sized aggregation — the same
+  // linear shape as the batch scorer, amortized over arrival.
+  // --------------------------------------------------------------------
+  private def streamGateQ: Q =
+    Q("q289_stream_quality_gate",
+      (s, d) => {
+        import graft.streaming.StreamHarness
+        import org.apache.spark.sql.streaming.Trigger
+        val wq = clfFit(s, d, reuse = true)._2
+        val thrQ = priorThresholdQ(s, d)
+        val base = StreamHarness.scratchDir("graft_q289")
+        val sink = base + "/gate"
+        val counts = base + "/counts"
+        val ckpt = base + "/ckpt"
+        val stream = s.readStream
+          .schema(StreamHarness.sourceSchema(s, d, "documents"))
+          .parquet(StreamHarness.sourceDir(d, "documents"))
+        val q = stream.writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val scored = marginsOf(s, batch, wq)
+              .select(col("doc_id"), col("source"),
+                col("m").as("margin_unats"),
+                (col("m") >= thrQ).as("kept"))
+              .persist()
+            try {
+              scored.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+              scored.agg(
+                  sum(when(col("kept"), 1L).otherwise(0L)).as("nk"),
+                  count(lit(1)).as("nd"))
+                .select(lit(batchId).as("batch_id"), col("nk").as("n_kept"),
+                  (col("nd") - col("nk")).as("n_dropped"))
+                .write.mode("overwrite").parquet(s"$counts/batch=$batchId")
+            } finally { scored.unpersist(); () }
+            ()
+          }.start()
+        try require(q.awaitTermination(300000),
+          "q289: streaming query did not terminate within 300 s")
+        finally q.stop()
+        val perDoc = s.read.parquet(sink)
+          .select("doc_id", "source", "margin_unats", "kept")
+        // Admission-counter reconciliation: Σ per-batch counters must
+        // equal the committed final state — loud, not logged.
+        val c = s.read.parquet(counts)
+          .agg(sum("n_kept").as("k"), sum("n_dropped").as("dr"))
+          .collect().head
+        val kTot = perDoc.filter(col("kept")).count()
+        val tot = perDoc.count()
+        require(c.getLong(0) == kTot && c.getLong(1) == tot - kTot,
+          s"q289: batch counters (${c.getLong(0)}/${c.getLong(1)}) do not " +
+            s"reconcile with final state ($kTot/${tot - kTot})")
+        val res = StreamHarness.localize(perDoc.orderBy("doc_id"))
+        StreamHarness.deleteRecursively(base)
+        res
+      },
+      Some {
+        val E = ClfEpochs
+        s"""WITH $clfSqlCtes,
+           |thr AS (SELECT CAST(floor(ln(CAST(npos AS DOUBLE) / (n - npos))
+           |    * 1e6 + 0.5) AS BIGINT) AS tq FROM cnn),
+           |sc AS (SELECT bt.doc_id, bt.source,
+           |    CAST(sum(bt.c * w.wq) AS BIGINT) AS m
+           |  FROM cbt bt JOIN cw$E w USING (b) GROUP BY 1, 2)
+           |SELECT sc.doc_id, sc.source, sc.m AS margin_unats,
+           |  sc.m >= thr.tq AS kept
+           |FROM sc CROSS JOIN thr
+           |ORDER BY sc.doc_id""".stripMargin
+      })
+
+  val all: Seq[Q] = Seq(clfQ, clfAgreementQ, streamGateQ)
 }

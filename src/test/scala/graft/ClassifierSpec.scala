@@ -133,4 +133,19 @@ class ClassifierSpec extends SparkSpec {
     val kept = rows.map(r => r._3 * r._2).sum
     assert(kept > 0 && kept < total, s"degenerate keep mass $kept/$total")
   }
+
+  test("q289: stream gate final state equals the batch scorer doc-for-doc") {
+    val rows = run("q289_stream_quality_gate")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val (_, _, margins) = refit()
+    val n = margins.size.toLong
+    val nPos = margins.values.count(_._1 == ClassifierQueries.ClfTarget).toLong
+    val thrQ = math.floor(math.log(nPos.toDouble / (n - nPos)) * 1e6 + 0.5).toLong
+    assert(rows.length == margins.size, "gate dropped or duplicated docs")
+    rows.foreach { case (id, src, m, kept) =>
+      val (rSrc, rM) = margins(id)
+      assert(src == rSrc && m == rM, s"doc $id: margin $m != refit $rM")
+      assert(kept == (m >= thrQ), s"doc $id: gate decision != threshold test")
+    }
+  }
 }
