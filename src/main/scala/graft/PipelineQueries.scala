@@ -542,51 +542,6 @@ object PipelineQueries {
     }
   }
 
-  /** [[applyMergeScan]] WITH pair-count delta extraction (round-15 #3,
-    * incremental pair-count maintenance): same single left-to-right
-    * scan, same output string bit-for-bit (the scan logic is copied
-    * verbatim into an index form; PhraseBpeSpec pins the equality), but
-    * a CHANGED row also returns its adjacency deltas — every old
-    * adjacent pair at −freq, every new one at +freq. Unchanged rows
-    * (the vast majority each round — a merge batch touches only rows
-    * containing a merged pair) return an empty delta, which is what
-    * makes next round's count update proportional to the CHANGE mass
-    * instead of the corpus.
-    */
-  private[graft] def applyMergeScanDelta(
-      m: Map[(String, String), String], enc: String, freq: Long)
-      : (String, Array[((String, String), Long)]) = {
-    val syms = enc.substring(1, enc.length - 1).split(";;")
-    val out = new Array[String](syms.length)
-    var n = 0
-    var i = 0
-    var changed = false
-    while (i < syms.length) {
-      val merged = if (i + 1 < syms.length)
-        m.get((syms(i), syms(i + 1))) else None
-      merged match {
-        case Some(lr) => out(n) = lr; n += 1; i += 2; changed = true
-        case None => out(n) = syms(i); n += 1; i += 1
-      }
-    }
-    if (!changed) (enc, Array.empty)
-    else {
-      val sb = new StringBuilder(enc.length + 2)
-      var j = 0
-      while (j < n) { sb.append(';').append(out(j)).append(';'); j += 1 }
-      val deltas = new Array[((String, String), Long)]((syms.length - 1) + (n - 1))
-      var k = 0
-      while (k < syms.length - 1) {
-        deltas(k) = ((syms(k), syms(k + 1)), -freq); k += 1
-      }
-      var k2 = 0
-      while (k2 < n - 1) {
-        deltas(k + k2) = ((out(k2), out(k2 + 1)), freq); k2 += 1
-      }
-      (sb.toString, deltas)
-    }
-  }
-
   /** Phrase-BPE trainer: rounds of (corpus-state pair count → top-W pool
     * collect → L-level locally-dominant batch → fold the ≤batch replaces,
     * localCheckpoint) until TARGET total merges, exhaustion, or the round
@@ -629,64 +584,23 @@ object PipelineQueries {
     // octaves (30× ratio 8.05 pinned vs 1.37 natural) — the state keeps
     // its natural partitioning so per-round work stays distributed at
     // scale.
-    // Round-15 #3 — INCREMENTAL pair-count maintenance. The retired
-    // shape re-aggregated pair counts over the FULL corpus state every
-    // round (64 × a corpus-sized flatMap + shuffle whose cost grew
-    // 0.26 → 0.50 s/round with vocabulary). Real BPE trainers maintain
-    // the counts: a merge batch changes only rows containing a merged
-    // pair, so next round's counts = carried counts − pairs destroyed
-    // + pairs created, computable from the CHANGED rows alone. Here the
-    // apply scan emits those deltas in the same pass
-    // ([[applyMergeScanDelta]]); the carried count state lives
-    // hash-PARTITIONED and localCheckpointed, the per-round delta is
-    // reduced with the SAME partitioner, and union-of-co-partitioned +
-    // reduceByKey is NARROW — so the only per-round shuffle is
-    // delta-sized, and the pool's takeOrdered scans the pair-TYPE state
-    // (≪ corpus pair occurrences). Exact integer deltas ⇒ the count
-    // multiset, hence the top-W pool, hence the whole trajectory, is
-    // bit-identical to full re-aggregation — pinned by the UNCHANGED
-    // recursive-CTE oracle at every SF and by PhraseBpeSpec's
-    // counts-vs-reaggregation A/B.
-    //
-    // State per round is ONE cached artifact: `applied` carries
-    // (newEnc, freq, deltas) so the encoding state and the delta stream
-    // read the same localCheckpointed blocks; the previous round's
-    // artifact and count state are dropped once the pool job
-    // materializes the new ones (cache footprint ~2 rounds, as before).
     var cur = timed("seed") {
-      phraseSeqs(s, d).rdd.map(r =>
-        (r.getString(0), r.getLong(1),
-          Array.empty[((String, String), Long)]))
+      phraseSeqs(s, d).rdd.map(r => (r.getString(0), r.getLong(1)))
     }
-    var counts: org.apache.spark.rdd.RDD[((String, String), Long)] = null
-    var part: org.apache.spark.HashPartitioner = null
-    var prevState: org.apache.spark.rdd.RDD[(String, Long, Array[((String, String), Long)])] = null
-    var prevCounts: org.apache.spark.rdd.RDD[((String, String), Long)] = null
+    // cur's parent state: dead once a pool job materializes cur's
+    // localCheckpoint (which truncates the lineage), but needed until
+    // then. Dropping it keeps the loop's cache footprint at ~2 states
+    // instead of ~rounds (unpersist on the seed's un-persisted mapped
+    // RDD is a no-op; phraseSeqs' own eager checkpoint is shared with
+    // other queries and is left alone).
+    var prevState: org.apache.spark.rdd.RDD[(String, Long)] = null
     var round = 0
     var tot = 0
     var exhausted = false
     while (round < PhraseBpeRoundCap && tot < PhraseBpeTarget && !exhausted) {
       round += 1
-      val pool = timed("pool") {
-        if (counts == null) {
-          // Round 1: the one full aggregation (the seed's counts).
-          part = new org.apache.spark.HashPartitioner(
-            math.max(1, cur.getNumPartitions))
-          counts = cur.flatMap { case (enc, freq, _) =>
-            val syms = enc.substring(1, enc.length - 1).split(";;")
-            if (syms.length < 2) Iterator.empty
-            else (0 until syms.length - 1).iterator
-              .map(i => ((syms(i), syms(i + 1)), freq))
-          }.reduceByKey(part, _ + _)
-          counts.localCheckpoint()
-          ()
-        }
-        counts.takeOrdered(PhraseBpeW)(
-          Ordering.by { case ((l, r), c) => (-c, l, r) })
-          .map { case ((l, r), c) => (l, r, c) }
-      }
+      val pool = timed("pool") { phraseBpePoolRdd(cur) }
       if (prevState != null) { prevState.unpersist(false); prevState = null }
-      if (prevCounts != null) { prevCounts.unpersist(false); prevCounts = null }
       val accepted = timed("accept") { phraseBpeAccept(pool, levels) }
       // Loud totality guard, not a silent truncation: acceptance is
       // naturally matching-bounded (observed ≤ 47/round); a corpus that
@@ -699,38 +613,24 @@ object PipelineQueries {
         accepted.zipWithIndex.foreach { case ((l, r, c, _), j) =>
           out += ((round.toLong, (j + 1).toLong, l, r, c))
         }
-        // LAZY localCheckpoints: the new state and count state both
-        // materialize as side effects of the NEXT round's pool job
-        // instead of paying dedicated materialization jobs per round.
-        timed("apply") {
-          val bc = s.sparkContext.broadcast(
-            accepted.map { case (l, r, _, _) => (l, r) -> phraseSym(l, r) }.toMap)
-          val applied = cur.mapPartitions { it =>
-            val m = bc.value
-            it.map { case (enc, freq, _) =>
-              val (ne, dl) = applyMergeScanDelta(m, enc, freq)
-              (ne, freq, dl)
-            }
-          }
-          applied.localCheckpoint()
-          val delta = applied.flatMap(_._3.iterator).reduceByKey(part, _ + _)
-          val nCounts = counts.union(delta).reduceByKey(part, _ + _)
-            .filter(_._2 != 0L)
-          nCounts.localCheckpoint()
-          prevState = cur
-          prevCounts = counts
-          cur = applied
-          counts = nCounts
+        // LAZY localCheckpoint: the new state materializes as a side
+        // effect of the NEXT round's pair-count job instead of paying a
+        // dedicated materialization job per round.
+        val next = timed("apply") {
+          val n = phraseBpeApplyRdd(s, cur,
+            accepted.map { case (l, r, _, _) => (l, r) })
+          n.localCheckpoint()
+          n
         }
+        prevState = cur
+        cur = next
         tot += accepted.size
       }
     }
     if (prevState != null) prevState.unpersist(false)
-    if (prevCounts != null) prevCounts.unpersist(false)
-    // Drop the final states' caches too: the trajectory in `out` is the
+    // Drop the final state's cache too: the trajectory in `out` is the
     // query's whole payload — nothing downstream reads the state.
     cur.unpersist(false)
-    if (counts != null) counts.unpersist(false)
     out.toSeq
   }
 

@@ -81,35 +81,4 @@ class PhraseBpeSpec extends SparkSpec {
     }
   }
 
-  test("incremental delta kernel: scan output identical, counts telescope exactly") {
-    import graft.PipelineQueries.{applyMergeScan, applyMergeScanDelta}
-    // A fixture state with repeated pairs, adjacent-merge interplay, a
-    // singleton row, and rows untouched by the batch.
-    val state = Seq(
-      (";a;;b;;c;;a;;b;", 3L), (";b;;c;;b;;c;", 2L), (";x;;y;", 5L),
-      (";a;", 7L), (";q;;r;;s;", 1L), (";a;;b;", 11L))
-    val m = Map(("a", "b") -> "a~b", ("q", "r") -> "q~r")
-    def pairsOf(enc: String, f: Long): Seq[((String, String), Long)] = {
-      val sy = enc.substring(1, enc.length - 1).split(";;")
-      (0 until sy.length - 1).map(i => ((sy(i), sy(i + 1)), f))
-    }
-    def agg(xs: Seq[((String, String), Long)]): Map[(String, String), Long] =
-      xs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-        .filter(_._2 != 0L)
-    val before = agg(state.flatMap { case (e, f) => pairsOf(e, f) })
-    val applied = state.map { case (e, f) =>
-      val (ne, dl) = applyMergeScanDelta(m, e, f)
-      // 1) the delta kernel's scan is bit-identical to the plain kernel
-      assert(ne == applyMergeScan(m, e), s"scan drift on $e")
-      // 2) unchanged rows emit NO delta (the incremental win)
-      if (ne == e) assert(dl.isEmpty, s"unchanged row $e emitted deltas")
-      (ne, f, dl)
-    }
-    val after = agg(applied.flatMap { case (e, f, _) => pairsOf(e, f) })
-    // 3) carried counts + deltas == full re-aggregation of the new state
-    //    (the invariant that makes the incremental pool bit-identical)
-    val maintained = agg(before.toSeq ++ applied.flatMap(_._3))
-    assert(maintained == after,
-      s"counts do not telescope:\nmaintained=$maintained\nreagg=     $after")
-  }
 }
