@@ -3,9 +3,15 @@ object DevLeakProbe {
   def main(args: Array[String]): Unit = {
     val spark = Session.get()
     val dir = "/root/testdata/sf0.01"
-    val names = Seq("q279_dsir_select", "q280_dup_tail_hill",
-      "q281_neyman_split", "q282_data_constrained_plan",
-      "q283_contamination_bands", "q284_tau_mixture_audit")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q279_dsir_select", "q280_dup_tail_hill",
+        "q281_neyman_split", "q282_data_constrained_plan",
+        "q283_contamination_bands", "q284_tau_mixture_audit",
+        // round-15 family
+        "q285_image_phash_pairs", "q286_image_phash_fp",
+        "q287_quality_classifier", "q288_quality_clf_agreement",
+        "q289_stream_quality_gate")
     names.foreach { n =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(n)(spark, dir).count()
