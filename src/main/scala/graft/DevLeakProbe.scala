@@ -15,6 +15,13 @@ object DevLeakProbe {
     names.foreach { n =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(n)(spark, dir).count()
+      // localCheckpoint blocks are reclaimed by the ContextCleaner once
+      // the result is dereferenced (the documented Dedup/nbDocScores
+      // pattern) — give the cleaner a GC cycle so the probe measures
+      // TRUE CacheManager leaks, not cleaner latency (round-15: q280's
+      // CC labels and q288's NB checkpoint flagged spuriously).
+      System.gc()
+      Thread.sleep(1000)
       val after = spark.sparkContext.getPersistentRDDs.keySet
       println(s"== $n leaked=${(after -- before).size}")
     }
