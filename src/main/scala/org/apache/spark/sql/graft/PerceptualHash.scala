@@ -56,6 +56,37 @@ object PerceptualHashKernel {
     fp
   }
 
+  /** 60-bit audio energy-gradient fingerprint (the shape of
+    * acoustic-fingerprint front-ends like Chromaprint, public
+    * knowledge, over the stub frame model): slice the payload into 61
+    * equal frames of ⌊len/61⌋ bytes (remainder dropped so every frame
+    * energy is an exact integer over the same length), bit r =
+    * energy(r) > energy(r+1). Robust to gain changes that preserve
+    * energy ordering — the audio analog of dHash's gradient argument.
+    * Null when the payload holds fewer than 61 bytes.
+    */
+  def audiohash60(payload: Array[Byte]): Any = {
+    val step = payload.length / 61
+    if (step < 1) return null
+    val e = new Array[Long](61)
+    var f = 0
+    while (f < 61) {
+      var s = 0L
+      var i = f * step
+      val end = i + step
+      while (i < end) { s += (payload(i) & 0xff); i += 1 }
+      e(f) = s
+      f += 1
+    }
+    var fp = 0L
+    var r = 0
+    while (r < 60) {
+      if (e(r) > e(r + 1)) fp |= (1L << r)
+      r += 1
+    }
+    fp
+  }
+
   /** 60-bit average hash over a 10×6 sampled grid; null when the
     * payload holds no complete row.
     */
@@ -136,9 +167,36 @@ case class AHash60(child: Expression, srcW: Int) extends PerceptualHashExpr {
     copy(child = newChild)
 }
 
+/** `graft_audiohash(payload)` → 60-bit energy-gradient fingerprint. */
+case class AudioHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_audiohash"
+
+  override def nullSafeEval(a: Any): Any =
+    PerceptualHashKernel.audiohash60(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("audiohashRes")
+      s"""
+         |Object $tmp = org.apache.spark.sql.graft.PerceptualHashKernel.audiohash60($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $tmp).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AudioHash60 =
+    copy(child = newChild)
+}
+
 object PerceptualHashExpressions {
   def dhash60(payload: Column, srcW: Int = 8): Column =
     ExpressionUtils.column(DHash60(ExpressionUtils.expression(payload), srcW))
   def ahash60(payload: Column, srcW: Int = 8): Column =
     ExpressionUtils.column(AHash60(ExpressionUtils.expression(payload), srcW))
+  def audiohash60(payload: Column): Column =
+    ExpressionUtils.column(AudioHash60(ExpressionUtils.expression(payload)))
 }

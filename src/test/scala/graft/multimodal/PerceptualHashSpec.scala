@@ -102,9 +102,70 @@ class PerceptualHashSpec extends SparkSpec {
     val df = Seq((1L, img)).toDF("id", "payload")
       .select(
         PerceptualHashExpressions.dhash60(col("payload")).as("d"),
-        PerceptualHashExpressions.ahash60(col("payload")).as("a"))
+        PerceptualHashExpressions.ahash60(col("payload")).as("a"),
+        PerceptualHashExpressions.audiohash60(col("payload")).as("au"))
     val row = df.collect().head
     assert(row.getLong(0) == PerceptualHashKernel.dhash60(img, 8))
     assert(row.getLong(1) == PerceptualHashKernel.ahash60(img, 8))
+    assert(row.getLong(2) == PerceptualHashKernel.audiohash60(img))
+  }
+
+  test("audio hash: gain-ordering invariance, frame sensitivity, null on short payloads") {
+    val a = baseImage(5, rows = 16) // 128 bytes → 61 frames of 2
+    val h1 = PerceptualHashKernel.audiohash60(a).asInstanceOf[Long]
+    assert(h1 >= 0L && h1 < (1L << 60))
+    // A uniform gain that preserves every energy ordering preserves the
+    // fingerprint — the robustness property that makes it a usable
+    // near-dup key (all bytes here stay < 200, so +20 never clips).
+    val gained = a.map(b => ((b & 0xff) + 20).toByte)
+    assert(PerceptualHashKernel.audiohash60(gained) == h1,
+      "fingerprint not invariant under order-preserving gain")
+    // Swapping two adjacent frames' content flips the local gradient.
+    val swapped = a.clone()
+    val step = a.length / 61
+    (0 until step).foreach { i =>
+      val t = swapped(i); swapped(i) = swapped(step + i); swapped(step + i) = t
+    }
+    val h2 = PerceptualHashKernel.audiohash60(swapped).asInstanceOf[Long]
+    assert(h2 != h1 || a.slice(0, step).sameElements(a.slice(step, 2 * step)),
+      "frame swap did not perturb the fingerprint")
+    assert(PerceptualHashKernel.audiohash60(new Array[Byte](60)) == null)
+  }
+
+  test("q291 apply: keepers = corpus minus exactly the pair-graph losers") {
+    val sf = "/root/testdata/sf0.001"
+    def run(name: String) =
+      graft.Queries.all.find(_.name == name).get.run(spark, sf)
+    val pairs = run("q285_image_phash_pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // Driver-side union-find over the pair graph → expected losers.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val losers = members.filter(m => find(m) != m).toSet
+    val all = graft.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = run("q291_image_dedup_apply")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == all -- losers,
+      s"apply kept ${kept.size} docs; expected ${(all -- losers).size}")
+    assert(losers.nonEmpty, "fixture has no losers — the test is vacuous")
+    // The pair-local election (q292, the scale path): a doc loses iff a
+    // verified neighbor has a smaller id. Independent recompute, plus
+    // the containment law vs CC — local keeps a superset (near-dup is
+    // not transitive, so transitive closure can only drop more).
+    val localLosers = pairs.map(_._2).toSet
+    val keptLocal = run("q292_image_dedup_apply_local")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptLocal == all -- localLosers, "local election mismatch")
+    assert(kept.subsetOf(keptLocal),
+      "CC apply kept a doc the local election dropped — containment law broken")
   }
 }
