@@ -109,7 +109,12 @@ object ClassifierQueries {
 
   /** The prior log-odds keep threshold in µ-units, from exact corpus
     * class counts (identical single double expression on the oracle
-    * side — see q288's `thr` CTE).
+    * side — see [[thrSqlCte]]). A corpus with no positive-class docs
+    * (or nothing else) has no prior log-odds: log(0) would flow a
+    * silent -Inf/NaN through floor().toLong into a degenerate
+    * threshold while the DuckDB twin's ln(0) CAST fails loudly — so
+    * BOTH engines fail loudly instead (the q282 symmetric-failure
+    * discipline; the SQL side's error() branch lives in the CTE).
     */
   private[graft] def priorThresholdQ(s: SparkSession, d: String): Long = {
     val cnts = Tables.documents(s, d)
@@ -117,8 +122,21 @@ object ClassifierQueries {
         sum(when(col("source") === ClfTarget, 1L).otherwise(0L)).as("p"))
       .collect().head
     val (n, nPos) = (cnts.getLong(0), cnts.getLong(1))
+    require(nPos > 0 && nPos < n,
+      s"q288/q289: degenerate class prior (n_pos=$nPos of n=$n docs are " +
+        s"'$ClfTarget') — the prior log-odds threshold is undefined")
     math.floor(math.log(nPos.toDouble / (n - nPos)) * 1e6 + 0.5).toLong
   }
+
+  /** DuckDB twin of [[priorThresholdQ]] including its loud degenerate
+    * branch: `thr(tq)` from `cnn(n, npos)`.
+    */
+  private val thrSqlCte: String =
+    s"""thr AS (SELECT CASE WHEN npos <= 0 OR npos >= n
+       |    THEN CAST(error('degenerate class prior: npos=' || npos ||
+       |      ' of n=' || n) AS BIGINT)
+       |    ELSE CAST(floor(ln(CAST(npos AS DOUBLE) / (n - npos))
+       |      * 1e6 + 0.5) AS BIGINT) END AS tq FROM cnn)""".stripMargin
 
   private[graft] def clfFit(s: SparkSession, d: String, reuse: Boolean = false)
       : (Seq[(Long, Long, Long, Long, Long, Long, Long)], Array[Long]) = {
@@ -158,8 +176,17 @@ object ClassifierQueries {
           .withColumn("gq", floor(
             (lit(1.0) / (lit(1.0) + exp(-mp)) - col("y")) * lit(1e6) + lit(0.5))
             .cast("long"))
+          // xent via the overflow-stable form max(m,0) + ln(1+e^-|m|)
+          // (≡ ln(1+e^m) exactly for m < 0, to within one double
+          // rounding otherwise): the naive ln(1+e^m) overflows to +Inf
+          // beyond m ≈ 709 nats, which Spark's floor(Inf).cast("long")
+          // silently saturates while DuckDB's CAST errors — an
+          // asymmetric failure. The stable form never overflows, and
+          // the SQL twin + ClassifierSpec refit use the SAME expression
+          // so quantized parity holds at any margin.
           .withColumn("xq", floor(
-            (log(lit(1.0) + exp(mp)) - col("y") * mp) * lit(1e6) + lit(0.5))
+            (greatest(mp, lit(0.0)) + log(lit(1.0) + exp(-abs(mp)))
+              - col("y") * mp) * lit(1e6) + lit(0.5))
             .cast("long"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -200,7 +227,8 @@ object ClassifierQueries {
          |    CAST(floor((1.0 / (1.0 + exp(-(CAST(m AS DOUBLE) / 1e6)))
          |        - (CASE WHEN source = '$ClfTarget' THEN 1 ELSE 0 END))
          |      * 1e6 + 0.5) AS BIGINT) AS gq,
-         |    CAST(floor((ln(1.0 + exp(CAST(m AS DOUBLE) / 1e6))
+         |    CAST(floor((greatest(CAST(m AS DOUBLE) / 1e6, 0.0)
+         |        + ln(1.0 + exp(-abs(CAST(m AS DOUBLE) / 1e6)))
          |        - (CASE WHEN source = '$ClfTarget' THEN 1 ELSE 0 END)
          |          * (CAST(m AS DOUBLE) / 1e6))
          |      * 1e6 + 0.5) AS BIGINT) AS xq
@@ -312,8 +340,7 @@ object ClassifierQueries {
         val E = ClfEpochs
         s"""WITH $clfSqlCtes,
            |${PipelineQueries.nbScoreSqlCtes},
-           |thr AS (SELECT CAST(floor(ln(CAST(npos AS DOUBLE) / (n - npos))
-           |    * 1e6 + 0.5) AS BIGINT) AS tq FROM cnn),
+           |$thrSqlCte,
            |sc AS (SELECT bt.doc_id, bt.source,
            |    CAST(sum(bt.c * w.wq) AS BIGINT) AS m
            |  FROM cbt bt JOIN cw$E w USING (b) GROUP BY 1, 2)
@@ -406,8 +433,7 @@ object ClassifierQueries {
       Some {
         val E = ClfEpochs
         s"""WITH $clfSqlCtes,
-           |thr AS (SELECT CAST(floor(ln(CAST(npos AS DOUBLE) / (n - npos))
-           |    * 1e6 + 0.5) AS BIGINT) AS tq FROM cnn),
+           |$thrSqlCte,
            |sc AS (SELECT bt.doc_id, bt.source,
            |    CAST(sum(bt.c * w.wq) AS BIGINT) AS m
            |  FROM cbt bt JOIN cw$E w USING (b) GROUP BY 1, 2)

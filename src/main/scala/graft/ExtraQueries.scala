@@ -111,7 +111,11 @@ object ExtraQueries {
         fitHash: String, stageWalls: Seq[(String, Double)] = Nil,
         wall: Double = -1.0, searchWall: Double = -1.0,
         taskRunMs: Long = -1L, taskGcMs: Long = -1L,
-        taskSchedDelayMs: Long = -1L, tasks: Long = -1L)
+        taskSchedDelayMs: Long = -1L, tasks: Long = -1L,
+        // Memory regime at rep ENTRY (round-15 verdict #1): storage
+        // memory in use and host MemAvailable, MB — so a slow rep is
+        // attributable to memory pressure from the artifact alone.
+        storageUsedMb: Long = -1L, hostAvailMb: Long = -1L)
     private val buf = scala.collection.mutable.ArrayBuffer[Rec]()
     def add(r: Rec): Unit = buf.synchronized {
       buf += r
@@ -194,6 +198,7 @@ object ExtraQueries {
     // dir's corpus, so a cache hit skips the users-count pass too.
     val fitKey = s"$d|pca|$FlagSeqLen|$FlagDim|frac0.35"
     val persistedAtEntry = s.sparkContext.getPersistentRDDs.size
+    val memAtEntry = (MemState.storageUsedMb(s), MemState.hostAvailMb())
     val cacheHit = FitArtifacts.get(fitKey).isDefined
     val m = FitArtifacts.get(fitKey) match {
       case Some(cached) =>
@@ -235,7 +240,8 @@ object ExtraQueries {
         .orderBy("q_key", "q_start")
     }
     Q204Evidence.add(Q204Evidence.Rec(cacheHit, persistedAtEntry,
-      matrixHash(m), walls.toSeq))
+      matrixHash(m), walls.toSeq,
+      storageUsedMb = memAtEntry._1, hostAvailMb = memAtEntry._2))
     df
   }
 

@@ -25,6 +25,34 @@ object TaskCounters {
   }
 }
 
+/** Point-in-time memory state for the evidence records (round-15
+  * verdict #1: the post-suite q204 profile's 25× task-CPU inflation
+  * could not be separated from memory pressure because the artifact
+  * recorded neither storage occupancy nor host headroom).
+  */
+object MemState {
+  /** Block-manager storage memory in use (local mode: the one executor),
+    * MB. getExecutorMemoryStatus values are (maxMem, remainingMem).
+    */
+  def storageUsedMb(s: org.apache.spark.sql.SparkSession): Long =
+    try s.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, remaining) => max - remaining }.sum / (1024L * 1024L)
+    catch { case _: Throwable => -1L }
+
+  /** Host MemAvailable from /proc/meminfo, MB; −1 when unreadable (the
+    * field is Linux-specific — exactly the host this bench runs on).
+    */
+  def hostAvailMb(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("MemAvailable:") =>
+          l.trim.split("\\s+")(1).toLong / 1024L
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+}
+
 final class TaskCounters extends SparkListener {
   import TaskCounters.Snap
 

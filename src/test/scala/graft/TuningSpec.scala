@@ -313,8 +313,11 @@ class TuningSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq == (1L to 100L), "ranks not dense 1..K")
     // Total order: scores non-increasing, doc_id ascending within ties,
     // no doc selected twice, and the target domain is never selected.
-    rows.sliding(2).foreach { case Array((_, d1, _, _, w1), (_, d2, _, _, w2)) =>
-      assert(w1 > w2 || (w1 == w2 && d1 < d2), "selection order broken")
+    // Guarded like the q281 law below: sliding(2) over a <2-row result
+    // yields a 1-element window — filter it instead of MatchError-ing.
+    rows.sliding(2).filter(_.length == 2).foreach {
+      case Array((_, d1, _, _, w1), (_, d2, _, _, w2)) =>
+        assert(w1 > w2 || (w1 == w2 && d1 < d2), "selection order broken")
     }
     assert(rows.map(_._2).distinct.length == rows.length)
     assert(rows.forall(_._3 != "src0"), "target-domain doc selected")
