@@ -52,7 +52,11 @@ object Bench {
     // Round-15 family representatives: image perceptual-hash dedup,
     // learned quality classifier, streaming selection gate.
     "q285_image_phash_pairs", "q287_quality_classifier",
-    "q289_stream_quality_gate")
+    "q289_stream_quality_gate",
+    // Round-16 family representatives: cross-modal release manifest,
+    // video fingerprint tier, dedup policy audit.
+    "q293_release_manifest_multimodal", "q294_video_phash_pairs",
+    "q296_dedup_policy_audit")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")
@@ -426,7 +430,8 @@ object Bench {
       "q112_stream_ohlcv", "q118_stream_sliding", "q124_stream_sessions",
       "q131_stream_join", "q137_stream_enrich", "q151_stream_dedup",
       "q175_stream_holt", "q190_late_data", "q201_stream_kalman",
-      "q209_stream_decontam", "q289_stream_quality_gate")
+      "q209_stream_decontam", "q289_stream_quality_gate",
+      "q295_stream_dsir_gate")
     val streamFamilyTotal = ok.filter(r => streamFamily(r._1)).map(_._3).sum
     val calibField = s""""calibration":{"start":${r2(calibStart)},"mid":${r2(calibMid)},"end":${r2(calibEnd)}}"""
     val coldFields = s""""cold_revisited":${jmap(coldRevisited.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"cold_first":${jmap(coldFirst.toSeq.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"cold_calibration":{"before":${r2(coldCalibBefore)},"after":${r2(coldCalibAfter)}},"cold_local_ref":"${localCold._1}""""

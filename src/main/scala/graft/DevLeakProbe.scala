@@ -11,7 +11,10 @@ object DevLeakProbe {
         // round-15 family
         "q285_image_phash_pairs", "q286_image_phash_fp",
         "q287_quality_classifier", "q288_quality_clf_agreement",
-        "q289_stream_quality_gate")
+        "q289_stream_quality_gate",
+        // round-16 family
+        "q293_release_manifest_multimodal", "q294_video_phash_pairs",
+        "q295_stream_dsir_gate", "q296_dedup_policy_audit")
     names.foreach { n =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(n)(spark, dir).count()

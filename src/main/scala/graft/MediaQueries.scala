@@ -8,13 +8,13 @@ import graft.text.Dedup
 import org.apache.spark.sql.graft.PerceptualHashExpressions
 
 /** Multimodal near-dup detection (round-15: the dedup stack was
-  * text-only; a training-data pipeline dedups images too). Fingerprints
-  * are the 60-bit perceptual hashes from
-  * [[org.apache.spark.sql.graft.PerceptualHashKernel]] (dHash/aHash,
-  * public knowledge) computed over the image payload column — the same
-  * text-bytes-as-grayscale-grid latent q138's resize and q108's frame
-  * sampler read, behind the same ASCII guard that keeps the byte and
-  * codepoint views identical for the oracle.
+  * text-only; a training-data pipeline dedups images too; round-16
+  * extends the tier to video). Fingerprints are the 60-bit perceptual
+  * hashes from [[org.apache.spark.sql.graft.PerceptualHashKernel]]
+  * (dHash/aHash, public knowledge) computed over the image payload
+  * column — the same text-bytes-as-grayscale-grid latent q138's resize
+  * and q108's frame sampler read, behind the same ASCII guard that
+  * keeps the byte and codepoint views identical for the oracle.
   *
   * 100 TB shape: the fingerprint is ONE codegen'd projection per row —
   * no shuffle, no UDF; pair generation reuses the existing pigeonhole
@@ -23,6 +23,11 @@ import org.apache.spark.sql.graft.PerceptualHashExpressions
   * LOSSLESS for the hamming bar by the pigeonhole argument — so the
   * DuckDB oracle can be the brute-force all-pairs definition and the
   * oracle gate itself re-proves losslessness at every scale factor.
+  *
+  * The SQL tiers below are i/a/v-prefixed (`icodes`/`ifp`/`ip`,
+  * `acodes`/`afp`/`ap`, `vfr`/`vp`) so cross-modal compositions
+  * (q293's release manifest, q296's policy audit) can nest them beside
+  * the text chains without CTE-name collisions.
   */
 object MediaQueries {
 
@@ -34,9 +39,59 @@ object MediaQueries {
       .filter(length(col("text")) >= 8 && col("text").rlike("^[\\x00-\\x7F]*$"))
       .withColumn("payload", col("text").cast("binary"))
 
-  /** Shared DuckDB CTE: per-doc codepoint list + grid height. */
-  private val sqlCodes =
-    """codes AS (SELECT doc_id,
+  /** Image fingerprint frame (doc_id, phash), materialized ONCE per
+    * consumer: both sides of the band self-join read it, and without
+    * this the payload column — the heavy bytes — would be scanned twice
+    * (plan-audited round 15). localCheckpoint(true) over persist:
+    * blocks reclaim on dereference (the Dedup.connectedComponents
+    * pattern), so repeated invocations don't accumulate CacheManager
+    * entries.
+    */
+  private[graft] def imageFingerprints(s: SparkSession, d: String): DataFrame =
+    imageDocs(s, d)
+      .select(col("doc_id"),
+        PerceptualHashExpressions.dhash60(col("payload")).as("phash"))
+      .filter(col("phash").isNotNull)
+      .localCheckpoint(true)
+
+  /** Verified image near-dup pairs at hamming ≤ 6 over the dHash
+    * fingerprint — the q285 tier as a reusable frame.
+    */
+  private[graft] def imagePairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDupPairs(imageFingerprints(s, d), "doc_id", "phash",
+      maxHamming = 6, bits = 60)
+
+  /** Pair-local image losers (q292's election): the larger id of every
+    * verified pair — one distinct, linear at any cluster shape.
+    */
+  private[graft] def imagePairLocalLosers(s: SparkSession, d: String): DataFrame =
+    imagePairs(s, d).select(col("id_b").as("doc_id")).distinct()
+
+  /** Audio fingerprint frame (doc_id, phash): the energy-gradient
+    * fingerprint over 61 equal frames (q290's tier).
+    */
+  private[graft] def audioFingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 61 &&
+        col("text").rlike("^[\\x00-\\x7F]*$"))
+      .select(col("doc_id"),
+        PerceptualHashExpressions.audiohash60(col("text").cast("binary"))
+          .as("phash"))
+      .filter(col("phash").isNotNull)
+      .localCheckpoint(true)
+
+  private[graft] def audioPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDupPairs(audioFingerprints(s, d), "doc_id", "phash",
+      maxHamming = 6, bits = 60)
+
+  private[graft] def audioPairLocalLosers(s: SparkSession, d: String): DataFrame =
+    audioPairs(s, d).select(col("id_b").as("doc_id")).distinct()
+
+  /** Shared DuckDB CTE: per-doc codepoint list + grid height (image
+    * tier, i-prefixed).
+    */
+  private val sqlImageCodes =
+    """icodes AS (SELECT doc_id,
       |    [unicode(c) FOR c IN string_split(text, '')] AS cs,
       |    len(text) // 8 AS h
       |  FROM documents
@@ -50,6 +105,47 @@ object MediaQueries {
       |    THEN (1::BIGINT << i) ELSE 0::BIGINT END
       |    FOR i IN range(0, 60)]) AS BIGINT)""".stripMargin
 
+  /** DuckDB image tier: `icodes` → `ifp(doc_id, fp)` → brute-force
+    * verified pairs `ip(id_a, id_b, hamming)` — the oracle definition
+    * the banded plan must reproduce exactly.
+    */
+  private[graft] val imagePairSqlCtes: String =
+    s"""$sqlImageCodes,
+       |ifp AS (SELECT doc_id, $sqlDhash AS fp FROM icodes),
+       |ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |  FROM ifp a JOIN ifp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 6)""".stripMargin
+
+  private[graft] val imageLosersSqlCte: String =
+    "ilosers AS (SELECT DISTINCT id_b AS doc_id FROM ip)"
+
+  /** DuckDB audio tier: `acodes` → frame energies `aen` → `afp` →
+    * brute-force verified pairs `ap`.
+    */
+  private[graft] val audioPairSqlCtes: String =
+    """acodes AS (SELECT doc_id,
+      |    [unicode(c) FOR c IN string_split(text, '')] AS cs,
+      |    len(text) // 61 AS st
+      |  FROM documents
+      |  WHERE len(text) >= 61 AND regexp_matches(text, '^[\x00-\x7f]*$')),
+      |aen AS (SELECT doc_id,
+      |    [list_sum(cs[(f * st) + 1 : (f + 1) * st])
+      |      FOR f IN range(0, 61)] AS e
+      |  FROM acodes),
+      |afp AS (SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN e[i + 1] > e[i + 2]
+      |      THEN (1::BIGINT << i) ELSE 0::BIGINT END
+      |      FOR i IN range(0, 60)]) AS BIGINT) AS fp
+      |  FROM aen),
+      |ap AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      |  FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.fp, b.fp)) <= 6)""".stripMargin
+
+  private[graft] val audioLosersSqlCte: String =
+    "alosers AS (SELECT DISTINCT id_b AS doc_id FROM ap)"
+
   private val imagePhash: Seq[Q] = Seq(
     // Near-dup image PAIRS at hamming ≤ 6 over the dHash fingerprint.
     // Plan: codegen fingerprint projection → pigeonhole bands (7 bands
@@ -59,28 +155,9 @@ object MediaQueries {
     // brute-force definition, so a pigeonhole recall loss would fail
     // the gate, not hide.
     Q("q285_image_phash_pairs",
-      (s, d) => {
-        // Materialize the (doc_id, phash) frame ONCE: both sides of the
-        // band self-join read it, and without this the payload column —
-        // the heavy bytes — would be scanned twice (plan-audited round
-        // 15). localCheckpoint(true) over persist: blocks reclaim on
-        // dereference (the Dedup.connectedComponents pattern), so
-        // repeated invocations don't accumulate CacheManager entries.
-        val fps = imageDocs(s, d)
-          .select(col("doc_id"),
-            PerceptualHashExpressions.dhash60(col("payload")).as("phash"))
-          .filter(col("phash").isNotNull)
-          .localCheckpoint(true)
-        Dedup.simhashNearDupPairs(fps, "doc_id", "phash",
-            maxHamming = 6, bits = 60)
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""WITH $sqlCodes,
-             |fp AS (SELECT doc_id, $sqlDhash AS fp FROM codes)
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+      (s, d) => imagePairs(s, d).orderBy("id_a", "id_b"),
+      Some(s"""WITH $imagePairSqlCtes
+             |SELECT id_a, id_b, hamming FROM ip
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Per-image fingerprint audit: both hash families side by side.
@@ -94,11 +171,11 @@ object MediaQueries {
             PerceptualHashExpressions.ahash60(col("payload")).as("ahash60"))
           .filter(col("dhash60").isNotNull)
           .orderBy("doc_id"),
-      Some(s"""WITH $sqlCodes,
+      Some(s"""WITH $sqlImageCodes,
              |sm AS (SELECT doc_id, cs, h,
              |    list_sum([cs[((i // 6) * h // 10) * 8 + ((i % 6) * 8 // 6) + 1]
              |      FOR i IN range(0, 60)]) AS s
-             |  FROM codes)
+             |  FROM icodes)
              |SELECT sm.doc_id, d.source, $sqlDhash AS dhash60,
              |  CAST(list_sum([CASE WHEN
              |      60 * cs[((i // 6) * h // 10) * 8 + ((i % 6) * 8 // 6) + 1] > s
@@ -116,37 +193,9 @@ object MediaQueries {
     // transform but are never fingerprinted" — now both are. Same
     // brute-force oracle discipline as q285.
     Q("q290_audio_phash_pairs",
-      (s, d) => {
-        val fps = Tables.documents(s, d)
-          .filter(length(col("text")) >= 61 &&
-            col("text").rlike("^[\\x00-\\x7F]*$"))
-          .select(col("doc_id"),
-            PerceptualHashExpressions.audiohash60(col("text").cast("binary"))
-              .as("phash"))
-          .filter(col("phash").isNotNull)
-          .localCheckpoint(true)
-        Dedup.simhashNearDupPairs(fps, "doc_id", "phash",
-            maxHamming = 6, bits = 60)
-          .orderBy("id_a", "id_b")
-      },
-      Some("""WITH codes AS (SELECT doc_id,
-             |    [unicode(c) FOR c IN string_split(text, '')] AS cs,
-             |    len(text) // 61 AS st
-             |  FROM documents
-             |  WHERE len(text) >= 61 AND regexp_matches(text, '^[\x00-\x7f]*$')),
-             |en AS (SELECT doc_id,
-             |    [list_sum(cs[(f * st) + 1 : (f + 1) * st])
-             |      FOR f IN range(0, 61)] AS e
-             |  FROM codes),
-             |fp AS (SELECT doc_id,
-             |    CAST(list_sum([CASE WHEN e[i + 1] > e[i + 2]
-             |      THEN (1::BIGINT << i) ELSE 0::BIGINT END
-             |      FOR i IN range(0, 60)]) AS BIGINT) AS fp
-             |  FROM en)
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+      (s, d) => audioPairs(s, d).orderBy("id_a", "id_b"),
+      Some(s"""WITH $audioPairSqlCtes
+             |SELECT id_a, id_b, hamming FROM ap
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Image dedup APPLY — the q258 step for the image tier: connected
@@ -164,15 +213,8 @@ object MediaQueries {
     // pair-local election, which is one aggregation.
     Q("q291_image_dedup_apply",
       (s, d) => {
-        val fps = imageDocs(s, d)
-          .select(col("doc_id"),
-            PerceptualHashExpressions.dhash60(col("payload")).as("phash"))
-          .filter(col("phash").isNotNull)
-          .localCheckpoint(true)
         val losers = Dedup.connectedComponents(
-          Dedup.simhashNearDupPairs(fps, "doc_id", "phash",
-              maxHamming = 6, bits = 60)
-            .select("id_a", "id_b"))
+          imagePairs(s, d).select("id_a", "id_b"))
           .filter(col("id") =!= col("cluster"))
           .select(col("id").as("doc_id"))
         Tables.documents(s, d)
@@ -180,11 +222,7 @@ object MediaQueries {
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $sqlCodes,
-             |fp AS (SELECT doc_id, $sqlDhash AS fp FROM codes),
-             |ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.fp, b.fp)) <= 6),
+      Some(s"""WITH RECURSIVE $imagePairSqlCtes,
              |ie0 AS (SELECT id_a AS src, id_b AS dst FROM ip
              |  UNION ALL SELECT id_b AS src, id_a AS dst FROM ip),
              |ireach AS (
@@ -193,9 +231,9 @@ object MediaQueries {
              |  SELECT r.src, e.dst FROM ireach r JOIN ie0 e ON r.dst = e.src),
              |icomp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
              |  FROM ireach GROUP BY src),
-             |ilosers AS (SELECT doc_id FROM icomp WHERE cluster <> doc_id)
+             |iclosers AS (SELECT doc_id FROM icomp WHERE cluster <> doc_id)
              |SELECT d.doc_id, d.lang, d.source FROM documents d
-             |WHERE d.doc_id NOT IN (SELECT doc_id FROM ilosers)
+             |WHERE d.doc_id NOT IN (SELECT doc_id FROM iclosers)
              |ORDER BY d.doc_id""".stripMargin),
       scaleLimited = Some("q292_image_dedup_apply_local")),
 
@@ -213,28 +251,179 @@ object MediaQueries {
     // docs and several hundred times less wall.
     Q("q292_image_dedup_apply_local",
       (s, d) => {
-        val fps = imageDocs(s, d)
-          .select(col("doc_id"),
-            PerceptualHashExpressions.dhash60(col("payload")).as("phash"))
-          .filter(col("phash").isNotNull)
-          .localCheckpoint(true)
-        val losers = Dedup.simhashNearDupPairs(fps, "doc_id", "phash",
-            maxHamming = 6, bits = 60)
-          .select(col("id_b").as("doc_id")).distinct()
         Tables.documents(s, d)
-          .join(losers, Seq("doc_id"), "left_anti")
+          .join(imagePairLocalLosers(s, d), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH $sqlCodes,
-             |fp AS (SELECT doc_id, $sqlDhash AS fp FROM codes),
-             |ip AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.fp, b.fp)) <= 6),
-             |ilosers AS (SELECT DISTINCT id_b AS doc_id FROM ip)
+      Some(s"""WITH $imagePairSqlCtes,
+             |$imageLosersSqlCte
              |SELECT d.doc_id, d.lang, d.source FROM documents d
              |WHERE d.doc_id NOT IN (SELECT doc_id FROM ilosers)
              |ORDER BY d.doc_id""".stripMargin)))
 
-  val all: Seq[Q] = imagePhash ++ audioAndApply
+  // --------------------------------------------------------------------
+  // Video fingerprint tier (round-15 verdict #3): the one modality with
+  // decode + frame sampling (q108) but no dedup. A video is the stack of
+  // fixed-size frames the stub codec model reads; the tier samples
+  // VideoFrames frames at the SAME uniform temporal grid as q108
+  // (i ↦ ⌊i·nFrames/k⌋), fingerprints each sampled frame with the q285
+  // dHash kernel (each frame is its own 8-byte-wide grid), and declares
+  // two videos near-dups when at least HALF their sampled positions are
+  // hamming-close — POSITION-ALIGNED comparison, which is exactly what
+  // the shared temporal grid buys (a clipped/re-encoded copy keeps its
+  // frame order; gradients survive brightness shifts per the dHash
+  // argument).
+  //
+  // Frame model: 64-byte frames (8×8 grids). q108's 8-byte "frames" are
+  // the right granularity for its luma-sampling audit but are a single
+  // grid ROW — dHash over one row is degenerate (no vertical gradient),
+  // so the fingerprint tier reads the richer 8-row frame the resize stub
+  // (q138) already models. Docs shorter than one frame have no video
+  // payload and are ungauged, the q285 null convention.
+  //
+  // 100 TB shape: ONE codegen projection per (video, sampled position) —
+  // VideoFrames rows per video, a CONSTANT fan-out — then the pigeonhole
+  // banding keyed by (position, band): lossless per position for
+  // hamming ≤ 6 by the same argument as q256/q285, so the brute-force
+  // all-pairs oracle re-proves recall at every scale factor. Never an
+  // all-pairs plan; candidate mass is output-sensitive.
+  // --------------------------------------------------------------------
+  private[graft] val VideoFrames = 4
+  private[graft] val VideoFrameBytes = 64
+  private[graft] val VideoMaxHamming = 6
+  private[graft] val VideoMinClose = VideoFrames / 2
+
+  /** Per-(video, sampled-position) dHash frames over an arbitrary
+    * (doc_id, payload: binary) frame — the spec drives this directly
+    * with constructed fixtures. Columns out: (doc_id, pos, fh).
+    */
+  private[graft] def videoFrameHashesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("payload"),
+        (length(col("payload")) / VideoFrameBytes).cast("long").as("nf"))
+      .filter(col("nf") >= 1L)
+      .select(col("doc_id"), col("payload"), col("nf"),
+        explode(sequence(lit(0L), lit(VideoFrames - 1L))).as("pos"))
+      .withColumn("__off",
+        expr(s"(pos * nf) div $VideoFrames") * VideoFrameBytes)
+      .select(col("doc_id"), col("pos"),
+        PerceptualHashExpressions.dhash60(
+          expr(s"substring(payload, cast(__off + 1 as int), $VideoFrameBytes)"))
+          .as("fh"))
+      .filter(col("fh").isNotNull)
+
+  /** Per-(video, sampled-position) dHash frame: (doc_id, pos, fh).
+    * One scan, one codegen projection under a constant ×VideoFrames
+    * fan-out; localCheckpointed because the band self-join reads it
+    * twice.
+    */
+  private[graft] def videoFrameHashes(s: SparkSession, d: String): DataFrame =
+    videoFrameHashesOf(
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= VideoFrameBytes &&
+          col("text").rlike("^[\\x00-\\x7F]*$"))
+        .select(col("doc_id"), col("text").cast("binary").as("payload")))
+      .localCheckpoint(true)
+
+  /** Position-aligned banded hamming join: pigeonhole bands over each
+    * frame hash, equi-join on (pos, band, band_val) — lossless per
+    * position for hamming ≤ maxHamming — then the exact bit_count
+    * verify. Returns one row per (id_a, id_b, pos) with a verified
+    * close frame at that position.
+    */
+  private[graft] def bandedFrameMatches(fr: DataFrame, maxHamming: Int,
+      bits: Int = 60): DataFrame = {
+    val nBands = maxHamming + 1
+    val widths = Array.tabulate(nBands)(i =>
+      bits / nBands + (if (i < bits % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandStructs = (0 until nBands).map { i =>
+      val mask = (1L << widths(i)) - 1
+      struct(lit(i).as("band"),
+        shiftright(col("fh"), offsets(i)).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = fr.select(col("doc_id"), col("pos"), col("fh"),
+        explode(array(bandStructs: _*)).as("__b"))
+      .select(col("doc_id"), col("pos"), col("fh"),
+        col("__b.band").as("band"), col("__b.bv").as("bv"))
+    val a = banded.select(col("pos"), col("band"), col("bv"),
+      col("doc_id").as("id_a"), col("fh").as("fh_a"))
+    val b = banded.select(col("pos"), col("band"), col("bv"),
+      col("doc_id").as("id_b"), col("fh").as("fh_b"))
+    a.join(b, Seq("pos", "band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Dedup.hamming(col("fh_a"), col("fh_b")) <= maxHamming)
+      // A (pair, pos) can collide in several bands — dedup AFTER the
+      // cheap verify so the distinct shuffles only surviving matches.
+      .select("id_a", "id_b", "pos")
+      .distinct()
+  }
+
+  /** Verified video near-dup pairs over a frame-hash table: ≥
+    * VideoMinClose hamming-close sampled positions.
+    */
+  private[graft] def videoPairsOf(frames: DataFrame): DataFrame =
+    bandedFrameMatches(frames, VideoMaxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_close_frames"))
+      .filter(col("n_close_frames") >= VideoMinClose)
+
+  private[graft] def videoPairs(s: SparkSession, d: String): DataFrame =
+    videoPairsOf(videoFrameHashes(s, d))
+
+  private[graft] def videoPairLocalLosers(s: SparkSession, d: String): DataFrame =
+    videoPairs(s, d).select(col("id_b").as("doc_id")).distinct()
+
+  /** DuckDB video tier: `vcodes` → per-sampled-position frame hashes
+    * `vfr(doc_id, pos, fh)` (the dHash arithmetic with the frame's
+    * fixed h = 8 and temporal offset) → brute-force position-aligned
+    * pairs `vp(id_a, id_b, n_close_frames)`.
+    */
+  private[graft] val videoPairSqlCtes: String = {
+    // dHash over a 64-byte frame at codepoint offset `off` (1-indexed
+    // lists; h = 8 rows of 8 bytes — the kernel's arithmetic with
+    // h fixed).
+    val frameDhash =
+      """CAST(list_sum([CASE WHEN
+        |      cs[off + ((i // 6) * 8 // 11) * 8 + ((i % 6) * 8 // 6) + 1] >
+        |      cs[off + (((i // 6) + 1) * 8 // 11) * 8 + ((i % 6) * 8 // 6) + 1]
+        |    THEN (1::BIGINT << i) ELSE 0::BIGINT END
+        |    FOR i IN range(0, 60)]) AS BIGINT)""".stripMargin
+    s"""vcodes AS (SELECT doc_id,
+       |    [unicode(c) FOR c IN string_split(text, '')] AS cs,
+       |    len(text) // $VideoFrameBytes AS nf
+       |  FROM documents
+       |  WHERE len(text) >= $VideoFrameBytes
+       |    AND regexp_matches(text, '^[\\x00-\\x7f]*$$')),
+       |vsam AS (SELECT doc_id, cs,
+       |    unnest(generate_series(0, ${VideoFrames - 1})) AS pos, nf
+       |  FROM vcodes),
+       |vfr AS (SELECT doc_id, pos, $frameDhash AS fh FROM (
+       |  SELECT doc_id, pos, cs,
+       |    ((pos * nf) // $VideoFrames) * $VideoFrameBytes AS off
+       |  FROM vsam)),
+       |vp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_close_frames
+       |  FROM vfr a JOIN vfr b ON a.doc_id < b.doc_id AND a.pos = b.pos
+       |  WHERE bit_count(xor(a.fh, b.fh)) <= $VideoMaxHamming
+       |  GROUP BY 1, 2 HAVING count(*) >= $VideoMinClose)""".stripMargin
+  }
+
+  private[graft] val videoLosersSqlCte: String =
+    "vlosers AS (SELECT DISTINCT id_b AS doc_id FROM vp)"
+
+  private val video: Seq[Q] = Seq(
+    // Near-dup video PAIRS with the count of hamming-close sampled
+    // positions. Deterministic integers end-to-end; the oracle is the
+    // brute-force position-aligned definition, so the per-position
+    // pigeonhole banding's losslessness is re-proven by the gate at
+    // every scale factor (the q285 discipline).
+    Q("q294_video_phash_pairs",
+      (s, d) => videoPairs(s, d).orderBy("id_a", "id_b"),
+      Some(s"""WITH $videoPairSqlCtes
+             |SELECT id_a, id_b, n_close_frames FROM vp
+             |ORDER BY id_a, id_b""".stripMargin)))
+
+  val all: Seq[Q] = imagePhash ++ audioAndApply ++ video
 }

@@ -4680,6 +4680,38 @@ object PipelineQueries {
   // registered CTE chains nested verbatim (comp from the banded chain,
   // ds from the NB chain) — the drift-proof composition pattern.
   // ------------------------------------------------------------------
+  /** DuckDB keep-best election over the banded-verified cluster tier
+    * (q270's rule, factored so q293's cross-modal manifest nests the
+    * SAME text): clustered members with NB scores `kbm`, per-cluster
+    * argmax-(score, min-id) winners `kbb`, and the docs the election
+    * REMOVES `tlosers` (clustered, not elected). Requires
+    * [[bandedVerifiedSqlCtes]] + [[nbScoreSqlCtes]] in scope.
+    */
+  private[graft] val keepBestSqlCtes: String =
+    """kbm AS MATERIALIZED (SELECT c.doc_id AS id, c.cluster, ds.score_q
+      |  FROM comp c JOIN ds ON ds.doc_id = c.doc_id),
+      |kbb AS (SELECT cluster, id AS best_doc, score_q AS best_q FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY cluster
+      |      ORDER BY score_q DESC, id ASC) AS rn FROM kbm) WHERE rn = 1),
+      |tlosers AS (SELECT m.id AS doc_id FROM kbm m
+      |  JOIN kbb b ON b.cluster = m.cluster WHERE m.id <> b.best_doc)""".stripMargin
+
+  /** Spark keep-best losers: clustered docs the q270 election does NOT
+    * elect — each banded-verified cluster keeps its argmax-(NB score,
+    * min id) member; everyone else is removed by the text tier.
+    */
+  private[graft] def keepBestLosers(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Dedup
+    val comp = Dedup.connectedComponents(bandedVerifiedPairs(s, d))
+    val m = comp.join(
+      nbDocScores(s, d).select(col("doc_id").as("id"), col("score_q")), "id")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("score_q").desc, col("id").asc)
+    m.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col("id").as("doc_id"))
+  }
+
   private val keepBest: Seq[Q] = Seq(
     Q("q270_dedup_keep_best",
       (s, d) => {
@@ -4708,11 +4740,7 @@ object PipelineQueries {
       oracleDyn = Some { () =>
         s"""WITH RECURSIVE $bandedVerifiedSqlCtes,
            |$nbScoreSqlCtes,
-           |kbm AS (SELECT c.doc_id AS id, c.cluster, ds.score_q
-           |  FROM comp c JOIN ds ON ds.doc_id = c.doc_id),
-           |kbb AS (SELECT cluster, id AS best_doc, score_q AS best_q FROM
-           |  (SELECT *, row_number() OVER (PARTITION BY cluster
-           |      ORDER BY score_q DESC, id ASC) AS rn FROM kbm) WHERE rn = 1),
+           |$keepBestSqlCtes,
            |kbf AS (SELECT cluster, score_q AS first_q FROM kbm
            |  WHERE id = cluster),
            |kbs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members

@@ -496,7 +496,7 @@ object Queries {
              |WHERE delta_s IS NOT NULL GROUP BY delta_s
              |ORDER BY cnt DESC, delta_s ASC LIMIT 5""".stripMargin)))
 
-  def all: Seq[Q] = relational ++ timeSeries ++ VectorTextQueries.all ++ ExtraQueries.all ++ TaQueries.all ++ PipelineQueries.all ++ AnalyticsQueries.all ++ LakeQueries.all ++ ExtensionQueries.all ++ ForecastQueries.all ++ SketchQueries.all ++ TuningQueries.all ++ MediaQueries.all ++ ClassifierQueries.all
+  def all: Seq[Q] = relational ++ timeSeries ++ VectorTextQueries.all ++ ExtraQueries.all ++ TaQueries.all ++ PipelineQueries.all ++ AnalyticsQueries.all ++ LakeQueries.all ++ ExtensionQueries.all ++ ForecastQueries.all ++ SketchQueries.all ++ TuningQueries.all ++ MediaQueries.all ++ ClassifierQueries.all ++ CrossModalQueries.all
 
   def byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1048,43 +1048,62 @@ object TuningQueries {
   // (N cells), and a TakeOrdered(K) — two linear scans whose aggregate
   // state is B and N cells respectively, never N×B.
   // --------------------------------------------------------------------
-  private val DsirTarget = "src0"
-  private val DsirBuckets = 1024
-  private val DsirK = 100
+  private[graft] val DsirTarget = "src0"
+  private[graft] val DsirBuckets = 1024
+  private[graft] val DsirK = 100
+
+  /** One exploded (doc, source, bucket) token stream — NO per-(doc,
+    * bucket) count intermediate. The fit needs only per-BUCKET sums
+    * (B cells) and the scorer only per-DOC sums (N cells), so the
+    * (doc, bucket) partial aggregate would add a ~uniq-buckets-per-doc
+    * × N group state for nothing: measured at the 30× octave it
+    * spilled the hash aggregate and turned a linear plan into a 20×
+    * wall (PLANS.md round 14) — aggregate to the consumer's own
+    * granularity directly and both passes stay in-memory map-side.
+    * Factored over an arbitrary documents frame so the streaming gate
+    * (q295) scores micro-batches through the same expression.
+    */
+  private[graft] def dsirBucketedOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .withColumn("b", pmod(TextOps.md5Hash60(col("w")), lit(DsirBuckets.toLong)))
+
+  private def dsirBucketed(s: SparkSession, d: String): DataFrame =
+    dsirBucketedOf(Tables.documents(s, d))
+
+  /** The fitted DSIR model: per-bucket µnat log importance ratios
+    * (Xie et al. 2023's hashed-n-gram importance weights, q279's exact
+    * math). One B-sized aggregation, constant driver fetch.
+    */
+  private[graft] def dsirModelQ(s: SparkSession, d: String): Array[Long] = {
+    val agg = dsirBucketed(s, d).groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ct"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nr = agg.valuesIterator.map(_._1).sum
+    val nt = agg.valuesIterator.map(_._2).sum
+    Array.tabulate(DsirBuckets) { b =>
+      val (cr, ct) = agg.getOrElse(b.toLong, (0L, 0L))
+      math.floor(
+        (math.log((ct + 1.0) / (nt + DsirBuckets).toDouble) -
+          math.log((cr + 1.0) / (nr + DsirBuckets).toDouble)) * 1e6 + 0.5).toLong
+    }
+  }
+
+  private def dsirModelDf(s: SparkSession, model: Array[Long]): DataFrame = {
+    import s.implicits._
+    model.zipWithIndex.map { case (ll, b) => (b.toLong, ll) }.toSeq
+      .toDF("b", "ll")
+  }
 
   private def dsirQ: Q = {
-    // One exploded (doc, source, bucket) token stream — NO per-(doc,
-    // bucket) count intermediate. The fit needs only per-BUCKET sums
-    // (B cells) and the scorer only per-DOC sums (N cells), so the
-    // (doc, bucket) partial aggregate would add a ~uniq-buckets-per-doc
-    // × N group state for nothing: measured at the 30× octave it
-    // spilled the hash aggregate and turned a linear plan into a 20×
-    // wall (PLANS.md round 14) — aggregate to the consumer's own
-    // granularity directly and both passes stay in-memory map-side.
-    def bucketed(s: SparkSession, d: String): DataFrame =
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(TextOps.tokens(col("text"))).as("w"))
-        .withColumn("b", pmod(TextOps.md5Hash60(col("w")), lit(DsirBuckets.toLong)))
     Q("q279_dsir_select",
       (s, d) => {
-        import s.implicits._
-        val bt = bucketed(s, d)
+        val bt = dsirBucketed(s, d)
         // Fit pass: one B-sized aggregation (raw + target counts per
         // bucket in the same job), constant-size driver fetch.
-        val agg = bt.groupBy("b").agg(
-            count(lit(1)).as("cr"),
-            sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ct"))
-          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-        val nr = agg.valuesIterator.map(_._1).sum
-        val nt = agg.valuesIterator.map(_._2).sum
-        val model = (0L until DsirBuckets.toLong).map { b =>
-          val (cr, ct) = agg.getOrElse(b, (0L, 0L))
-          val ll = math.floor(
-            (math.log((ct + 1.0) / (nt + DsirBuckets).toDouble) -
-              math.log((cr + 1.0) / (nr + DsirBuckets).toDouble)) * 1e6 + 0.5).toLong
-          (b, ll)
-        }.toDF("b", "ll")
+        val model = dsirModelDf(s, dsirModelQ(s, d))
         // Scoring pass: broadcast the B-row model, per-token lookup,
         // integer sum per doc (Σ_t ll(b_t) ≡ Σ_b c_b·ll_b exactly),
         // TakeOrdered(K); the rank window runs on K rows only.
@@ -1100,27 +1119,7 @@ object TuningQueries {
           .orderBy("rank")
       },
       Some {
-        val B = DsirBuckets
-        s"""WITH tk AS (SELECT doc_id, source, unnest($sqlToks) AS w FROM documents),
-           |bt AS MATERIALIZED (SELECT doc_id, source,
-           |    ${sqlHash60("w")} % $B AS b, CAST(count(*) AS BIGINT) AS c
-           |  FROM tk GROUP BY 1, 2, 3),
-           |ag AS MATERIALIZED (SELECT b, CAST(sum(c) AS BIGINT) AS cr,
-           |    CAST(sum(CASE WHEN source = '$DsirTarget' THEN c ELSE 0 END)
-           |      AS BIGINT) AS ct
-           |  FROM bt GROUP BY 1),
-           |nn AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
-           |    CAST(sum(ct) AS BIGINT) AS nt FROM ag),
-           |grid AS (SELECT CAST(range AS BIGINT) AS b FROM range($B)),
-           |mdl AS MATERIALIZED (SELECT g.b,
-           |    CAST(floor((ln((coalesce(ct, 0) + 1.0) / (nt + $B)) -
-           |                ln((coalesce(cr, 0) + 1.0) / (nr + $B))) * 1e6 + 0.5)
-           |      AS BIGINT) AS ll
-           |  FROM grid g LEFT JOIN ag USING (b) CROSS JOIN nn),
-           |sc AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tokens,
-           |    CAST(sum(c * ll) AS BIGINT) AS logw_unats
-           |  FROM bt JOIN mdl USING (b)
-           |  WHERE source <> '$DsirTarget' GROUP BY 1, 2),
+        s"""WITH $dsirScoreSqlCtes,
            |top AS (SELECT * FROM sc
            |  ORDER BY logw_unats DESC, doc_id ASC LIMIT $DsirK)
            |SELECT CAST(row_number() OVER (ORDER BY logw_unats DESC, doc_id ASC)
@@ -1129,6 +1128,143 @@ object TuningQueries {
            |FROM top ORDER BY rank""".stripMargin
       })
   }
+
+  /** DuckDB DSIR fit+score chain (q279's, factored so q295's on-arrival
+    * gate nests the SAME model): ends at `sc(doc_id, source, n_tokens,
+    * logw_unats)` over non-target docs.
+    */
+  private[graft] val dsirScoreSqlCtes: String = {
+    val B = DsirBuckets
+    s"""tk AS (SELECT doc_id, source, unnest($sqlToks) AS w FROM documents),
+       |bt AS MATERIALIZED (SELECT doc_id, source,
+       |    ${sqlHash60("w")} % $B AS b, CAST(count(*) AS BIGINT) AS c
+       |  FROM tk GROUP BY 1, 2, 3),
+       |ag AS MATERIALIZED (SELECT b, CAST(sum(c) AS BIGINT) AS cr,
+       |    CAST(sum(CASE WHEN source = '$DsirTarget' THEN c ELSE 0 END)
+       |      AS BIGINT) AS ct
+       |  FROM bt GROUP BY 1),
+       |nn AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+       |    CAST(sum(ct) AS BIGINT) AS nt FROM ag),
+       |grid AS (SELECT CAST(range AS BIGINT) AS b FROM range($B)),
+       |mdl AS MATERIALIZED (SELECT g.b,
+       |    CAST(floor((ln((coalesce(ct, 0) + 1.0) / (nt + $B)) -
+       |                ln((coalesce(cr, 0) + 1.0) / (nr + $B))) * 1e6 + 0.5)
+       |      AS BIGINT) AS ll
+       |  FROM grid g LEFT JOIN ag USING (b) CROSS JOIN nn),
+       |sc AS MATERIALIZED (SELECT doc_id, source,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(c * ll) AS BIGINT) AS logw_unats
+       |  FROM bt JOIN mdl USING (b)
+       |  WHERE source <> '$DsirTarget' GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The on-arrival keep threshold τ in µnats: the K-th best DSIR score
+    * over the reference corpus's non-target docs (q279's own budget
+    * boundary), or the minimum score when fewer than K docs exist (the
+    * gate then keeps everything — the SQL twin's coalesce path). Fails
+    * loudly when NO scorable non-target doc exists, symmetrically with
+    * the oracle's error() branch.
+    */
+  private[graft] def dsirThresholdQ(s: SparkSession, d: String,
+      model: Array[Long]): Long = {
+    val scores = dsirBucketed(s, d).filter(col("source") =!= DsirTarget)
+      .join(broadcast(dsirModelDf(s, model)), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("ll")).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id").asc)
+      .limit(DsirK)
+      .select("logw").collect()
+    require(scores.nonEmpty,
+      "q295: no scorable non-target docs — the DSIR gate threshold is undefined")
+    scores.last.getLong(0)
+  }
+
+  // --------------------------------------------------------------------
+  // q295: streaming DSIR importance gate (round-15 verdict #4) — the
+  // importance-resampling half of selection applied ON ARRIVAL. q289
+  // gates quality in flight; this gates DOMAIN RELEVANCE: the B-bucket
+  // DSIR model (q279's fit) and its budget threshold τ are fitted once
+  // against the reference corpus, broadcast into the stream, and every
+  // arriving non-target doc gets its exact µnat importance weight and a
+  // keep decision logw ≥ τ. THRESHOLD semantics, deliberately: a global
+  // top-K cannot be decided on arrival, but the K-th score of the
+  // reference corpus is a FIXED number, so the gate is per-doc local ⇒
+  // stateless ⇒ batch-composition-invariant ⇒ the exact final-state
+  // oracle below (on ties at τ the gate keeps every tied doc — a
+  // superset of q279's doc_id-tiebroken top-K; documented, and exactly
+  // mirrored by the SQL). Idempotent batchId-keyed sink + loud counter
+  // reconciliation, the q289 replay discipline. 100 TB: per batch, one
+  // broadcast join + batch-sized aggregation.
+  // --------------------------------------------------------------------
+  private def dsirStreamGateQ: Q =
+    Q("q295_stream_dsir_gate",
+      (s, d) => {
+        import graft.streaming.StreamHarness
+        import org.apache.spark.sql.streaming.Trigger
+        val model = dsirModelQ(s, d)
+        val tau = dsirThresholdQ(s, d, model)
+        val base = StreamHarness.scratchDir("graft_q295")
+        val sink = base + "/gate"
+        val counts = base + "/counts"
+        val ckpt = base + "/ckpt"
+        val stream = s.readStream
+          .schema(StreamHarness.sourceSchema(s, d, "documents"))
+          .parquet(StreamHarness.sourceDir(d, "documents"))
+        val q = stream.writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val scored = dsirBucketedOf(
+                batch.filter(col("source") =!= DsirTarget))
+              .join(broadcast(dsirModelDf(s, model)), "b")
+              .groupBy("doc_id", "source")
+              .agg(count(lit(1)).as("n_tokens"),
+                sum(col("ll")).as("logw_unats"))
+              .withColumn("kept", col("logw_unats") >= tau)
+              .persist()
+            try {
+              scored.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+              scored.agg(
+                  sum(when(col("kept"), 1L).otherwise(0L)).as("nk"),
+                  count(lit(1)).as("nd"))
+                .select(lit(batchId).as("batch_id"), col("nk").as("n_kept"),
+                  (col("nd") - col("nk")).as("n_dropped"))
+                .write.mode("overwrite").parquet(s"$counts/batch=$batchId")
+            } finally { scored.unpersist(); () }
+            ()
+          }.start()
+        try require(q.awaitTermination(300000),
+          "q295: streaming query did not terminate within 300 s")
+        finally q.stop()
+        val perDoc = s.read.parquet(sink)
+          .select("doc_id", "source", "n_tokens", "logw_unats", "kept")
+        val c = s.read.parquet(counts)
+          .agg(sum("n_kept").as("k"), sum("n_dropped").as("dr"))
+          .collect().head
+        val kTot = perDoc.filter(col("kept")).count()
+        val tot = perDoc.count()
+        require(c.getLong(0) == kTot && c.getLong(1) == tot - kTot,
+          s"q295: batch counters (${c.getLong(0)}/${c.getLong(1)}) do not " +
+            s"reconcile with final state ($kTot/${tot - kTot})")
+        val res = StreamHarness.localize(perDoc.orderBy("doc_id"))
+        StreamHarness.deleteRecursively(base)
+        res
+      },
+      Some {
+        s"""WITH $dsirScoreSqlCtes,
+           |tau AS (SELECT CASE
+           |    WHEN (SELECT count(*) FROM sc) = 0
+           |      THEN CAST(error('q295: no scorable non-target docs')
+           |        AS BIGINT)
+           |    ELSE coalesce(
+           |      (SELECT logw_unats FROM sc
+           |       ORDER BY logw_unats DESC, doc_id ASC
+           |       LIMIT 1 OFFSET ${DsirK - 1}),
+           |      (SELECT min(logw_unats) FROM sc)) END AS tq)
+           |SELECT sc.doc_id, sc.source, sc.n_tokens, sc.logw_unats,
+           |  sc.logw_unats >= tau.tq AS kept
+           |FROM sc CROSS JOIN tau
+           |ORDER BY sc.doc_id""".stripMargin
+      })
 
   // --------------------------------------------------------------------
   // q281: Neyman-allocation stratified eval split (Neyman 1934, public
@@ -1426,5 +1562,5 @@ object TuningQueries {
 
   val all: Seq[Q] =
     clustering ++ Seq(doremiQ, doremiApplyQ, shuffleAuditQ, dsirQ, neymanQ,
-      dataConstrainedQ, tauAuditQ)
+      dataConstrainedQ, tauAuditQ, dsirStreamGateQ)
 }

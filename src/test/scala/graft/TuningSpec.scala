@@ -507,4 +507,39 @@ class TuningSpec extends SparkSpec {
       assert(approx(typeRate, nOovTyp.toDouble / nTyp, 1e-5))
     }
   }
+
+  test("q295: stream DSIR gate — final state matches the batch scorer, threshold is q279's budget boundary") {
+    val gate = run("q295_stream_dsir_gate")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val top = run("q279_dsir_select")
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    // τ = the K-th best reference score (q279's own boundary).
+    val tau = top.last._3
+    // The gate covers exactly the scorable non-target docs; no target
+    // docs slip through, no doc appears twice (idempotent replay sink).
+    assert(gate.forall(_._2 != "src0"), "target-domain doc in the gate")
+    assert(gate.map(_._1).distinct.length == gate.length, "duplicated docs")
+    // Decision law: kept ⇔ logw ≥ τ, doc for doc.
+    gate.foreach { case (id, _, _, w, kept) =>
+      assert(kept == (w >= tau), s"doc $id: kept=$kept but logw=$w vs tau=$tau")
+    }
+    // Threshold semantics: the kept set is q279's top-K plus any ties
+    // at τ — a superset of the budget pick, never smaller.
+    val keptIds = gate.filter(_._5).map(_._1).toSet
+    top.foreach { case (id, _, _) =>
+      assert(keptIds.contains(id), s"q279-selected doc $id dropped by the gate")
+    }
+    assert(keptIds.size >= top.length)
+    (keptIds.size - top.length) match {
+      case extra => assert(extra == gate.count(g => g._4 == tau && g._5) -
+        top.count(_._3 == tau), "kept excess is not exactly the tie mass")
+    }
+    // Scores and token counts agree with the batch scorer on the
+    // selected overlap (stream scoring == batch scoring, value-exact).
+    val byId = gate.map(g => g._1 -> (g._3, g._4)).toMap
+    top.foreach { case (id, nt, w) =>
+      assert(byId(id) == ((nt, w)), s"doc $id: stream score != batch score")
+    }
+  }
 }

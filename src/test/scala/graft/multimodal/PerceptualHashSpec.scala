@@ -168,4 +168,87 @@ class PerceptualHashSpec extends SparkSpec {
     assert(kept.subsetOf(keptLocal),
       "CC apply kept a doc the local election dropped — containment law broken")
   }
+
+  // ------------------------------------------------------------------
+  // Video tier (q294): perturbed-copy recall + banded-vs-brute equality
+  // on a constructed fixture, mirroring the image fixture above.
+  // ------------------------------------------------------------------
+
+  /** A deterministic video: `frames` 64-byte frames (8×8 grids) of
+    * per-(video, position) pseudo-random texture — distinct ids get
+    * UNCORRELATED grids (hamming ≈ 30 apart), unlike a shared smooth
+    * gradient, which would make every video everyone's near-dup.
+    */
+  private def baseVideo(id: Int, frames: Int = 6): Array[Byte] =
+    Array.tabulate(frames * 64) { i =>
+      // splitmix-style finalizer: a LINEAR i/id pattern keeps gradients
+      // aligned across ids (every video becomes everyone's near-dup);
+      // full avalanche makes distinct ids hamming-far (~30).
+      var x = i.toLong * 0x9E3779B97F4A7C15L + id.toLong * 0xC2B2AE3D27D4EB4FL
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+      (x & 0xff).toByte
+    }
+
+  /** Re-encode stand-in: bump one byte per frame by a small delta —
+    * most spatial gradient comparisons survive, so sampled-frame
+    * hashes stay hamming-near.
+    */
+  private def perturbVideo(v: Array[Byte], seed: Int): Array[Byte] = {
+    val out = v.clone()
+    val rnd = new scala.util.Random(seed)
+    (0 until v.length / 64).foreach { f =>
+      val i = f * 64 + rnd.nextInt(64)
+      out(i) = (out(i) + 30).toByte
+    }
+    out
+  }
+
+  test("q294 video tier: perturbed copies recalled; banded position-aligned path equals brute force") {
+    import graft.MediaQueries
+    val VK = MediaQueries.VideoFrames
+    val FB = MediaQueries.VideoFrameBytes
+    val vids: Seq[(Long, Array[Byte])] =
+      (0 until 20).map(i => (i.toLong, baseVideo(i))) ++
+        (0 until 5).map(i => (100L + i, perturbVideo(baseVideo(i), seed = i)))
+    val df = vids.toDF("doc_id", "payload")
+    val frames = MediaQueries.videoFrameHashesOf(df)
+    // Engine frame hashes == driver kernel on the same sampled slices.
+    val engineFh = frames.as[(Long, Long, Long)].collect()
+      .map { case (id, pos, fh) => (id, pos) -> fh }.toMap
+    def sliceHash(v: Array[Byte], pos: Int): Long = {
+      val nf = v.length / FB
+      val off = (pos * nf / VK) * FB
+      PerceptualHashKernel.dhash60(v.slice(off, off + FB), 8).asInstanceOf[Long]
+    }
+    vids.foreach { case (id, v) =>
+      (0 until VK).foreach { pos =>
+        assert(engineFh((id, pos.toLong)) == sliceHash(v, pos),
+          s"video $id pos $pos: engine hash != kernel on the sampled slice")
+      }
+    }
+    // Banded position-aligned pairs == brute-force definition.
+    val banded = MediaQueries.videoPairsOf(frames)
+      .as[(Long, Long, Long)].collect().toSet
+    val ids = vids.map(_._1).sorted
+    val byId = vids.toMap
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      n = (0 until VK).count { pos =>
+        java.lang.Long.bitCount(
+          sliceHash(byId(a), pos) ^ sliceHash(byId(b), pos)) <=
+          MediaQueries.VideoMaxHamming
+      } if n >= MediaQueries.VideoMinClose
+    } yield (a, b, n.toLong)).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    // Recall: every planted perturbed copy is recovered as a pair with
+    // at least half its sampled positions close.
+    (0 until 5).foreach { i =>
+      val hit = banded.find(p => p._1 == i.toLong && p._2 == 100L + i)
+      assert(hit.isDefined, s"planted video copy ($i,${100 + i}) missed")
+      assert(hit.get._3 >= MediaQueries.VideoMinClose)
+    }
+    // And the fixture is non-trivial: distinct base videos are NOT pairs.
+    assert(!banded.exists(p => p._1 < 20 && p._2 < 20),
+      "two distinct base videos matched — fixture too easy to mean anything")
+  }
 }
