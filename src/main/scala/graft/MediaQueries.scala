@@ -326,15 +326,34 @@ object MediaQueries {
         .select(col("doc_id"), col("text").cast("binary").as("payload")))
       .localCheckpoint(true)
 
-  /** Position-aligned banded hamming join: pigeonhole bands over each
-    * frame hash, equi-join on (pos, band, band_val) — lossless per
-    * position for hamming ≤ maxHamming — then the exact bit_count
-    * verify. Returns one row per (id_a, id_b, pos) with a verified
-    * close frame at that position.
+  /** Doubled-position pigeonhole candidate join + exact verify.
+    *
+    * WHY two positions: a single 64-byte frame carries far less entropy
+    * than a whole-image fingerprint, so single-band buckets over one
+    * position collide corpus-wide — measured 16.9M band candidates at
+    * sf0.1 against the image tier's 375k, a quadratic term that read
+    * 10.03 at the 10× octave. The pair bar requires ≥ VideoMinClose
+    * (= 2) close POSITIONS, so the pigeonhole can be applied at TWO
+    * positions at once: for any qualifying pair there exist close
+    * positions p < q, and at each some band matches, hence the
+    * composite key (p, q, b₁, b₂, bv₁, bv₂) — ~17 hash bits instead of
+    * ~8.5 — matches for some (b₁, b₂). Still exactly lossless for the
+    * ≥ 2-close-positions bar (the brute-force oracle re-proves it at
+    * every SF); candidate mass drops ×256 and the plan's quadratic
+    * background term falls BELOW the single-hash image tier's.
+    *
+    * Per video the key fan-out is constant: C(VideoFrames,2) position
+    * pairs × (maxHamming+1)² band pairs = 294 rows — a doc-local
+    * self-join of the 28-row banded frame, then ONE equi-join across
+    * videos and the exact two-position verify. Every verified row
+    * certifies BOTH its positions close, and any close position of a
+    * qualifying pair co-occurs with another close position in some
+    * verified row, so the distinct (pair, pos) union of both sides is
+    * exactly the close-position set — no re-join to count it.
     */
-  private[graft] def bandedFrameMatches(fr: DataFrame, maxHamming: Int,
-      bits: Int = 60): DataFrame = {
-    val nBands = maxHamming + 1
+  private[graft] def videoPairsOf(frames: DataFrame): DataFrame = {
+    val bits = 60
+    val nBands = VideoMaxHamming + 1
     val widths = Array.tabulate(nBands)(i =>
       bits / nBands + (if (i < bits % nBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
@@ -343,31 +362,37 @@ object MediaQueries {
       struct(lit(i).as("band"),
         shiftright(col("fh"), offsets(i)).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = fr.select(col("doc_id"), col("pos"), col("fh"),
+    val banded = frames
+      .select(col("doc_id"), col("pos"), col("fh"),
         explode(array(bandStructs: _*)).as("__b"))
       .select(col("doc_id"), col("pos"), col("fh"),
         col("__b.band").as("band"), col("__b.bv").as("bv"))
-    val a = banded.select(col("pos"), col("band"), col("bv"),
-      col("doc_id").as("id_a"), col("fh").as("fh_a"))
-    val b = banded.select(col("pos"), col("band"), col("bv"),
-      col("doc_id").as("id_b"), col("fh").as("fh_b"))
-    a.join(b, Seq("pos", "band", "bv"))
+    val keyed = banded.as("x").join(banded.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.pos") < col("y.pos"))
+      .select(col("x.doc_id").as("doc_id"),
+        col("x.pos").as("p"), col("y.pos").as("q"),
+        col("x.band").as("b1"), col("x.bv").as("bv1"),
+        col("y.band").as("b2"), col("y.bv").as("bv2"),
+        col("x.fh").as("fh_p"), col("y.fh").as("fh_q"))
+    val a = keyed.select(col("p"), col("q"), col("b1"), col("bv1"),
+      col("b2"), col("bv2"), col("doc_id").as("id_a"),
+      col("fh_p").as("fha_p"), col("fh_q").as("fha_q"))
+    val b = keyed.select(col("p"), col("q"), col("b1"), col("bv1"),
+      col("b2"), col("bv2"), col("doc_id").as("id_b"),
+      col("fh_p").as("fhb_p"), col("fh_q").as("fhb_q"))
+    a.join(b, Seq("p", "q", "b1", "bv1", "b2", "bv2"))
       .filter(col("id_a") < col("id_b"))
-      .filter(Dedup.hamming(col("fh_a"), col("fh_b")) <= maxHamming)
-      // A (pair, pos) can collide in several bands — dedup AFTER the
-      // cheap verify so the distinct shuffles only surviving matches.
-      .select("id_a", "id_b", "pos")
+      .filter(Dedup.hamming(col("fha_p"), col("fhb_p")) <= VideoMaxHamming &&
+        Dedup.hamming(col("fha_q"), col("fhb_q")) <= VideoMaxHamming)
+      // Both joined positions verified close — emit each; dedup AFTER
+      // the cheap verify so the distinct shuffles only surviving rows.
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("p"), col("q"))).as("pos"))
       .distinct()
-  }
-
-  /** Verified video near-dup pairs over a frame-hash table: ≥
-    * VideoMinClose hamming-close sampled positions.
-    */
-  private[graft] def videoPairsOf(frames: DataFrame): DataFrame =
-    bandedFrameMatches(frames, VideoMaxHamming)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_close_frames"))
       .filter(col("n_close_frames") >= VideoMinClose)
+  }
 
   private[graft] def videoPairs(s: SparkSession, d: String): DataFrame =
     videoPairsOf(videoFrameHashes(s, d))
