@@ -25,7 +25,8 @@ object CrossModalQueries {
   // --------------------------------------------------------------------
   // q293: cross-modal release manifest. q261 composes the TEXT tiers
   // only, but a release from this pipeline now also carries image
-  // (q292), audio (q290-derived) and video (q294-derived) dedup
+  // (q292), audio (q290-derived) and video (q297-derived — the
+  // registered scale-path tier) dedup
   // decisions. Survivors = docs removed by NO tier — text keep-best
   // (q270's quality election over the banded-verified clusters) ∩ image
   // pair-local ∩ audio pair-local ∩ video pair-local. Set intersection
@@ -84,6 +85,7 @@ object CrossModalQueries {
            |${MediaQueries.audioPairSqlCtes},
            |${MediaQueries.audioLosersSqlCte},
            |${MediaQueries.videoPairSqlCtes},
+           |${MediaQueries.videoBandedSqlCtes},
            |${MediaQueries.videoLosersSqlCte},
            |mmbase AS (SELECT d.doc_id, d.source,
            |    CAST(len($sqlToks) AS BIGINT) AS nt,
@@ -306,7 +308,7 @@ object CrossModalQueries {
             MediaQueries.imageFingerprints(s, d).count()),
           tierAudit(s, "text",
             PipelineQueries.bandedVerifiedPairs(s, d), nDocs),
-          tierAudit(s, "video", MediaQueries.videoPairs(s, d),
+          tierAudit(s, "video", MediaQueries.videoPairsBanded(s, d),
             MediaQueries.videoFrameHashes(s, d)
               .select("doc_id").distinct().count()))
         rows.toDF("tier", "n_gauged", "n_pairs", "n_in_pairs", "n_groups",
@@ -321,12 +323,13 @@ object CrossModalQueries {
           "SELECT count(*) FROM ifp")
         val (ac, ar) = sqlTier("pa_a", "audio", "ap",
           "SELECT count(*) FROM afp")
-        val (vc, vr) = sqlTier("pa_v", "video", "vp",
+        val (vc, vr) = sqlTier("pa_v", "video", "vpb",
           "SELECT count(DISTINCT doc_id) FROM vfr")
         s"""WITH RECURSIVE ${PipelineQueries.bandedVerifiedSqlCtes},
            |${MediaQueries.imagePairSqlCtes},
            |${MediaQueries.audioPairSqlCtes},
            |${MediaQueries.videoPairSqlCtes},
+           |${MediaQueries.videoBandedSqlCtes},
            |$tc,
            |$ic,
            |$ac,

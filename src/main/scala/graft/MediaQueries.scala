@@ -397,8 +397,52 @@ object MediaQueries {
   private[graft] def videoPairs(s: SparkSession, d: String): DataFrame =
     videoPairsOf(videoFrameHashes(s, d))
 
+  /** The video tier's SCALE PATH (q297): candidate pairs from an
+    * inverted index on EXACT sampled-frame fingerprints — key =
+    * (pos, fh), full 60-bit entropy, so background collisions are ~zero
+    * and within-cluster candidate multiplicity is ≤ VideoFrames per
+    * pair (vs the doubled-band join's 294) — then the full
+    * ≥ VideoMinClose bar verified EXACTLY on the candidates' aligned
+    * hash vectors. The recall bar is documented and weaker than q294's:
+    * a pair must share at least one exact sampled-frame hash (the
+    * frame-fingerprint inverted-index key production content-based
+    * video retrieval uses for candidate generation); a copy perturbed
+    * in EVERY sampled frame is missed. Spec pins containment
+    * (q297 ⊆ q294) and recovery of copies that keep one sampled frame
+    * intact.
+    */
+  private[graft] def videoPairsBandedOf(fr: DataFrame): DataFrame = {
+    val cand = fr.as("a").join(fr.as("b"),
+        col("a.pos") === col("b.pos") && col("a.fh") === col("b.fh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // Per-video position-aligned hash vector (every gauged video emits
+    // all VideoFrames positions, so the arrays align index-for-index).
+    val hs = fr.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("fh")))).as("__ph"))
+      .select(col("doc_id"), expr("transform(__ph, x -> x.fh)").as("fhs"))
+    cand
+      .join(hs.select(col("doc_id").as("id_a"), col("fhs").as("fhs_a")), "id_a")
+      .join(hs.select(col("doc_id").as("id_b"), col("fhs").as("fhs_b")), "id_b")
+      .withColumn("n_close_frames", expr(
+        s"size(filter(zip_with(fhs_a, fhs_b, (x, y) -> " +
+          s"bit_count(x ^ y) <= $VideoMaxHamming), v -> v))").cast("long"))
+      .filter(col("n_close_frames") >= VideoMinClose)
+      .select("id_a", "id_b", "n_close_frames")
+  }
+
+  private[graft] def videoPairsBanded(s: SparkSession, d: String): DataFrame =
+    videoPairsBandedOf(videoFrameHashes(s, d))
+
+  /** Pair-local video losers for the cross-modal compositions
+    * (q293/q296) — over the BANDED tier (q297), the registered scale
+    * path: at 100 TB a release pipeline runs the inverted-index tier,
+    * so the manifest accounts for exactly the decisions that tier
+    * makes.
+    */
   private[graft] def videoPairLocalLosers(s: SparkSession, d: String): DataFrame =
-    videoPairs(s, d).select(col("id_b").as("doc_id")).distinct()
+    videoPairsBanded(s, d).select(col("id_b").as("doc_id")).distinct()
 
   /** DuckDB video tier: `vcodes` → per-sampled-position frame hashes
     * `vfr(doc_id, pos, fh)` (the dHash arithmetic with the frame's
@@ -424,19 +468,30 @@ object MediaQueries {
        |vsam AS (SELECT doc_id, cs,
        |    unnest(generate_series(0, ${VideoFrames - 1})) AS pos, nf
        |  FROM vcodes),
-       |vfr AS (SELECT doc_id, pos, $frameDhash AS fh FROM (
+       |vfr AS MATERIALIZED (SELECT doc_id, pos, $frameDhash AS fh FROM (
        |  SELECT doc_id, pos, cs,
        |    ((pos * nf) // $VideoFrames) * $VideoFrameBytes AS off
        |  FROM vsam)),
-       |vp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |vp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(count(*) AS BIGINT) AS n_close_frames
        |  FROM vfr a JOIN vfr b ON a.doc_id < b.doc_id AND a.pos = b.pos
        |  WHERE bit_count(xor(a.fh, b.fh)) <= $VideoMaxHamming
        |  GROUP BY 1, 2 HAVING count(*) >= $VideoMinClose)""".stripMargin
   }
 
+  /** DuckDB q297 tier: exact-shared-frame candidates `vex`, then the
+    * q294 bar restricted to them — `vpb` ⊆ `vp` by construction.
+    */
+  private[graft] val videoBandedSqlCtes: String =
+    s"""vex AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a,
+       |    b.doc_id AS id_b
+       |  FROM vfr a JOIN vfr b ON a.pos = b.pos AND a.fh = b.fh
+       |    AND a.doc_id < b.doc_id),
+       |vpb AS MATERIALIZED (SELECT vp.id_a, vp.id_b, vp.n_close_frames
+       |  FROM vp JOIN vex ON vex.id_a = vp.id_a AND vex.id_b = vp.id_b)""".stripMargin
+
   private[graft] val videoLosersSqlCte: String =
-    "vlosers AS (SELECT DISTINCT id_b AS doc_id FROM vp)"
+    "vlosers AS (SELECT DISTINCT id_b AS doc_id FROM vpb)"
 
   private val video: Seq[Q] = Seq(
     // Near-dup video PAIRS with the count of hamming-close sampled
@@ -448,6 +503,26 @@ object MediaQueries {
       (s, d) => videoPairs(s, d).orderBy("id_a", "id_b"),
       Some(s"""WITH $videoPairSqlCtes
              |SELECT id_a, id_b, n_close_frames FROM vp
+             |ORDER BY id_a, id_b""".stripMargin),
+      // Output-sensitive with a ~50 µs/pair constant: the doubled-band
+      // candidate join carries ≤ 294 verified rows per pair, so on
+      // corpora whose video dup-cluster SIZE grows with the corpus
+      // (the octave blowup: 30 mutually-near copies per base doc) wall
+      // tracks 294 × the quadratic-by-definition pair mass — measured
+      // 61.6 at the 30× octave. The registered scale path is the
+      // exact-shared-frame inverted-index tier.
+      scaleLimited = Some("q297_video_phash_pairs_banded")),
+
+    // The video tier's SCALE PATH: same bar, candidates restricted to
+    // pairs sharing ≥ 1 exact sampled-frame fingerprint (see
+    // [[videoPairsBanded]]). vpb ⊆ vp by construction — spec-pinned,
+    // and the oracle re-derives both tiers so the containment is
+    // hash-checked at every SF.
+    Q("q297_video_phash_pairs_banded",
+      (s, d) => videoPairsBanded(s, d).orderBy("id_a", "id_b"),
+      Some(s"""WITH $videoPairSqlCtes,
+             |$videoBandedSqlCtes
+             |SELECT id_a, id_b, n_close_frames FROM vpb
              |ORDER BY id_a, id_b""".stripMargin)))
 
   val all: Seq[Q] = imagePhash ++ audioAndApply ++ video

@@ -121,7 +121,7 @@ class CrossModalSpec extends SparkSpec {
     val byTier = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(byTier("image") == MediaQueries.imagePairs(spark, sf).count())
     assert(byTier("audio") == MediaQueries.audioPairs(spark, sf).count())
-    assert(byTier("video") == MediaQueries.videoPairs(spark, sf).count())
+    assert(byTier("video") == MediaQueries.videoPairsBanded(spark, sf).count())
     assert(byTier("text") ==
       PipelineQueries.bandedVerifiedPairs(spark, sf).count())
   }
