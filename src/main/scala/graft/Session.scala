@@ -21,6 +21,19 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // UI plan descriptions default to EXPLAIN FORMATTED, whose
+      // operator-ID walk is superlinear in plan-tree size and runs on
+      // EVERY AQE re-plan — on q293-sized composed plans at the 100×
+      // octave the driver burned an hour inside ExplainUtils (jstack-
+      // attributed, round 16) while executors idled. The UI is disabled
+      // here anyway; keep the cheap simple form for listeners.
+      .config("spark.sql.ui.explainMode", "simple")
+      // ... and bound the plan-string builder outright: AQE's
+      // onUpdatePlan re-renders the plan string per stage with a
+      // near-unbounded default cap, and a deeply-composed plan kept the
+      // driver in StringConcat growth (jstack, round 16). 1 MiB is
+      // plenty for any human-read plan.
+      .config("spark.sql.maxPlanStringLength", "1048576")
       // events.parquet stores INT64 TIMESTAMP(NANOS) which Spark rejects
       // by default; read the raw nanos as LongType and convert in
       // Tables.events (sub-microsecond parts are zero in this corpus).
