@@ -152,74 +152,106 @@ object CrossModalQueries {
   /** Bounded min-label propagation: label(x) after r rounds = min doc_id
     * within graph distance r of x. Fixed round budget, one join + one
     * min-aggregation per round; lineage cut per round (eager
-    * localCheckpoint, blocks reclaim on dereference).
+    * localCheckpoint). Each superseded round's checkpoint blocks are
+    * released the moment its successor materializes, and the edges
+    * checkpoint on return — only the RETURNED labels frame stays
+    * resident, for the caller to release after its last consumer
+    * (round-16 verdict: dereference-latency reclaim left one block per
+    * round piled on the session).
     */
   private[graft] def boundedMinLabels(pairs: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.graft.CheckpointRelease
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val nm = edges
         .join(labels.select(col("id").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("id")).agg(min("lbl").as("__nm"))
-      labels = labels.join(nm, Seq("id"), "left")
+      val next = labels.join(nm, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("__nm"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
+      if (r > 1) CheckpointRelease.release(labels)
+      labels = next
     }
+    CheckpointRelease.release(edges)
     labels
   }
 
   /** One audit row per tier, via driver math mirroring q280's (collect
     * is ≤ k+1 size rows + a handful of scalars).
+    *
+    * Action shape (round-16 verdict #3 — the original ran ~12 strictly
+    * sequential jobs per tier): scalar counts that share a source frame
+    * are FOLDED into one aggregation each — (n_pairs, local_losers) in
+    * one pass over the pair frame, (changed, cc_losers) in one pass
+    * over the final labels ⋈ neighbor-min frame, and the top-(k+1)
+    * cluster sizes ride one collect with the (m, docs_in) totals via a
+    * 1-row cross join — leaving per tier: 1 pair agg + the
+    * AuditRounds+1 checkpoint materializations + 1 labels agg + 1
+    * sizes collect. Every frame this audit checkpoints is released
+    * before return.
     */
   private[graft] def tierAudit(s: SparkSession, tier: String, pairs: DataFrame,
       gauged: Long): (String, Long, Long, Long, Long, Long, Option[Double],
       Long, Long, Long, String) = {
+    import org.apache.spark.sql.graft.CheckpointRelease
     val p = pairs.select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nPairs = p.count()
+      val pAgg = p.agg(count(lit(1)).as("np"),
+        count_distinct(col("id_b")).as("ll")).collect().head
+      val nPairs = pAgg.getLong(0)
+      val localLosers = pAgg.getLong(1)
       val labels = boundedMinLabels(p, AuditRounds)
-      // Fixed-point check: one more neighbor-min pass; any improvable
-      // label means clusters deeper than AuditRounds hops exist.
-      val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val nm = edges
-        .join(labels.select(col("id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst").as("id")).agg(min("lbl").as("__nm"))
-      val changed = labels.join(nm, Seq("id"))
-        .filter(col("__nm") < col("lbl")).count()
-      val converged = if (changed == 0L) 1L else 0L
-      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (top, m, docsIn) =
-        try {
-          val t = sizes.orderBy(col("sz").desc, col("lbl").asc)
-            .limit(AuditHillK.toInt + 1).collect().map(_.getLong(1))
-          val agg = sizes.agg(count(lit(1)).as("m"), sum("sz").as("di"))
-            .collect().head
-          (t, agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
-        } finally { sizes.unpersist(); () }
-      // q280's Hill math verbatim at the single planning k.
-      val n = m + (gauged - docsIn)
-      val kEff = math.min(AuditHillK, n - 1)
-      val sk1 = if (kEff >= 0 && kEff + 1 <= m) top(kEff.toInt) else 1L
-      val q = (1L to math.min(kEff, m)).map { i =>
-        math.floor(math.log(top(i.toInt - 1).toDouble / sk1) * 1e6 + 0.5).toLong
-      }.sum
-      val alpha = if (q > 0) Some(dround(kEff.toDouble * 1e6 / q, 6)) else None
-      val ccLosers = labels.filter(col("lbl") =!= col("id")).count()
-      val localLosers = p.select("id_b").distinct().count()
-      val survCc = gauged - ccLosers
-      val survLocal = gauged - localLosers
-      val policy =
-        if (converged == 0L || alpha.exists(_ <= 2.0)) "pair_local" else "cc"
-      (tier, gauged, nPairs, docsIn, m, converged, alpha, survCc, survLocal,
-        survLocal - survCc, policy)
+      try {
+        // Fixed-point check: one more neighbor-min pass; any improvable
+        // label means clusters deeper than AuditRounds hops exist. The
+        // same pass folds the bounded-CC loser count (lbl ≠ id).
+        val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val nm = edges
+          .join(labels.select(col("id").as("src"), col("lbl")), "src")
+          .groupBy(col("dst").as("id")).agg(min("lbl").as("__nm"))
+        val lAgg = labels.join(nm, Seq("id"), "left")
+          .agg(
+            sum(when(col("__nm") < col("lbl"), 1L).otherwise(0L)).as("chg"),
+            sum(when(col("lbl") =!= col("id"), 1L).otherwise(0L)).as("ccl"))
+          .collect().head
+        val changed = if (lAgg.isNullAt(0)) 0L else lAgg.getLong(0)
+        val ccLosers = if (lAgg.isNullAt(1)) 0L else lAgg.getLong(1)
+        val converged = if (changed == 0L) 1L else 0L
+        val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (top, m, docsIn) =
+          try {
+            val rows = sizes.orderBy(col("sz").desc, col("lbl").asc)
+              .limit(AuditHillK.toInt + 1)
+              .crossJoin(sizes.agg(count(lit(1)).as("m"), sum("sz").as("di")))
+              .collect()
+            if (rows.isEmpty) (Array.empty[Long], 0L, 0L)
+            else (rows.map(_.getLong(1)), rows.head.getLong(2),
+              if (rows.head.isNullAt(3)) 0L else rows.head.getLong(3))
+          } finally { sizes.unpersist(); () }
+        // q280's Hill math verbatim at the single planning k.
+        val n = m + (gauged - docsIn)
+        val kEff = math.min(AuditHillK, n - 1)
+        val sk1 = if (kEff >= 0 && kEff + 1 <= m) top(kEff.toInt) else 1L
+        val q = (1L to math.min(kEff, m)).map { i =>
+          math.floor(math.log(top(i.toInt - 1).toDouble / sk1) * 1e6 + 0.5).toLong
+        }.sum
+        val alpha = if (q > 0) Some(dround(kEff.toDouble * 1e6 / q, 6)) else None
+        val survCc = gauged - ccLosers
+        val survLocal = gauged - localLosers
+        val policy =
+          if (converged == 0L || alpha.exists(_ <= 2.0)) "pair_local" else "cc"
+        (tier, gauged, nPairs, docsIn, m, converged, alpha, survCc, survLocal,
+          survLocal - survCc, policy)
+      } finally { CheckpointRelease.release(labels); () }
     } finally { p.unpersist(); () }
   }
 
@@ -300,17 +332,45 @@ object CrossModalQueries {
     Q("q296_dedup_policy_audit",
       (s, d) => {
         import s.implicits._
-        val nDocs = Tables.documents(s, d).count()
-        val rows = Seq(
-          tierAudit(s, "audio", MediaQueries.audioPairs(s, d),
-            MediaQueries.audioFingerprints(s, d).count()),
-          tierAudit(s, "image", MediaQueries.imagePairs(s, d),
-            MediaQueries.imageFingerprints(s, d).count()),
-          tierAudit(s, "text",
-            PipelineQueries.bandedVerifiedPairs(s, d), nDocs),
-          tierAudit(s, "video", MediaQueries.videoPairsBanded(s, d),
-            MediaQueries.videoFrameHashes(s, d)
-              .select("doc_id").distinct().count()))
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import org.apache.spark.sql.graft.CheckpointRelease
+        // The four tier audits are independent chains of small bounded
+        // jobs; run them CONCURRENTLY over the shared session (Spark's
+        // scheduler interleaves jobs from different threads) so the
+        // suite pays the slowest tier, not the sum — round-16 verdict
+        // #3: ~40 strictly sequential driver actions serialized to
+        // 14.5 s warm. Each audit builds its fingerprint frame ONCE,
+        // reads both the gauge count and the pair join from it, and
+        // releases it on completion.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val rows = try {
+          val fs = Seq(
+            Future {
+              val fp = MediaQueries.audioFingerprints(s, d)
+              try tierAudit(s, "audio", MediaQueries.audioPairsFrom(fp),
+                fp.count())
+              finally CheckpointRelease.release(fp)
+            },
+            Future {
+              val fp = MediaQueries.imageFingerprints(s, d)
+              try tierAudit(s, "image", MediaQueries.imagePairsFrom(fp),
+                fp.count())
+              finally CheckpointRelease.release(fp)
+            },
+            Future(tierAudit(s, "text",
+              PipelineQueries.bandedVerifiedPairs(s, d),
+              Tables.documents(s, d).count())),
+            Future {
+              val fr = MediaQueries.videoFrameHashes(s, d)
+              try tierAudit(s, "video", MediaQueries.videoPairsBandedOf(fr),
+                fr.select("doc_id").distinct().count())
+              finally CheckpointRelease.release(fr)
+            })
+          Await.result(Future.sequence(fs), Duration.Inf)
+        } finally pool.shutdown()
         rows.toDF("tier", "n_gauged", "n_pairs", "n_in_pairs", "n_groups",
             "converged", "alpha_hat", "surv_cc_bounded", "surv_local",
             "divergence", "policy")

@@ -57,9 +57,16 @@ object MediaQueries {
   /** Verified image near-dup pairs at hamming ≤ 6 over the dHash
     * fingerprint — the q285 tier as a reusable frame.
     */
-  private[graft] def imagePairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDupPairs(imageFingerprints(s, d), "doc_id", "phash",
+  /** The q285 band join over a caller-supplied fingerprint frame —
+    * lets compositions that also gauge the frame (q296) build it once
+    * and release it deterministically.
+    */
+  private[graft] def imagePairsFrom(fp: DataFrame): DataFrame =
+    Dedup.simhashNearDupPairs(fp, "doc_id", "phash",
       maxHamming = 6, bits = 60)
+
+  private[graft] def imagePairs(s: SparkSession, d: String): DataFrame =
+    imagePairsFrom(imageFingerprints(s, d))
 
   /** Pair-local image losers (q292's election): the larger id of every
     * verified pair — one distinct, linear at any cluster shape.
@@ -80,9 +87,12 @@ object MediaQueries {
       .filter(col("phash").isNotNull)
       .localCheckpoint(true)
 
-  private[graft] def audioPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDupPairs(audioFingerprints(s, d), "doc_id", "phash",
+  private[graft] def audioPairsFrom(fp: DataFrame): DataFrame =
+    Dedup.simhashNearDupPairs(fp, "doc_id", "phash",
       maxHamming = 6, bits = 60)
+
+  private[graft] def audioPairs(s: SparkSession, d: String): DataFrame =
+    audioPairsFrom(audioFingerprints(s, d))
 
   private[graft] def audioPairLocalLosers(s: SparkSession, d: String): DataFrame =
     audioPairs(s, d).select(col("id_b").as("doc_id")).distinct()
