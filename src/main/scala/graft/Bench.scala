@@ -56,7 +56,10 @@ object Bench {
     // Round-16 family representatives: cross-modal release manifest,
     // video fingerprint tier, dedup policy audit.
     "q293_release_manifest_multimodal", "q294_video_phash_pairs",
-    "q296_dedup_policy_audit")
+    "q296_dedup_policy_audit",
+    // Round-17 family representatives: on-arrival media dedup gate,
+    // manifest-vs-audit policy check.
+    "q298_stream_media_gate", "q299_policy_manifest_check")
 
   private def sanitize(s: String): String =
     String.valueOf(s).replaceAll("[\\p{Cntrl}]", " ")
@@ -72,7 +75,21 @@ object Bench {
     * fallback isn't bumped next round).
     */
   private val BenchRound =
-    sys.env.get("GRAFT_BENCH_ROUND").flatMap(_.toIntOption).getOrElse(16)
+    sys.env.get("GRAFT_BENCH_ROUND").flatMap(_.toIntOption).getOrElse(17)
+
+  /** Wall budget for the WHOLE bench run (round-16 verdict #2: the r16
+    * driver run was killed at its harness timeout — rc=124, no summary
+    * line, the round's primary perf artifact lost). Every optional
+    * instrument (warm revisit, cold revisit, stage profiles) checks the
+    * remaining budget before each rep and SKIPS — loudly, into the
+    * artifact's *_skipped fields — rather than running the suite into
+    * the kill. The default leaves headroom under the harness's ~1h
+    * budget for sbt startup + session init before main() and the
+    * artifact write after.
+    */
+  private val WallBudgetSec =
+    sys.env.get("GRAFT_BENCH_WALL_BUDGET_SEC").flatMap(_.toIntOption)
+      .getOrElse(2900)
 
   private def writeVersioned(path: java.nio.file.Path, content: String): Unit = {
     if (java.nio.file.Files.exists(path) &&
@@ -88,6 +105,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val wallT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallT0) / 1e9
+    def remainingSec: Double = WallBudgetSec - elapsedSec
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.get()
     val counters = new TaskCounters
@@ -132,11 +152,15 @@ object Bench {
           (-1.0, sanitize(e.getClass.getSimpleName + ": " + e.getMessage))
       }
     }
-    // Two warm reps, report the MIN: warm timings on a shared box spike
-    // 3–10× under transient GC/load pressure (different queries each run),
-    // and the min of two reps is the plan's actual cost — both spiking on
-    // the same query is rare, so round-over-round comparisons stop chasing
-    // noise.
+    // ONE warm rep per query (round-16 verdict #2: the suite outgrew the
+    // driver's wall budget and the round lost its primary artifact — the
+    // second warm rep was ~335 s of the overrun). The min-of-2 discipline
+    // the second rep provided is preserved WHERE IT MATTERS by the
+    // end-of-suite revisit pass: every row whose single warm rep reads
+    // > 1 s, drifted round-over-round, or read WORSE than its own cold
+    // rep (a stall fingerprint — warm ≤ cold on a healthy row) is
+    // re-timed minutes later and keeps the min. Sub-second rows ride the
+    // drift trigger. Methodology disclosed in the artifact ("warm_reps").
     // Between queries, drop any cached/localCheckpointed RDD blocks a
     // query left behind (ContextCleaner reclaims them asynchronously —
     // too late for the NEXT query's timing, which then runs under memory
@@ -159,17 +183,21 @@ object Bench {
     val calibStart = calibRep()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     var calibMid = -1.0
+    // Backstop inside the main pass itself: if the budget is nearly gone
+    // mid-pass (a pathological host), remaining queries run ONE rep
+    // (cold == warm, flagged in `degraded_single_rep`) — a degraded
+    // number in the artifact beats rc=124 losing the whole run.
+    val degraded = scala.collection.mutable.ArrayBuffer[String]()
     val firstPass = names.zipWithIndex.map { case ((name, fn), i) =>
       if (i == names.size / 2) calibMid = calibRep()
       val tm: () => (Double, String) =
         if (name == "q204_flagship_pca") () => timeQ204() else () => time(fn)
-      val (cold, _) = tm()
-      val (warm1, _) = tm()
-      val (warm2, err) = tm()
-      val warm = if (warm1 < 0) warm2 else if (warm2 < 0) warm1
-        else math.min(warm1, warm2)
+      val (cold, coldErr) = tm()
+      val (warm, err) =
+        if (remainingSec < 0.25 * WallBudgetSec) { degraded += name; (cold, coldErr) }
+        else tm()
       // Honest-numbers flag: a query that leaves persisted RDD blocks
-      // behind ran its warm reps against intermediates the cold rep
+      // behind ran its warm rep against intermediates the cold rep
       // materialized — its warm time measures the plan WITH a hot cache
       // and understates standalone cost (q102: 1.9 s here vs 15.7 s with
       // the persist refilled per rep, SCALING.md). The cache is still
@@ -235,14 +263,32 @@ object Bench {
       r._4 == null && priorWarm.get(r._1).exists(prev =>
         prev > 0 && r._3 >= prev + 0.25 && r._3 >= prev * 1.25)
     }.map(_._1).toSet
-    val revisitNames = (firstPass.filter(r => r._4 == null && r._3 > 1.0)
-      .sortBy(-_._3).take(16).map(_._1).toSet ++ drifted)
-    val revisited: Map[String, Double] = revisitNames.toSeq.map { name =>
-      val (t, err) = if (name == "q204_flagship_pca") timeQ204()
-        else time(SparkEntry.queries(name))
-      dropLeakedBlocks()
-      name -> (if (err == null) t else -1.0)
+    // Stall fingerprint: on a healthy row warm ≤ cold (same plan, hot
+    // JIT/footers). A single warm rep that reads WORSE than its own cold
+    // sat in a host stall — re-time it. Matters more now that warm is
+    // one rep (see above).
+    val stallFlagged = firstPass.filter { r =>
+      r._4 == null && r._2 > 0 &&
+        r._3 >= r._2 + 0.25 && r._3 >= r._2 * 1.25
+    }.map(_._1).toSet
+    // Time-boxed (round-16 verdict #2): candidates run costliest-first
+    // and the pass stops when the remaining wall budget must be kept for
+    // the cold pass + profiles (~420 s reserve); whatever didn't run is
+    // recorded in `revisit_skipped` — no silent caps.
+    val revisitCandidates = (firstPass.filter(r => r._4 == null && r._3 > 1.0)
+      .map(_._1).toSet ++ drifted ++ stallFlagged).toSeq
+      .sortBy(n => -firstPass.find(_._1 == n).map(_._3).getOrElse(0.0))
+    val revisitSkipped = scala.collection.mutable.ArrayBuffer[String]()
+    val revisited: Map[String, Double] = revisitCandidates.flatMap { name =>
+      if (remainingSec < 420) { revisitSkipped += name; None }
+      else {
+        val (t, err) = if (name == "q204_flagship_pca") timeQ204()
+          else time(SparkEntry.queries(name))
+        dropLeakedBlocks()
+        Some(name -> (if (err == null) t else -1.0))
+      }
     }.toMap
+    val revisitNames = revisited.keySet
     val revisitFirst: Map[String, Double] = firstPass
       .filter(r => revisitNames(r._1)).map(r => r._1 -> r._3).toMap
     val results = firstPass.map { case (name, cold, warm, err, cached) =>
@@ -259,8 +305,9 @@ object Bench {
     // plus the JVM's resolved BLAS/LAPACK implementations — an f2j/Java
     // fallback where the builder box has native BLAS is the prime
     // suspect for a persistent environmental constant in the MLlib fit.
+    val profilesSkipped = scala.collection.mutable.ArrayBuffer[String]()
     val q204Stages = scala.collection.mutable.LinkedHashMap[String, Double]()
-    try {
+    if (remainingSec < 300) { profilesSkipped += "q204_stages" } else try {
       // Run the profile in the SAME memory regime as the suite's own
       // cold rep (round-15 verdict #1: the r15 profile rep fired with
       // warm cache entries resident and read 25× task-CPU inflation —
@@ -296,7 +343,7 @@ object Bench {
     // cosine top-k, forecast+score (score recomputes top-k — unpersisted
     // inside the registered plan too, so the row mirrors the real cost).
     val q61Stages = scala.collection.mutable.LinkedHashMap[String, Double]()
-    try {
+    if (remainingSec < 240) { profilesSkipped += "q61_stages" } else try {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       def tSec[A](f: => A): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -339,8 +386,17 @@ object Bench {
         val txt = java.nio.file.Files.readString(f.toPath)
         val cobj = """"cold":\{(.*?)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        (f.getName, """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(cobj)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        val parsed = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(cobj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // Loud on format drift (round-16 ADVICE low): an empty parse with
+        // the file PRESENT silently turns the >5× cold-outlier trigger
+        // into a no-op — exactly the regression this filter exists to
+        // catch. stderr so the stdout tail capture stays pure JSON.
+        if (parsed.isEmpty) System.err.println(
+          s"[bench] NOTE: ${f.getName} exists but no cold timings " +
+            "parsed — the >5x cold-outlier revisit trigger is OFF this " +
+            "run (file reformatted?)")
+        (f.getName, parsed)
       }
     } catch { case _: Throwable => ("unreadable", Map.empty[String, Double]) }
     def clearFitCaches(): Unit = {
@@ -367,9 +423,18 @@ object Bench {
     val coldOver5x = okRows.filter { r =>
       r._2 >= 1.0 && localCold._2.get(r._1).exists(lc => lc > 0 && r._2 > 5 * lc)
     }.map(_._1)
-    val coldRevisitNames = (worstCold ++ coldOver5x).distinct.take(16)
-    val coldRevisited: Seq[(String, Double)] =
-      coldRevisitNames.map(n => n -> coldRep(n))
+    // Time-boxed like the warm revisit (round-16 verdict #2: this pass's
+    // unguarded ~16 cold re-runs were part of the r16 overrun): each rep
+    // checks the remaining wall budget (reserve: closing calibration +
+    // artifact write) and skips the rest loudly into
+    // `cold_revisit_skipped`.
+    val coldRevisitCandidates = (worstCold ++ coldOver5x).distinct.take(16)
+    val coldRevisitSkipped = scala.collection.mutable.ArrayBuffer[String]()
+    val coldRevisitNames = scala.collection.mutable.ArrayBuffer[String]()
+    val coldRevisited: Seq[(String, Double)] = coldRevisitCandidates.flatMap { n =>
+      if (remainingSec < 120) { coldRevisitSkipped += n; None }
+      else { coldRevisitNames += n; Some(n -> coldRep(n)) }
+    }
     val coldCalibAfter = coldRep("q01_pricing_summary")
     dropLeakedBlocks()
     val coldFirst: Map[String, Double] =
@@ -431,11 +496,14 @@ object Bench {
       "q131_stream_join", "q137_stream_enrich", "q151_stream_dedup",
       "q175_stream_holt", "q190_late_data", "q201_stream_kalman",
       "q209_stream_decontam", "q289_stream_quality_gate",
-      "q295_stream_dsir_gate")
+      "q295_stream_dsir_gate", "q298_stream_media_gate")
     val streamFamilyTotal = ok.filter(r => streamFamily(r._1)).map(_._3).sum
     val calibField = s""""calibration":{"start":${r2(calibStart)},"mid":${r2(calibMid)},"end":${r2(calibEnd)}}"""
+    def jarr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val budgetField = s""""wall_budget_sec":$WallBudgetSec,"elapsed_sec":${r2(elapsedSec)},"warm_reps":1,"revisit_skipped":${jarr(revisitSkipped.toSeq.sorted)},"cold_revisit_skipped":${jarr(coldRevisitSkipped.toSeq.sorted)},"degraded_single_rep":${jarr(degraded.toSeq.sorted)},"profiles_skipped":${jarr(profilesSkipped.toSeq)}"""
     val coldFields = s""""cold_revisited":${jmap(coldRevisited.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"cold_first":${jmap(coldFirst.toSeq.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"cold_calibration":{"before":${r2(coldCalibBefore)},"after":${r2(coldCalibAfter)}},"cold_local_ref":"${localCold._1}""""
-    val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},$coldFields,"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisited":${revisitNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisit_first":${jmap(revisitFirst.toSeq.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q204_evidence":$q204EvJson,"q204_fit_drift":$q204FitDrift,"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},$calibField,"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","lapack":"$lapack","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"total_cold_revised":${r2(coldTotalRevised)},"sf":"$sfDir"$errField}"""
+    val full = s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r2(r._3)))},"cold":${jmap(results.map(r => r._1 -> r2(r._2)))},$coldFields,"warm_shares_cache":${cachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisited":${revisitNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"revisit_first":${jmap(revisitFirst.toSeq.sortBy(_._1).map(kv => kv._1 -> r2(kv._2)))},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q204_evidence":$q204EvJson,"q204_fit_drift":$q204FitDrift,"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},$calibField,$budgetField,"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","lapack":"$lapack","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"total_cold_revised":${r2(coldTotalRevised)},"sf":"$sfDir"$errField}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
     // Versioned artifact, ALWAYS written (round-14 verdict #4: the
     // env-var opt-in left the driver host clobbering only the legacy
@@ -462,7 +530,7 @@ object Bench {
       if (r.wall < 0) base
       else base + f":w${r.wall}%.1f/s${r.searchWall}%.1f/t${r.taskRunMs / 1e3}%.1f/g${r.taskGcMs / 1e3}%.1f/d${r.taskSchedDelayMs / 1e3}%.1f"
     }.mkString(",")
-    println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"n_warm_shares_cache":${cachedNames.size},"cold_calib":{"before":${r2(coldCalibBefore)},"after":${r2(coldCalibAfter)}},"n_cold_revisited":${coldRevisited.size},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q204_ev":"$q204EvCompact","q204_fit_drift":$q204FitDrift,"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},$calibField,"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"total_cold_revised":${r2(coldTotalRevised)},"sf":"$sfDir"$errField}""")
+    println(s"""{"metric":"total","value":${r2(warmTotal)},"unit":"sec","queries":${jmap(head.map(r => r._1 -> r2(r._3)))},"n_queries":${results.size},"n_headline":${head.size},"n_warm_shares_cache":${cachedNames.size},"cold_calib":{"before":${r2(coldCalibBefore)},"after":${r2(coldCalibAfter)}},"n_cold_revisited":${coldRevisited.size},"budget":{"wall":$WallBudgetSec,"elapsed":${r2(elapsedSec)},"n_rev_skip":${revisitSkipped.size},"n_cold_skip":${coldRevisitSkipped.size},"n_degraded":${degraded.size},"prof_skip":${profilesSkipped.size}},"q204_stages":${jmap(q204Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},"q204_ev":"$q204EvCompact","q204_fit_drift":$q204FitDrift,"q61_stages":${jmap(q61Stages.toSeq.map(kv => kv._1 -> r2(kv._2)))},$calibField,"stream_family_total":${r2(streamFamilyTotal)},"blas":"$blas","stream_scratch":"$scratch","total_cold":${r2(coldTotal)},"total_cold_revised":${r2(coldTotalRevised)},"sf":"$sfDir"$errField}""")
     spark.stop()
   }
 }

@@ -255,8 +255,54 @@ object CrossModalQueries {
     } finally { p.unpersist(); () }
   }
 
-  private def policyAuditQ: Q = {
-    def sqlTier(pfx: String, tier: String, pairCte: String,
+  /** The four tier audits, run CONCURRENTLY over the shared session
+    * (Spark's scheduler interleaves jobs from different threads) so a
+    * consumer pays the slowest tier, not the sum — round-16 verdict #3:
+    * ~40 strictly sequential driver actions serialized to 14.5 s warm.
+    * Each audit builds its fingerprint frame ONCE, reads both the gauge
+    * count and the pair join from it, and releases it on completion.
+    * Shared by q296 (the audit rows) and q299 (the manifest check).
+    */
+  private[graft] def runTierAudits(s: SparkSession, d: String): Seq[(String,
+      Long, Long, Long, Long, Long, Option[Double], Long, Long, Long,
+      String)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import org.apache.spark.sql.graft.CheckpointRelease
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = Seq(
+        Future {
+          val fp = MediaQueries.audioFingerprints(s, d)
+          try tierAudit(s, "audio", MediaQueries.audioPairsFrom(fp),
+            fp.count())
+          finally CheckpointRelease.release(fp)
+        },
+        Future {
+          val fp = MediaQueries.imageFingerprints(s, d)
+          try tierAudit(s, "image", MediaQueries.imagePairsFrom(fp),
+            fp.count())
+          finally CheckpointRelease.release(fp)
+        },
+        Future(tierAudit(s, "text",
+          PipelineQueries.bandedVerifiedPairs(s, d),
+          Tables.documents(s, d).count())),
+        Future {
+          val fr = MediaQueries.videoFrameHashes(s, d)
+          try tierAudit(s, "video", MediaQueries.videoPairsBandedOf(fr),
+            fr.select("doc_id").distinct().count())
+          finally CheckpointRelease.release(fr)
+        })
+      Await.result(Future.sequence(fs), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** DuckDB mirror of one [[tierAudit]]: (CTE chain, per-tier row
+    * SELECT). Object-scoped so q296 and q299 nest the SAME chains.
+    */
+  private def sqlTier(pfx: String, tier: String, pairCte: String,
         gaugedSql: String): (String, String) = {
       val R = AuditRounds
       val steps = (1 to R).map { r =>
@@ -328,79 +374,122 @@ object CrossModalQueries {
            |    ELSE 'cc' END AS policy
            |FROM ${pfx}tl t CROSS JOIN ${pfx}sm sm""".stripMargin
       (ctes, row)
-    }
+  }
+
+  /** The four tier chains + per-tier audit rows, shared verbatim by
+    * q296 (which selects them directly) and q299 (which joins them to
+    * the manifest's wiring).
+    */
+  private def sqlAuditChains: (String, String) = {
+    val (tc, tr) = sqlTier("pa_t", "text", "p",
+      "SELECT count(*) FROM documents")
+    val (ic, ir) = sqlTier("pa_i", "image", "ip",
+      "SELECT count(*) FROM ifp")
+    val (ac, ar) = sqlTier("pa_a", "audio", "ap",
+      "SELECT count(*) FROM afp")
+    val (vc, vr) = sqlTier("pa_v", "video", "vpb",
+      "SELECT count(DISTINCT doc_id) FROM vfr")
+    val ctes =
+      s"""${PipelineQueries.bandedVerifiedSqlCtes},
+         |${MediaQueries.imagePairSqlCtes},
+         |${MediaQueries.audioPairSqlCtes},
+         |${MediaQueries.videoPairSqlCtes},
+         |${MediaQueries.videoBandedSqlCtes},
+         |$tc,
+         |$ic,
+         |$ac,
+         |$vc""".stripMargin
+    val rows =
+      s"""$tr
+         |UNION ALL $ir
+         |UNION ALL $ar
+         |UNION ALL $vr""".stripMargin
+    (ctes, rows)
+  }
+
+  private def policyAuditQ: Q =
     Q("q296_dedup_policy_audit",
       (s, d) => {
         import s.implicits._
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import org.apache.spark.sql.graft.CheckpointRelease
-        // The four tier audits are independent chains of small bounded
-        // jobs; run them CONCURRENTLY over the shared session (Spark's
-        // scheduler interleaves jobs from different threads) so the
-        // suite pays the slowest tier, not the sum — round-16 verdict
-        // #3: ~40 strictly sequential driver actions serialized to
-        // 14.5 s warm. Each audit builds its fingerprint frame ONCE,
-        // reads both the gauge count and the pair join from it, and
-        // releases it on completion.
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val rows = try {
-          val fs = Seq(
-            Future {
-              val fp = MediaQueries.audioFingerprints(s, d)
-              try tierAudit(s, "audio", MediaQueries.audioPairsFrom(fp),
-                fp.count())
-              finally CheckpointRelease.release(fp)
-            },
-            Future {
-              val fp = MediaQueries.imageFingerprints(s, d)
-              try tierAudit(s, "image", MediaQueries.imagePairsFrom(fp),
-                fp.count())
-              finally CheckpointRelease.release(fp)
-            },
-            Future(tierAudit(s, "text",
-              PipelineQueries.bandedVerifiedPairs(s, d),
-              Tables.documents(s, d).count())),
-            Future {
-              val fr = MediaQueries.videoFrameHashes(s, d)
-              try tierAudit(s, "video", MediaQueries.videoPairsBandedOf(fr),
-                fr.select("doc_id").distinct().count())
-              finally CheckpointRelease.release(fr)
-            })
-          Await.result(Future.sequence(fs), Duration.Inf)
-        } finally pool.shutdown()
-        rows.toDF("tier", "n_gauged", "n_pairs", "n_in_pairs", "n_groups",
+        runTierAudits(s, d)
+          .toDF("tier", "n_gauged", "n_pairs", "n_in_pairs", "n_groups",
             "converged", "alpha_hat", "surv_cc_bounded", "surv_local",
             "divergence", "policy")
           .orderBy("tier")
       },
       Some {
-        val (tc, tr) = sqlTier("pa_t", "text", "p",
-          "SELECT count(*) FROM documents")
-        val (ic, ir) = sqlTier("pa_i", "image", "ip",
-          "SELECT count(*) FROM ifp")
-        val (ac, ar) = sqlTier("pa_a", "audio", "ap",
-          "SELECT count(*) FROM afp")
-        val (vc, vr) = sqlTier("pa_v", "video", "vpb",
-          "SELECT count(DISTINCT doc_id) FROM vfr")
-        s"""WITH RECURSIVE ${PipelineQueries.bandedVerifiedSqlCtes},
-           |${MediaQueries.imagePairSqlCtes},
-           |${MediaQueries.audioPairSqlCtes},
-           |${MediaQueries.videoPairSqlCtes},
-           |${MediaQueries.videoBandedSqlCtes},
-           |$tc,
-           |$ic,
-           |$ac,
-           |$vc
-           |$tr
-           |UNION ALL $ir
-           |UNION ALL $ar
-           |UNION ALL $vr
+        val (ctes, rows) = sqlAuditChains
+        s"""WITH RECURSIVE $ctes
+           |$rows
            |ORDER BY tier""".stripMargin
       })
-  }
 
-  val all: Seq[Q] = Seq(manifestQ, policyAuditQ)
+  // --------------------------------------------------------------------
+  // q299: manifest-vs-audit policy check (round-16 verdict #5). q293
+  // deliberately HARD-WIRES its tier mechanisms — keep-best over the
+  // banded-verified CLUSTERS for text (a cluster election: transitive
+  // closure semantics), pair-local losers for image/audio/video (the
+  // right 100 TB default) — and q296's recommendation stays
+  // informational, not a switch. This query is the audited CHECK that
+  // the wiring is never in the DANGEROUS quadrant: a tier the manifest
+  // resolves with a CLUSTER election while the audit reads the
+  // mega-cluster regime (non-convergence within the bounded probe, or
+  // heavy tail α̂ ≤ 2 ⇒ pair mass concentrated in a few mega-clusters ⇒
+  // closure-based apply blows up — q291's measured 214×). On that
+  // divergence BOTH engines fail loudly (require / error(), the q282
+  // pattern); the conservative direction — manifest pair_local where
+  // the audit would allow cc — is reported as consistent: pair-local
+  // removes a subset of closure's losers and stays linear at any
+  // cluster shape, so it is always SAFE, merely less aggressive.
+  // 100 TB: the audit chains are the bounded-probe paths of q296; the
+  // check adds a 4-row literal join. Output is 4 rows.
+  // --------------------------------------------------------------------
+  /** What q293 actually wires per tier: text rides
+    * [[PipelineQueries.keepBestLosers]] (per-CLUSTER election over the
+    * banded-verified closure), media tiers ride pair-local losers.
+    * Literals here, asserted against the audit — change q293's wiring
+    * and this map (and its SQL VALUES twin) must follow or q299 fails.
+    */
+  private val ManifestPolicy = Seq(
+    "text" -> "cc", "image" -> "pair_local",
+    "audio" -> "pair_local", "video" -> "pair_local")
+
+  private def policyCheckQ: Q =
+    Q("q299_policy_manifest_check",
+      (s, d) => {
+        import s.implicits._
+        val man = ManifestPolicy.toMap
+        val rows = runTierAudits(s, d).map { a =>
+          val (tier, rec) = (a._1, a._11)
+          val wired = man(tier)
+          val consistent = !(wired == "cc" && rec == "pair_local")
+          require(consistent,
+            s"q299: manifest wires a cluster election on tier '$tier' " +
+              "but the audit recommends pair_local (mega-cluster regime)")
+          (tier, wired, rec, a._6, a._7, consistent)
+        }
+        rows.toDF("tier", "manifest_policy", "recommended_policy",
+            "converged", "alpha_hat", "consistent")
+          .orderBy("tier")
+      },
+      Some {
+        val (ctes, rows) = sqlAuditChains
+        val values = ManifestPolicy
+          .map { case (t, p) => s"('$t', '$p')" }.mkString(", ")
+        s"""WITH RECURSIVE $ctes,
+           |aud AS ($rows),
+           |man AS (SELECT * FROM (VALUES $values)
+           |  m(tier, manifest_policy))
+           |SELECT a.tier, m.manifest_policy, a.policy AS recommended_policy,
+           |  a.converged, a.alpha_hat,
+           |  CASE WHEN m.manifest_policy = 'cc' AND a.policy = 'pair_local'
+           |    THEN CAST(error('q299: manifest cluster election against a '
+           |      || 'pair_local recommendation on tier ' || a.tier)
+           |      AS BOOLEAN)
+           |    ELSE TRUE END AS consistent
+           |FROM aud a JOIN man m USING (tier)
+           |ORDER BY a.tier""".stripMargin
+      })
+
+  val all: Seq[Q] = Seq(manifestQ, policyAuditQ, policyCheckQ)
 }

@@ -535,5 +535,102 @@ object MediaQueries {
              |SELECT id_a, id_b, n_close_frames FROM vpb
              |ORDER BY id_a, id_b""".stripMargin)))
 
-  val all: Seq[Q] = imagePhash ++ audioAndApply ++ video
+  // --------------------------------------------------------------------
+  // q298: on-arrival media dedup gate (round-16 verdict #4). The
+  // streaming family gates quality (q289) and importance (q295) in
+  // flight, but near-dup ADMISSION for media was batch-only. Here the
+  // reference corpus's image fingerprint index — the q285 tier's
+  // pigeonhole-banded form — is materialized once and broadcast into
+  // every micro-batch, and each ARRIVING image doc gets an on-arrival
+  // decision: dup_of = the smallest reference doc_id that is (a)
+  // smaller than the arrival's own id (the pair-local election applied
+  // on arrival) and (b) within hamming ≤ 6 of the arrival's dHash60;
+  // NULL ⇒ kept. Decisions are taken against the FIXED reference index
+  // ⇒ per-doc local ⇒ stateless ⇒ batch-composition-invariant ⇒ the
+  // exact final-state oracle below (the brute-force pair definition's
+  // min-smaller-neighbour — banding losslessness is re-proven by the
+  // gate at every SF, the q285 discipline). Idempotent batchId-keyed
+  // sink + loud counter reconciliation, the q289/q295 replay
+  // discipline.
+  // 100 TB: the reference index is a fixed curated corpus (bounded —
+  // the thing arrivals must not duplicate), ×7 banded rows broadcast
+  // once per batch; per batch one broadcast band equi-join + exact
+  // verify + one batch-sized aggregation. No state store, no shuffle
+  // keyed on the stream side.
+  // --------------------------------------------------------------------
+  private def mediaGateQ: Q =
+    Q("q298_stream_media_gate",
+      (s, d) => {
+        import graft.streaming.StreamHarness
+        import org.apache.spark.sql.streaming.Trigger
+        import org.apache.spark.sql.graft.CheckpointRelease
+        val MaxH = 6
+        val ref = Dedup.pigeonholeBands(imageFingerprints(s, d),
+            "phash", MaxH, bits = 60)
+          .select(col("band"), col("band_val"),
+            col("doc_id").as("ref_id"), col("phash").as("ref_phash"))
+          .localCheckpoint(true)
+        val base = StreamHarness.scratchDir("graft_q298")
+        val sink = base + "/gate"
+        val counts = base + "/counts"
+        val ckpt = base + "/ckpt"
+        val stream = s.readStream
+          .schema(StreamHarness.sourceSchema(s, d, "documents"))
+          .parquet(StreamHarness.sourceDir(d, "documents"))
+        val q = stream.writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val fps = batch
+              .filter(length(col("text")) >= 8 &&
+                col("text").rlike("^[\\x00-\\x7F]*$"))
+              .select(col("doc_id"),
+                PerceptualHashExpressions.dhash60(col("text").cast("binary"))
+                  .as("phash"))
+              .filter(col("phash").isNotNull)
+            val dup = Dedup.pigeonholeBands(fps, "phash", MaxH, bits = 60)
+              .join(broadcast(ref), Seq("band", "band_val"))
+              .filter(col("ref_id") < col("doc_id") &&
+                Dedup.hamming(col("phash"), col("ref_phash")) <= MaxH)
+              .groupBy("doc_id").agg(min("ref_id").as("dup_of"))
+            val out = fps.join(dup, Seq("doc_id"), "left")
+              .withColumn("kept", col("dup_of").isNull)
+              .persist()
+            try {
+              out.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+              out.agg(sum(when(col("kept"), 1L).otherwise(0L)).as("nk"),
+                  count(lit(1)).as("nd"))
+                .select(lit(batchId).as("batch_id"), col("nk").as("n_kept"),
+                  (col("nd") - col("nk")).as("n_dup"))
+                .write.mode("overwrite").parquet(s"$counts/batch=$batchId")
+            } finally { out.unpersist(); () }
+            ()
+          }.start()
+        try require(q.awaitTermination(300000),
+          "q298: streaming query did not terminate within 300 s")
+        finally { q.stop(); CheckpointRelease.release(ref) }
+        val perDoc = s.read.parquet(sink)
+          .select("doc_id", "phash", "kept", "dup_of")
+        val c = s.read.parquet(counts)
+          .agg(sum("n_kept").as("k"), sum("n_dup").as("dr"))
+          .collect().head
+        val kTot = perDoc.filter(col("kept")).count()
+        val tot = perDoc.count()
+        require(c.getLong(0) == kTot && c.getLong(1) == tot - kTot,
+          s"q298: batch counters (${c.getLong(0)}/${c.getLong(1)}) do not " +
+            s"reconcile with final state ($kTot/${tot - kTot})")
+        val res = StreamHarness.localize(perDoc.orderBy("doc_id"))
+        StreamHarness.deleteRecursively(base)
+        res
+      },
+      Some {
+        s"""WITH $imagePairSqlCtes,
+           |idup AS (SELECT id_b AS doc_id, min(id_a) AS dup_of
+           |  FROM ip GROUP BY 1)
+           |SELECT f.doc_id, f.fp AS phash,
+           |  d.dup_of IS NULL AS kept, d.dup_of
+           |FROM ifp f LEFT JOIN idup d USING (doc_id)
+           |ORDER BY f.doc_id""".stripMargin
+      })
+
+  val all: Seq[Q] = imagePhash ++ audioAndApply ++ video :+ mediaGateQ
 }

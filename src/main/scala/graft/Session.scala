@@ -46,6 +46,15 @@ object Session {
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Eager checkpoint release (CheckpointRelease / Bench's
+    // dropLeakedBlocks) unpersists locally-checkpointed RDDs on purpose,
+    // after their last consumer — Spark warns on every such unpersist
+    // ("lineage has been truncated and cannot be recomputed"), hundreds
+    // of lines per run that drowned the driver's tail capture in r16.
+    // The warning is correct-but-expected here; silence just the RDD
+    // package's logger, nothing else.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // graft_dot / graft_l1 / graft_sqdiff available to SQL users.
     org.apache.spark.sql.graft.GraftExpressions.register(s)
     s

@@ -125,4 +125,29 @@ class CrossModalSpec extends SparkSpec {
     assert(byTier("text") ==
       PipelineQueries.bandedVerifiedPairs(spark, sf).count())
   }
+
+  test("q299: check rows mirror q296's recommendations against the manifest wiring") {
+    val audit = run("q296_dedup_policy_audit").collect()
+      .map(r => r.getString(0) -> r.getString(10)).toMap
+    val rows = run("q299_policy_manifest_check").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("audio", "image", "text", "video"))
+    // What q293 actually wires (see CrossModalQueries.ManifestPolicy):
+    // text rides the keep-best CLUSTER election, media tiers pair-local.
+    val wired = Map("text" -> "cc", "image" -> "pair_local",
+      "audio" -> "pair_local", "video" -> "pair_local")
+    rows.foreach { r =>
+      val tier = r.getString(0)
+      assert(r.getString(1) == wired(tier), s"$tier: manifest_policy drifted")
+      assert(r.getString(2) == audit(tier),
+        s"$tier: recommended_policy != q296's recommendation")
+      val consistent = r.getBoolean(5)
+      assert(consistent ==
+        !(r.getString(1) == "cc" && r.getString(2) == "pair_local"),
+        s"$tier: consistent flag != documented rule")
+      // The query itself require()-fails on the dangerous quadrant, so
+      // reaching here means every row is consistent.
+      assert(consistent, s"$tier: inconsistent row surfaced without error")
+    }
+  }
 }

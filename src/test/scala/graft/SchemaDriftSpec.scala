@@ -39,7 +39,7 @@ class SchemaDriftSpec extends SparkSpec {
     "q137_stream_enrich", "q151_stream_dedup", "q175_stream_holt",
     "q190_late_data", "q201_stream_kalman", "q209_stream_decontam",
     "q251_stream_neardup", "q289_stream_quality_gate",
-    "q295_stream_dsir_gate")
+    "q295_stream_dsir_gate", "q298_stream_media_gate")
 
   /** sf0.001 twin dir with every plausible writer drift applied at once:
     * `events.ts` as raw INT64 epoch-nanos (what the legacy

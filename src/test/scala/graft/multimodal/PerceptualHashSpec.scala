@@ -328,4 +328,35 @@ class PerceptualHashSpec extends SparkSpec {
       "an every-frame-perturbed copy kept an exact sampled frame — " +
         "fixture no longer demonstrates the recall gap")
   }
+
+  test("q298 gate: final state equals the batch pair-local election doc-for-doc") {
+    val sf = "/root/testdata/sf0.001"
+    def run(name: String) =
+      graft.Queries.all.find(_.name == name).get.run(spark, sf)
+    // Expected decisions from the REGISTERED batch tier (q285's pairs):
+    // dup_of(doc) = min smaller-id near-dup, kept iff none — the gate's
+    // stateless per-arrival rule must land exactly here whatever the
+    // micro-batch composition was.
+    val pairs = run("q285_image_phash_pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val expDup: Map[Long, Long] =
+      pairs.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val gauged = graft.MediaQueries.imageFingerprints(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val rows = run("q298_stream_media_gate")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.map(_._1).toSet == gauged,
+      "gate did not decide exactly the gauged image docs")
+    assert(rows.length == gauged.size, "gate duplicated a doc")
+    rows.foreach { case (id, kept, dupOf) =>
+      assert(dupOf == expDup.get(id),
+        s"doc $id: dup_of $dupOf != batch election ${expDup.get(id)}")
+      assert(kept == dupOf.isEmpty, s"doc $id: kept flag inconsistent")
+    }
+    // Non-vacuous both ways: the corpus carries kept docs AND duplicates.
+    assert(rows.exists(_._2) && rows.exists(!_._2),
+      "fixture degenerate — gate never exercised on one side")
+  }
 }
