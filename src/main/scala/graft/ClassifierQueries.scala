@@ -148,7 +148,87 @@ object ClassifierQueries {
     }
   }
 
+  /** Cell budget for the fit's exact local tier (round-17 optimization).
+    * The GD loop is 3 driver-blocking jobs × E epochs over the persisted
+    * feature table — pure job latency when the table is small (sf0.1:
+    * ~300k cells), and every per-doc number is quantized to µ-unit
+    * BIGINTs BEFORE any cross-doc sum, so the arithmetic is order-free
+    * and a driver loop over the collected cells is exactly the
+    * distributed trajectory (same Math.exp/log/floor doubles per doc,
+    * same integer sums — pinned by LocalTierParitySpec). One bounded
+    * `limit(budget+1)` probe decides; past the budget (100 TB: N·B
+    * cells) the distributed loop runs unchanged. 0 disables.
+    */
+  private val LocalClfMaxCells: Int =
+    sys.env.get("GRAFT_LOCAL_CLF_MAX_CELLS").flatMap(_.toIntOption)
+      .getOrElse(4 << 20)
+
   private def clfFitRun(s: SparkSession, d: String)
+      : (Seq[(Long, Long, Long, Long, Long, Long, Long)], Array[Long]) = {
+    if (LocalClfMaxCells > 0) {
+      val probe = featureTable(s, d).limit(LocalClfMaxCells + 1).collect()
+      if (probe.length <= LocalClfMaxCells)
+        return clfFitLocal(probe.map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))))
+      System.err.println(s"[clf] NOTE: feature table exceeds local budget " +
+        s"($LocalClfMaxCells cells) — distributed GD loop")
+    }
+    clfFitDistributed(s, d)
+  }
+
+  /** Local tier of the fit: same per-doc µ-unit quantization (the same
+    * double expressions — Spark's floor/exp/log/greatest/abs are
+    * java.lang.Math on doubles), same integer gradient sums, same
+    * weight update — trajectory-identical by construction.
+    */
+  private[graft] def clfFitLocal(cells: Array[(Long, String, Long, Long)])
+      : (Seq[(Long, Long, Long, Long, Long, Long, Long)], Array[Long]) = {
+    val B = ClfBuckets
+    // Group cells per doc once; the bias pseudo-bucket (b = B, c = 1)
+    // exists exactly once per doc, so nDocs = bias-cell count.
+    val byDoc = new java.util.HashMap[Long, (String, scala.collection.mutable.ArrayBuffer[(Int, Long)])]()
+    cells.foreach { case (doc, src, b, c) =>
+      var e = byDoc.get(doc)
+      if (e == null) {
+        e = (src, scala.collection.mutable.ArrayBuffer.empty[(Int, Long)])
+        byDoc.put(doc, e)
+      }
+      e._2 += ((b.toInt, c))
+    }
+    val nDocs = byDoc.size().toLong
+    var wq = new Array[Long](B + 1)
+    val rows =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long, Long, Long)]()
+    val docs = byDoc.values()
+    for (e <- 1 to ClfEpochs) {
+      var xent = 0L; var nPos = 0L; var n = 0L
+      val delta = new Array[Long](B + 1)
+      val it = docs.iterator()
+      while (it.hasNext) {
+        val (src, fs) = it.next()
+        var m = 0L
+        fs.foreach { case (b, c) => m += c * wq(b) }
+        val y = if (src == ClfTarget) 1L else 0L
+        val mp = m.toDouble / 1e6
+        val gq = math.floor(
+          (1.0 / (1.0 + math.exp(-mp)) - y) * 1e6 + 0.5).toLong
+        xent += math.floor(
+          (math.max(mp, 0.0) + math.log(1.0 + math.exp(-math.abs(mp)))
+            - y * mp) * 1e6 + 0.5).toLong
+        nPos += y; n += 1
+        fs.foreach { case (b, c) => delta(b) += gq * c }
+      }
+      wq = wq.zipWithIndex.map { case (w, b) =>
+        w - math.floor(ClfLr * delta(b).toDouble / nDocs + 0.5).toLong
+      }
+      rows += ((e.toLong, xent, nPos, n - nPos, wq(B),
+        wq.view.take(B).map(math.abs).sum, wq.view.take(B).count(_ != 0L).toLong))
+    }
+    (rows.toSeq, wq)
+  }
+
+  /** The distributed GD loop — the 100 TB tier, unchanged semantics. */
+  private[graft] def clfFitDistributed(s: SparkSession, d: String)
       : (Seq[(Long, Long, Long, Long, Long, Long, Long)], Array[Long]) = {
     import s.implicits._
     val B = ClfBuckets

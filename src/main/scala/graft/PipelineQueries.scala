@@ -185,9 +185,115 @@ object PipelineQueries {
       .withColumn("enc", regexp_replace(col("w"), "(.)", ";$1;"))
       .localCheckpoint(true)
 
+  /** Small-state budget for the BPE trainer loops' exact local tier
+    * (round-17 optimization). Every trainer round is ONE Spark job over
+    * the (enc, freq) state — pure job latency when the state is a few
+    * thousand rows, which it is at every bench SF (q221/q230: the
+    * word-TYPE table, 31 rows; q260: the distinct doc-sequence table,
+    * ≤5k rows / ~3 MB at sf0.1) — and the rounds are sequential by
+    * construction, so the scheduler floor multiplies by 32–64. When the
+    * materialized seed fits the budget (ONE bounded agg on the already-
+    * checkpointed seed decides), the loop runs on the driver with the
+    * SAME kernels (pair counts, the shared total order, the literal
+    * replace / batch-merge scan) — bit-identical trajectories, pinned by
+    * the unrolled-CTE oracles and BpeLocalParitySpec. Past the budget
+    * (a 100 TB vocabulary / corpus state) the distributed loops run
+    * unchanged. 0 disables the local tier.
+    */
+  private[graft] val LocalBpeMaxRows: Long =
+    sys.env.get("GRAFT_LOCAL_BPE_MAX_ROWS").flatMap(_.toLongOption)
+      .getOrElse(2000000L)
+  private[graft] val LocalBpeMaxChars: Long =
+    sys.env.get("GRAFT_LOCAL_BPE_MAX_CHARS").flatMap(_.toLongOption)
+      .getOrElse(64000000L)
+
+  /** Collect a checkpointed (enc, freq) trainer state when it fits the
+    * local budget: one bounded agg job (count + total chars) decides, one
+    * collect pulls ≤ LocalBpeMaxRows rows. None ⇒ stay distributed.
+    */
+  private def collectSmallState(df: DataFrame): Option[Array[(String, Long)]] = {
+    if (LocalBpeMaxRows <= 0) return None
+    val h = df.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("enc"))), lit(0L)).as("ch")).head()
+    if (h.getLong(0) <= LocalBpeMaxRows && h.getLong(1) <= LocalBpeMaxChars)
+      Some(df.select("enc", "freq").collect()
+        .map(r => (r.getString(0), r.getLong(1))))
+    else {
+      System.err.println(s"[bpe] NOTE: trainer state ${h.getLong(0)} rows/" +
+        s"${h.getLong(1)} chars exceeds local budget — distributed loop")
+      None
+    }
+  }
+
+  /** Local mirror of [[bpePairCounts]] / [[phraseBpePoolRdd]]'s pair
+    * aggregation: adjacent-symbol counts over the ";sym;;sym;" encoding.
+    * Same tokenization as [[applyMergeScan]] (substring + split ";;" —
+    * no trailing separator exists, so Java and Spark split agree).
+    */
+  private[graft] def localPairCounts(
+      state: Array[(String, Long)]): scala.collection.mutable.HashMap[(String, String), Long] = {
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    state.foreach { case (enc, freq) =>
+      val ss = enc.substring(1, enc.length - 1).split(";;")
+      var i = 0
+      while (i < ss.length - 1) {
+        val k = (ss(i), ss(i + 1))
+        m.update(k, m.getOrElse(k, 0L) + freq)
+        i += 1
+      }
+    }
+    m
+  }
+
+  /** The trainers' shared total order, (cnt DESC, l ASC, r ASC) —
+    * symbols are ASCII so Java String order ≡ Spark's binary collation.
+    */
+  private[graft] val BpePairOrd: Ordering[((String, String), Long)] =
+    Ordering.by { case ((l, r), c) => (-c, l, r) }
+
+  private def localTopW(m: scala.collection.mutable.HashMap[(String, String), Long],
+      w: Int): Array[(String, String, Long)] = {
+    m.toArray.sorted(BpePairOrd).take(w)
+      .map { case ((l, r), c) => (l, r, c) }
+  }
+
+  /** Local tier of [[bpeMerges]] — same argmax, same literal replace
+    * (Java String.replace ≡ Spark's StringReplace: leftmost
+    * non-overlapping on ASCII), same exhaustion rule.
+    */
+  private[graft] def bpeMergesLocal(state0: Array[(String, Long)],
+      k: Int): Seq[(Long, String, String, Long)] = {
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var cur = state0
+    var step = 0
+    var exhausted = false
+    while (step < k && !exhausted) {
+      step += 1
+      val cnt = localPairCounts(cur)
+      if (cnt.isEmpty) exhausted = true
+      else {
+        val Array((l, r, c)) = localTopW(cnt, 1)
+        merges += ((step.toLong, l, r, c))
+        val pat = s";$l;;$r;"; val rep = s";$l$r;"
+        cur = cur.map { case (e, f) => (e.replace(pat, rep), f) }
+      }
+    }
+    merges.toSeq
+  }
+
   private def bpeMerges(s: SparkSession, d: String,
       k: Int): Seq[(Long, String, String, Long)] = {
     val words = bpeWords(s, d)
+    collectSmallState(words) match {
+      case Some(st) => bpeMergesLocal(st, k)
+      case None => bpeMergesDistributed(words, k)
+    }
+  }
+
+  /** The distributed step loop — the 100 TB tier of [[bpeMerges]],
+    * unchanged semantics. */
+  private[graft] def bpeMergesDistributed(words: DataFrame,
+      k: Int): Seq[(Long, String, String, Long)] = {
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var cur = words
     var step = 0
@@ -291,11 +397,67 @@ object PipelineQueries {
     * localCheckpointed so plan depth stays bounded at B replaces instead
     * of growing to R·B.
     */
+  /** One round's conflict-free batch off the rank-ordered candidate
+    * window — shared verbatim by the local and distributed q230 loops
+    * (and mirrored by the oracle's NOT EXISTS). */
+  private def bpeBatchAccept(
+      cand: Array[(String, String, Long)]): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    for (i <- cand.indices if accepted.size < BpeBatchB) {
+      val (l, r, c) = cand(i)
+      // Mirror of the oracle's NOT EXISTS: conflicts are judged
+      // against ALL higher-ranked candidates (accepted or not) — the
+      // form a single SQL pass can express.
+      if (!cand.take(i).exists(q => bpeBatchConflicts(l, r, q._1, q._2)))
+        accepted += ((l, r, c))
+    }
+    accepted.toSeq
+  }
+
   private[graft] def bpeBatchedMerges(s: SparkSession, d: String,
       rounds: Int = BpeBatchRounds)
       : Seq[(Long, Long, String, String, Long)] = {
+    val words = bpeWords(s, d)
+    collectSmallState(words) match {
+      case Some(st) => bpeBatchedMergesLocal(st, rounds)
+      case None => bpeBatchedMergesDistributed(words, rounds)
+    }
+  }
+
+  /** Local tier of [[bpeBatchedMerges]]: same pair counts, same top-W
+    * total order, same accept rule, replaces applied in the same rank
+    * order (they are non-interfering, but the mirror is exact anyway).
+    */
+  private[graft] def bpeBatchedMergesLocal(state0: Array[(String, Long)],
+      rounds: Int): Seq[(Long, Long, String, String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, Long)]()
-    var cur = bpeWords(s, d)
+    var cur = state0
+    var round = 0
+    var exhausted = false
+    while (round < rounds && !exhausted) {
+      round += 1
+      val cand = localTopW(localPairCounts(cur), BpeBatchW)
+      val accepted = bpeBatchAccept(cand)
+      if (accepted.isEmpty) exhausted = true
+      else {
+        accepted.zipWithIndex.foreach { case ((l, r, c), j) =>
+          out += ((round.toLong, (j + 1).toLong, l, r, c))
+        }
+        val pats = accepted.map { case (l, r, _) => (s";$l;;$r;", s";$l$r;") }
+        cur = cur.map { case (e, f) =>
+          (pats.foldLeft(e) { case (x, (p, q)) => x.replace(p, q) }, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** The distributed round loop — the 100 TB tier of
+    * [[bpeBatchedMerges]], unchanged semantics. */
+  private[graft] def bpeBatchedMergesDistributed(words: DataFrame,
+      rounds: Int): Seq[(Long, Long, String, String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, Long)]()
+    var cur = words
     var round = 0
     var exhausted = false
     while (round < rounds && !exhausted) {
@@ -304,15 +466,7 @@ object PipelineQueries {
         .orderBy(desc("cnt"), asc("l"), asc("r")).limit(BpeBatchW)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-      for (i <- cand.indices if accepted.size < BpeBatchB) {
-        val (l, r, c) = cand(i)
-        // Mirror of the oracle's NOT EXISTS: conflicts are judged
-        // against ALL higher-ranked candidates (accepted or not) — the
-        // form a single SQL pass can express.
-        if (!cand.take(i).exists(q => bpeBatchConflicts(l, r, q._1, q._2)))
-          accepted += ((l, r, c))
-      }
+      val accepted = bpeBatchAccept(cand)
       if (accepted.isEmpty) exhausted = true
       else {
         accepted.zipWithIndex.foreach { case ((l, r, c), j) =>
@@ -569,6 +723,116 @@ object PipelineQueries {
       levels: Int = PhraseBpeLevels,
       stages: scala.collection.mutable.Map[String, Double] = null)
       : Seq[(Long, Long, String, String, Long)] = {
+    val seedDf = phraseSeqs(s, d)
+    collectSmallState(seedDf) match {
+      case Some(st) => phraseBpeMergesLocal(st, levels, stages)
+      case None => phraseBpeMergesDistributed(s, seedDf, levels, stages)
+    }
+  }
+
+  /** Local tier of [[phraseBpeMerges]]: the same kernels the RDD loop
+    * runs — adjacent-pair counts + the [[BpePairOrd]] top-W pool
+    * (≡ [[phraseBpePoolRdd]]), [[phraseBpeAccept]] verbatim, and the
+    * [[applyMergeScan]] scan on the symbol SEQUENCE — over the collected
+    * (enc, freq) state. Wall is pure driver compute. Representation: each
+    * enc is split ONCE and symbols are interned to dense ints (the enc
+    * string round-trip is a bijection — symbols never contain ';', so
+    * split∘rebuild is the identity — and the ;-rebuilding the RDD tier
+    * pays per round carries no information); pair counts key on packed
+    * (l,r) int pairs in one LongMap. Pool ordering and acceptance happen
+    * on the SYMBOL STRINGS exactly as distributed (≤W entries per round).
+    */
+  private[graft] def phraseBpeMergesLocal(state0: Array[(String, Long)],
+      levels: Int = PhraseBpeLevels,
+      stages: scala.collection.mutable.Map[String, Double] = null)
+      : Seq[(Long, Long, String, String, Long)] = {
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (stages != null)
+        stages(name) = stages.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val symId = scala.collection.mutable.HashMap.empty[String, Int]
+    val symName = scala.collection.mutable.ArrayBuffer.empty[String]
+    def idOf(sym: String): Int =
+      symId.getOrElseUpdate(sym, { symName += sym; symName.size - 1 })
+    var seqs: Array[Array[Int]] = state0.map { case (enc, _) =>
+      enc.substring(1, enc.length - 1).split(";;").map(idOf)
+    }
+    val freqs: Array[Long] = state0.map(_._2)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, String, String, Long)]()
+    var round = 0
+    var tot = 0
+    var exhausted = false
+    while (round < PhraseBpeRoundCap && tot < PhraseBpeTarget && !exhausted) {
+      round += 1
+      val pool = timed("pool") {
+        val cnt = scala.collection.mutable.LongMap.empty[Long]
+        var di = 0
+        while (di < seqs.length) {
+          val ss = seqs(di); val f = freqs(di)
+          var i = 0
+          while (i < ss.length - 1) {
+            val k = (ss(i).toLong << 32) | (ss(i + 1).toLong & 0xffffffffL)
+            cnt.update(k, cnt.getOrElse(k, 0L) + f)
+            i += 1
+          }
+          di += 1
+        }
+        cnt.toArray
+          .map { case (k, c) =>
+            ((symName((k >> 32).toInt), symName(k.toInt)), c) }
+          .sorted(BpePairOrd).take(PhraseBpeW)
+          .map { case ((l, r), c) => (l, r, c) }
+      }
+      val accepted = timed("accept") { phraseBpeAccept(pool, levels) }
+      require(accepted.size <= PhraseBpeBatchCap,
+        s"phrase-BPE round $round accepted ${accepted.size} > $PhraseBpeBatchCap")
+      if (accepted.isEmpty) exhausted = true
+      else {
+        accepted.zipWithIndex.foreach { case ((l, r, c, _), j) =>
+          out += ((round.toLong, (j + 1).toLong, l, r, c))
+        }
+        // (l, r) → merged-symbol id, the int mirror of applyMergeScan's
+        // broadcast map (batch members are pairwise symbol-disjoint, so
+        // the one-scan merge is exact — same argument as the kernel's).
+        val m = scala.collection.mutable.LongMap.empty[Int]
+        accepted.foreach { case (l, r, _, _) =>
+          m.update((idOf(l).toLong << 32) | (idOf(r).toLong & 0xffffffffL),
+            idOf(phraseSym(l, r)))
+        }
+        seqs = timed("apply") {
+          seqs.map { ss =>
+            if (ss.length < 2) ss
+            else {
+              val sb = new scala.collection.mutable.ArrayBuffer[Int](ss.length)
+              var i = 0
+              while (i < ss.length) {
+                val merged = if (i + 1 < ss.length)
+                  m.get((ss(i).toLong << 32) | (ss(i + 1).toLong & 0xffffffffL))
+                else None
+                merged match {
+                  case Some(lr) => sb += lr; i += 2
+                  case None => sb += ss(i); i += 1
+                }
+              }
+              sb.toArray
+            }
+          }
+        }
+        tot += accepted.size
+      }
+    }
+    out.toSeq
+  }
+
+  /** The distributed RDD round loop — the 100 TB tier of
+    * [[phraseBpeMerges]], unchanged semantics. */
+  private[graft] def phraseBpeMergesDistributed(s: SparkSession,
+      seedDf: DataFrame,
+      levels: Int = PhraseBpeLevels,
+      stages: scala.collection.mutable.Map[String, Double] = null)
+      : Seq[(Long, Long, String, String, Long)] = {
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       if (stages != null)
@@ -585,7 +849,7 @@ object PipelineQueries {
     // its natural partitioning so per-round work stays distributed at
     // scale.
     var cur = timed("seed") {
-      phraseSeqs(s, d).rdd.map(r => (r.getString(0), r.getLong(1)))
+      seedDf.rdd.map(r => (r.getString(0), r.getLong(1)))
     }
     // cur's parent state: dead once a pool job materializes cur's
     // localCheckpoint (which truncates the lineage), but needed until

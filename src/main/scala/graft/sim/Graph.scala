@@ -33,18 +33,94 @@ object Graph {
     *
     * Output: (id, r) for every node with ≥ 1 edge; Σr ≈ 1e9.
     */
+  /** Edge budget for the exact local tier (round-17 optimization; the
+    * [[graft.text.Dedup.connectedComponents]] pattern). The distributed
+    * loop is ~4 + 2·iters driver-blocking jobs; with integral fixed-point
+    * arithmetic the local replay is bit-identical, so when the
+    * materialized undirected edge list (which the distributed loop needs
+    * anyway) gauges under the budget, one bounded collect pulls it from
+    * the cache and the power iterations run on the driver. Past the
+    * budget the distributed loop runs unchanged on the same persisted
+    * frame. 0 disables.
+    */
+  private val LocalPrMaxEdges: Int =
+    sys.env.get("GRAFT_LOCAL_PR_MAX_EDGES").flatMap(_.toIntOption)
+      .getOrElse(1 << 20)
+
+  /** Local tier: the same integral recurrence over a collected edge
+    * list — LocalTierParitySpec pins local ≡ distributed.
+    */
+  private[graft] def pageRankLocal(edgesIn: Array[(Long, Long)],
+      iters: Int): Array[(Long, Long)] = {
+    import scala.collection.mutable
+    val und = edgesIn.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg = mutable.HashMap.empty[Long, Long]
+    und.foreach { case (s, _) => deg.update(s, deg.getOrElse(s, 0L) + 1L) }
+    val n = deg.size.toLong
+    if (n == 0) return Array.empty
+    val base = 150000000L / n
+    var ranks = mutable.HashMap.empty[Long, Long]
+    deg.keysIterator.foreach(k => ranks.update(k, 1000000000L / n))
+    for (_ <- 1 to iters) {
+      val next = mutable.HashMap.empty[Long, Long]
+      und.foreach { case (s, dst) =>
+        // mirror the distributed inner join: a src absent from the rank
+        // table contributes nothing (unreachable on symmetric edges, but
+        // the mirror is exact on any input)
+        ranks.get(s).foreach { r =>
+          next.update(dst, next.getOrElse(dst, 0L) + r / deg(s))
+        }
+      }
+      ranks = next.map { case (k, sum) => k -> (base + (85L * sum) / 100L) }
+    }
+    ranks.toArray
+  }
+
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val lvl = StorageLevel.MEMORY_AND_DISK
+    // Materialize the undirected edge list once and gauge it with a
+    // count — not a limit().collect() probe, whose executeTake ramps the
+    // final stage up in sequential waves (the q270 finding, Dedup.scala).
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .persist(lvl)
+    val nUnd = und.count()
+    val bothLong = edges.schema(srcCol).dataType == LongType &&
+      edges.schema(dstCol).dataType == LongType
+    if (bothLong && LocalPrMaxEdges > 0 && nUnd <= 2L * LocalPrMaxEdges) {
+      val arr = und.collect() // cached rows, bounded by the gauge above
+      if (!arr.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val ranks = pageRankLocal(arr.map(r => (r.getLong(0), r.getLong(1))), iters)
+        und.unpersist(false)
+        val schema = StructType(Seq(StructField("id", LongType),
+          StructField("r", LongType)))
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ranks.length)
+        ranks.foreach { case (id, r) => rows.add(org.apache.spark.sql.Row(id, r)) }
+        return edges.sparkSession.createDataFrame(rows, schema)
+      }
+    }
+    if (bothLong && LocalPrMaxEdges > 0)
+      System.err.println(s"[graph] NOTE: edge list ($nUnd) exceeds local " +
+        "budget — distributed PageRank loop")
+    pageRankDistributed(edges.sparkSession, und, iters)
+  }
+
+  /** The distributed Pregel-style loop over the materialized undirected
+    * edge list — the 100 TB tier, unchanged semantics. Unpersists `und`
+    * before returning.
+    */
+  private[graft] def pageRankDistributed(
+      s: org.apache.spark.sql.SparkSession, und: DataFrame,
+      iters: Int): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg")).persist(lvl)
     val n = deg.count()
     if (n == 0) {
       und.unpersist(); deg.unpersist()
-      return edges.sparkSession.emptyDataFrame
+      return s.emptyDataFrame
         .withColumn("id", lit(0L)).withColumn("r", lit(0L)).limit(0)
     }
     val base = 150000000L / n

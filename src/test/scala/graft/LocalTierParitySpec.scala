@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Dedup
+
+/** Round-17 optimization: the adaptive LOCAL tiers (small-state BPE
+  * trainer loops, union-find connected components, integral PageRank,
+  * quantized classifier GD) must be trajectory-identical to the
+  * distributed tiers they shortcut — same outputs, same order where the
+  * contract pins one. The registered queries' DuckDB oracles pin
+  * end-to-end equality at every SF; these tests pin the
+  * local≡distributed equivalence DIRECTLY, including on shapes the bench
+  * corpus may not exercise (ties, chains, batch conflicts).
+  */
+class LocalTierParitySpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- CC
+
+  private def ccFixture(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.toDF("id_a", "id_b")
+  }
+
+  private def sortedLabels(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("connectedComponents: local union-find ≡ distributed min-label on chains/stars/dups") {
+    val fixtures = Seq(
+      // 4-chain (diameter forces >1 distributed round), separate pair,
+      // star, duplicate + reversed edges, self-referencing ids
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)),
+      Seq((5L, 1L), (5L, 2L), (5L, 3L), (7L, 6L), (6L, 7L), (7L, 6L)),
+      Seq((100L, 42L), (42L, 100L), (9L, 9L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L))
+    )
+    fixtures.foreach { fx =>
+      val df = ccFixture(fx)
+      val local = sortedLabels(Dedup.connectedComponents(df))
+      val edges = df.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(df.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()
+      val dist = sortedLabels(Dedup.connectedComponentsDistributed(edges))
+      assert(local == dist, s"fixture $fx")
+      // and the local result is exactly what union-find says
+      val uf = Dedup.unionFindMin(fx.toArray).toSeq.sorted
+      assert(local == uf, s"fixture $fx vs raw union-find")
+    }
+  }
+
+  test("connectedComponents local tier returns a LocalRelation (no distributed jobs downstream)") {
+    val df = ccFixture(Seq((1L, 2L), (2L, 3L)))
+    val out = Dedup.connectedComponents(df)
+    val plan = out.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("LocalRelation"), plan)
+  }
+
+  // --------------------------------------------------------- BPE (q221)
+
+  private def charEnc(w: String): String = ";" + w.map(_.toString).mkString(";;") + ";"
+
+  /** A word-type state with ties and multi-step merge dynamics. */
+  private val charState: Array[(String, Long)] = Array(
+    charEnc("abab") -> 5L, charEnc("abc") -> 5L, charEnc("bc") -> 3L,
+    charEnc("aa") -> 2L, charEnc("a") -> 9L, charEnc("cab") -> 4L)
+
+  private def stateDf(st: Array[(String, Long)]) = {
+    import spark.implicits._
+    st.toSeq.toDF("enc", "freq")
+  }
+
+  test("bpeMerges: local ≡ distributed trajectory (steps, symbols, counts) incl. exhaustion") {
+    val local = PipelineQueries.bpeMergesLocal(charState, 32)
+    val dist = PipelineQueries.bpeMergesDistributed(stateDf(charState), 32)
+    assert(local == dist)
+    assert(local.nonEmpty)
+    // exhaustion: both stop short of k when pairs run out
+    assert(local.size < 32)
+  }
+
+  test("bpeBatchedMerges: local ≡ distributed trajectory (rounds, batch ranks, conflicts)") {
+    val local = PipelineQueries.bpeBatchedMergesLocal(charState, 8)
+    val dist = PipelineQueries.bpeBatchedMergesDistributed(stateDf(charState), 8)
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
+  // ------------------------------------------------------ phrase (q260)
+
+  private def phraseEnc(toks: String*): String = ";" + toks.mkString(";;") + ";"
+
+  private val phraseState: Array[(String, Long)] = Array(
+    phraseEnc("the", "cat", "sat", "on", "the", "mat") -> 7L,
+    phraseEnc("the", "cat", "ran") -> 4L,
+    phraseEnc("on", "the", "mat") -> 4L,
+    phraseEnc("cat", "sat") -> 2L,
+    phraseEnc("the", "the", "the") -> 3L)
+
+  test("phraseBpeMerges: local ≡ distributed RDD trajectory") {
+    val local = PipelineQueries.phraseBpeMergesLocal(phraseState)
+    val dist = PipelineQueries.phraseBpeMergesDistributed(spark, stateDf(phraseState))
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
+  // -------------------------------------------------- PageRank (q136)
+
+  test("pageRankFixedPoint: local ≡ distributed integral power iterations") {
+    val fixtures = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)),
+      Seq((5L, 1L), (5L, 2L), (5L, 3L), (7L, 6L), (6L, 7L)),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)))
+    fixtures.foreach { fx =>
+      val df = ccFixture(fx)
+      val local = sortedLabels(graft.sim.Graph.pageRankFixedPoint(df, "id_a", "id_b", 5))
+      val und = df.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(df.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()
+      val dist = sortedLabels(graft.sim.Graph.pageRankDistributed(spark, und, 5))
+      assert(local == dist, s"fixture $fx")
+    }
+  }
+
+  // ------------------------------------------------------- clf (q287)
+
+  test("clfFit: local GD ≡ distributed GD (trajectory + final weights) on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val (trajL, wqL) = ClassifierQueries.clfFitLocal(
+      ClassifierQueries.featureTableOf(Tables.documents(spark, d))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))))
+    val (trajD, wqD) = ClassifierQueries.clfFitDistributed(spark, d)
+    assert(trajL == trajD)
+    assert(wqL.toSeq == wqD.toSeq)
+  }
+
+  test("phraseBpeMerges on the sf0.001 corpus rides the local tier and matches the RDD loop") {
+    val d = "/root/testdata/sf0.001"
+    val viaRegistry = PipelineQueries.phraseBpeMerges(spark, d)
+    val seed = PipelineQueries.phraseSeqs(spark, d)
+    val dist = PipelineQueries.phraseBpeMergesDistributed(spark, seed)
+    assert(viaRegistry == dist)
+    assert(viaRegistry.size >= 1000, s"learned ${viaRegistry.size} merges")
+  }
+}
