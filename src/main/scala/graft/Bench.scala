@@ -75,7 +75,7 @@ object Bench {
     * fallback isn't bumped next round).
     */
   private val BenchRound =
-    sys.env.get("GRAFT_BENCH_ROUND").flatMap(_.toIntOption).getOrElse(17)
+    sys.env.get("GRAFT_BENCH_ROUND").flatMap(_.toIntOption).getOrElse(18)
 
   /** Wall budget for the WHOLE bench run (round-16 verdict #2: the r16
     * driver run was killed at its harness timeout — rc=124, no summary
@@ -359,7 +359,9 @@ object Bench {
       q61Stages("topk") = tSec(top.count())
       q61Stages("score") = tSec(graft.ohlcv.Forecast
         .forecastAndScore(top, wins, "user_id",
-          ExtraQueries.FlagSeqLen, ExtraQueries.FlagPred).count())
+          ExtraQueries.FlagSeqLen, ExtraQueries.FlagPred,
+          broadcastTop = (nWins / ExtraQueries.FlagStride + 1024) <= (1L << 18))
+        .count())
     } catch { case _: Throwable => q61Stages("profile_error") = -1.0 }
     dropLeakedBlocks()
     val calibEnd = calibRep()

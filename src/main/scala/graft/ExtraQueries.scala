@@ -209,14 +209,24 @@ object ExtraQueries {
           Tables.events(s, d).select("user_id").distinct().count()
         }
         val fitted = timed("fit") {
+          // Persist the fit's z-window frame (round-18, guide §5):
+          // RowMatrix.computePrincipalComponents makes TWO passes over
+          // the sample (Gramian + column means), each of which re-ran
+          // the resample→ffill→slidingZscored window pipeline — the
+          // dominant cold-rep cost (q204 cold 18.1 s, fit stage 2.5 s
+          // of it, driver r17 run). One materialization, cached passes,
+          // identical sample rows (same plan → same partitioning → same
+          // per-partition sample RNG draws), unpersisted before return.
           val zwins = Windows.slidingZscored(
             Flagship.filledSeries(s, d)
               .filter(col("user_id") % lit(fitModulus(users)) === 0),
             "user_id", "idx", "close", FlagSeqLen)
             .filter(col("scale") > 1e-6)
             .select(col("zvalues").cast("array<double>").as("z"))
-          Encode.pcaMatrix(zwins, "z", FlagSeqLen, FlagDim,
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try Encode.pcaMatrix(zwins, "z", FlagSeqLen, FlagDim,
             sampleFraction = Some(0.35))
+          finally { zwins.unpersist(false); () }
         }
         val loaded = timed("artifact") {
           val path = java.nio.file.Files
@@ -1046,14 +1056,21 @@ object ExtraQueries {
       case Some(cached) => cached
       case None =>
         val users = Tables.events(s, d).select("user_id").distinct().count()
+        // Persist like q204's fit (round-18, guide §5) — here THREE
+        // passes ride the cache: pcaMatrix's Gramian + column means and
+        // the whitening variance pass (q262 cold first-rep read 32.7 s
+        // in the r17 driver run, almost all window-pipeline recompute).
         val zwins = Windows.slidingZscored(
           Flagship.filledSeries(s, d)
             .filter(col("user_id") % lit(fitModulus(users)) === 0),
           "user_id", "idx", "close", FlagSeqLen)
           .filter(col("scale") > 1e-6)
           .select(col("zvalues").cast("array<double>").as("z"))
-        val fitted = Encode.whitenedPcaMatrix(zwins, "z", FlagSeqLen, FlagDim,
-          sampleFraction = Some(0.35))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fitted =
+          try Encode.whitenedPcaMatrix(zwins, "z", FlagSeqLen, FlagDim,
+            sampleFraction = Some(0.35))
+          finally { zwins.unpersist(false); () }
         val path = java.nio.file.Files
           .createTempDirectory("graft_q262").toString + "/whiten_matrix"
         Encode.saveMatrix(s, fitted, path)

@@ -94,11 +94,16 @@ object Flagship {
     // the per-key stride remainder adds ≤1 per key (1024 slack covers any
     // realistic key cardinality relative to the 2^18 broadcast limit).
     val winCount = wins.count()
+    val queryHint = winCount / stride + 1024
     val top = Forecast.evaluate(wins, "user_id", seqLen, predWindow, stride, k, metric,
-      lshPlanes, queryCountHint = Some(winCount / stride + 1024))
+      lshPlanes, queryCountHint = Some(queryHint))
     // Small (one row per evaluation query); persisting lets the summary
     // query (q62) reuse the identical-plan result via the cache manager.
-    Forecast.forecastAndScore(top, wins, "user_id", seqLen, predWindow)
+    // broadcastTop under the same bound that broadcasts the query side
+    // (round-18, §3.1): the top frame is ≤ k rows per query, and the
+    // hint removes two windows-sized exchanges in forecastAndScore.
+    Forecast.forecastAndScore(top, wins, "user_id", seqLen, predWindow,
+      broadcastTop = queryHint <= (1L << 18))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -118,10 +123,12 @@ object Flagship {
       seqLen, embedDim).persist(lvl)
     trainWins.count()
     val valCount = valWins.count()
+    val queryHint = valCount / stride + 1024
     val top = Forecast.evaluateSplit(trainWins, valWins, "user_id",
       seqLen, predWindow, stride, k, metric,
-      queryCountHint = Some(valCount / stride + 1024))
-    Forecast.forecastAndScoreSplit(top, trainWins, valWins, "user_id", seqLen, predWindow)
+      queryCountHint = Some(queryHint))
+    Forecast.forecastAndScoreSplit(top, trainWins, valWins, "user_id", seqLen,
+      predWindow, broadcastTop = queryHint <= (1L << 18))
   }
 
   /** A6 error summary — the driver's smoke entry (rows > 0), using the

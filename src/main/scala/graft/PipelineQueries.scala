@@ -200,11 +200,13 @@ object PipelineQueries {
     * (a 100 TB vocabulary / corpus state) the distributed loops run
     * unchanged. 0 disables the local tier.
     */
-  private[graft] val LocalBpeMaxRows: Long =
-    sys.env.get("GRAFT_LOCAL_BPE_MAX_ROWS").flatMap(_.toLongOption)
+  private[graft] def LocalBpeMaxRows: Long =
+    sys.props.get("graft.local.bpe.max.rows").orElse(
+      sys.env.get("GRAFT_LOCAL_BPE_MAX_ROWS")).flatMap(_.toLongOption)
       .getOrElse(2000000L)
-  private[graft] val LocalBpeMaxChars: Long =
-    sys.env.get("GRAFT_LOCAL_BPE_MAX_CHARS").flatMap(_.toLongOption)
+  private[graft] def LocalBpeMaxChars: Long =
+    sys.props.get("graft.local.bpe.max.chars").orElse(
+      sys.env.get("GRAFT_LOCAL_BPE_MAX_CHARS")).flatMap(_.toLongOption)
       .getOrElse(64000000L)
 
   /** Collect a checkpointed (enc, freq) trainer state when it fits the
@@ -722,13 +724,20 @@ object PipelineQueries {
   private[graft] def phraseBpeMerges(s: SparkSession, d: String,
       levels: Int = PhraseBpeLevels,
       stages: scala.collection.mutable.Map[String, Double] = null)
-      : Seq[(Long, Long, String, String, Long)] = {
-    val seedDf = phraseSeqs(s, d)
+      : Seq[(Long, Long, String, String, Long)] =
+    phraseBpeMergesOn(s, phraseSeqs(s, d), levels, stages)
+
+  /** Dispatch over a caller-supplied seed state — the tier gauge itself,
+    * exposed so LocalTierParitySpec can force the distributed route
+    * (budget=0 sys-prop) through the SAME entry the registry uses. */
+  private[graft] def phraseBpeMergesOn(s: SparkSession,
+      seedDf: DataFrame, levels: Int = PhraseBpeLevels,
+      stages: scala.collection.mutable.Map[String, Double] = null)
+      : Seq[(Long, Long, String, String, Long)] =
     collectSmallState(seedDf) match {
       case Some(st) => phraseBpeMergesLocal(st, levels, stages)
       case None => phraseBpeMergesDistributed(s, seedDf, levels, stages)
     }
-  }
 
   /** Local tier of [[phraseBpeMerges]]: the same kernels the RDD loop
     * runs — adjacent-pair counts + the [[BpePairOrd]] top-W pool
@@ -1815,10 +1824,11 @@ object PipelineQueries {
       scaleLimited = Some("q258_dedup_apply_banded")))
 
   /** Maximal duplicated-substring spans at threshold L (q206/q208 core):
-    * stride-1 L-grams at every position, global count ≥ 2 via one
-    * window-over-gram aggregation (the gram is the shuffle key —
-    * prefix-group partitioning of the suffix set), duplicated positions
-    * merged into per-doc spans by a prefix scan. Columns:
+    * stride-1 L-grams at every position, global count ≥ 2 via a
+    * gram-keyed aggregation (round-18: an agg + duplicated-gram join —
+    * see [[exactSubstrSpans]] — instead of the original window-over-gram,
+    * which shuffled and SORTED every (doc_id, pos, gram) row), duplicated
+    * positions merged into per-doc spans by a prefix scan. Columns:
     * (doc_id, span_id, span_start, span_end, n_positions).
     */
   private[graft] def exactSubstrUniverse(s: SparkSession, d: String, L: Int): DataFrame =
@@ -1826,12 +1836,20 @@ object PipelineQueries {
       .filter(col("text").rlike("^[\\x00-\\x7F]*$") && length(col("text")) >= L)
       .select("doc_id", "text")
 
-  /** Stride-1 L-grams at every position: (doc_id, pos, gram). */
+  /** Stride-1 L-grams at every position: (doc_id, pos, gram).
+    * Round-18 (§1.2 per-task work): explode the POSITION sequence and
+    * slice the gram in the follow-on projection — the old
+    * transform(sequence, i -> substring) materialized the full per-doc
+    * gram ARRAY (≈ 30× the text bytes in short-lived allocations)
+    * before posexplode; positions are four-byte ints and the substring
+    * now runs once per emitted row inside the same codegen stage, with
+    * `text` dropped before anything is shuffled.
+    */
   private def substrGrams(docs: DataFrame, L: Int): DataFrame =
-    docs.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, length(text) - $L), i -> substring(text, i + 1, $L))")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("gram"))
+    docs.select(col("doc_id"), col("text"),
+      explode(sequence(lit(0), length(col("text")) - L)).as("__p"))
+      .select(col("doc_id"), col("__p").cast("long").as("pos"),
+        expr(s"substring(text, __p + 1, $L)").as("gram"))
 
   /** Merge duplicated positions into maximal per-doc spans (the ranges
     * ExactSubstr cuts out) via a per-doc prefix scan.
@@ -1853,10 +1871,27 @@ object PipelineQueries {
   }
 
   private[graft] def exactSubstrSpans(docs: DataFrame, L: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dupPos = substrGrams(docs, L)
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("gram")))
+    // Round-18 restructure (guide §2.3 shuffle fewer bytes, §2.4 remove
+    // the sort, §3.1 broadcast attach). Was: count(*) OVER (PARTITION BY
+    // gram) — one Exchange of EVERY (doc_id, pos, gram) row (~46 B/rec)
+    // plus a full SORT by the 30-char gram inside the window. Now the
+    // duplicate decision is an AGGREGATION (map-side partial, no sort)
+    // whose exchange carries the gram alone, and the small duplicated-
+    // gram set joins back against a re-derived gram stream — AQE sees
+    // the aggregated side's true size and broadcasts it, so the heavy
+    // (doc_id, pos, gram) rows are never shuffled at all. Identical
+    // dupPos rows by construction: count-per-gram is the same number
+    // either way, and the inner join against the DISTINCT duplicated
+    // grams keeps exactly the positions the window filter kept. The
+    // unchanged q206 oracle pins it.
+    val grams = substrGrams(docs, L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = grams
+      .groupBy("gram").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2)
+      .select("gram")
+    val dupPos = grams
+      .join(dup, Seq("gram"))
       .select("doc_id", "pos")
     spansFromDupPositions(dupPos, L)
   }
@@ -1882,6 +1917,14 @@ object PipelineQueries {
     * q206's oracle.
     */
   private[graft] def exactSubstrSpansHashKey(docs: DataFrame, L: Int): DataFrame = {
+    // Round-18 note (§1.1 empirical loop): an agg+broadcast-join
+    // restructure of level 1 (count the 8-byte hash alone, attach the
+    // dup set back) was MEASURED SLOWER here — it needs the gram stream
+    // twice, and the generate pass dominates this operator at bench
+    // scale (two generates ≈ 6.1 s warm vs 2.8 s for the single-pass
+    // window; the h-sort the window pays is a cheap LONG sort). The
+    // single-pass window-over-h stays; the generate itself got cheaper
+    // (see [[substrGrams]]).
     import org.apache.spark.sql.expressions.Window
     val candPos = substrGrams(docs, L)
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
@@ -1991,16 +2034,15 @@ object PipelineQueries {
     // EVERY position with global count >= 2 give exactly the positions
     // the suffix-array scan marks — q168's stride-20 approximation made
     // exact. Duplicated positions then merge into maximal per-doc spans
-    // (the ranges ExactSubstr cuts out). Plan shape = prefix-group
-    // partitioning: the gram is the shuffle key, so suffixes sharing
-    // their first L chars co-locate, the duplicate count is one
-    // window-over-gram aggregation, and the span merge is a per-doc
-    // prefix scan. Raw gram strings are the shuffle key here so the
+    // (the ranges ExactSubstr cuts out). Plan shape (round-18, §2.3/
+    // §2.4): the duplicate count is a gram-keyed AGGREGATION whose
+    // exchange carries the gram alone (map-side partial, no sort), and
+    // the small duplicated-gram set joins back (AQE-broadcast) onto a
+    // re-derived gram stream — the (doc_id, pos, gram) rows are never
+    // shuffled. Raw gram strings stay the aggregation key here so the
     // oracle compares directly; q211 ships the 100 TB variant with
-    // xxhash64 keys (measured at sf0.1: 65 → 38.5 uncompressed
-    // bytes/record — the 30 B → 8 B key is ~4× but doc_id+pos+row
-    // overhead dilute the total). All-integer output — no float parity
-    // risk.
+    // xxhash64 keys (8 B vs 30 B key in the counting exchange). All-
+    // integer output — no float parity risk.
     Q("q206_exact_substr",
       (s, d) => exactSubstrSpans(exactSubstrUniverse(s, d, 30), 30)
         .orderBy("doc_id", "span_start"),

@@ -194,24 +194,39 @@ object Forecast {
     * ensemble, and score — returns (q_key, q_start, mae_err).
     */
   def forecastAndScore(topMatches: DataFrame, windows: DataFrame, keyCol: String,
-      seqLen: Int, predWindow: Int): DataFrame =
-    forecastAndScoreSplit(topMatches, windows, windows, keyCol, seqLen, predWindow)
+      seqLen: Int, predWindow: Int, broadcastTop: Boolean = false): DataFrame =
+    forecastAndScoreSplit(topMatches, windows, windows, keyCol, seqLen,
+      predWindow, broadcastTop)
 
   /** Split form: match follow-ons come from the corpus windows, target
     * follow-ons from the query windows (identical when both frames are
     * the same — the single-corpus wrapper above).
+    *
+    * `broadcastTop` (round-18, guide §3.1/§2.4): the top-matches frame
+    * is ≤ k rows per query while both follow-on frames are WINDOWS-sized
+    * — without the hint the planner sort-merge-joins them, shuffling and
+    * sorting the corpus-sized follow frames twice (q204 before-plan:
+    * Exchange(102)/Exchange(118) both hashpartitioning over the windows
+    * frame). When the caller knows the query count is under the same
+    * bound that lets [[evaluateSplit]] broadcast the query side, hinting
+    * the small side turns both joins into broadcast-hash joins and the
+    * follow frames stream straight off the persisted windows cache —
+    * zero corpus-sized exchanges. Row-identical either way (same inner
+    * equi-joins); only the physical strategy moves.
     */
   def forecastAndScoreSplit(topMatches: DataFrame, corpusWins: DataFrame,
-      queryWins: DataFrame, keyCol: String, seqLen: Int, predWindow: Int): DataFrame = {
+      queryWins: DataFrame, keyCol: String, seqLen: Int, predWindow: Int,
+      broadcastTop: Boolean = false): DataFrame = {
     def followOf(wins: DataFrame) = wins.select(
       col(keyCol).as("f_key"),
       col("start_idx").as("f_start"),
       slice(col("values"), 1, predWindow).as("follow_values"))
     val follow = followOf(corpusWins)
     val followQ = followOf(queryWins)
+    val hint: DataFrame => DataFrame = if (broadcastTop) broadcast else identity
 
     // Match-side follow-ons, rescaled into each match's own z-space.
-    val matches = topMatches.filter(col("rank") <= 2)
+    val matches = hint(topMatches.filter(col("rank") <= 2))
       .join(follow, col(keyCol) === col("f_key") &&
         (col("start_idx") + seqLen) === col("f_start"), "inner")
       .withColumn("forecast", rescale(col("follow_values"), col("center"), col("scale")))
@@ -224,7 +239,7 @@ object Forecast {
         when(col("f2").isNull, col("f1")).otherwise(ensemble2(col("f1"), col("f2"))))
 
     // Query-side target follow-on, rescaled into the QUERY's z-space.
-    val withTarget = perQuery
+    val withTarget = hint(perQuery)
       .join(followQ, col("q_key") === col("f_key") &&
         (col("q_start") + seqLen) === col("f_start"), "inner")
       .withColumn("target", rescale(col("follow_values"), col("q_center"), col("q_scale")))

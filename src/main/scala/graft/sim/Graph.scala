@@ -43,8 +43,9 @@ object Graph {
     * budget the distributed loop runs unchanged on the same persisted
     * frame. 0 disables.
     */
-  private val LocalPrMaxEdges: Int =
-    sys.env.get("GRAFT_LOCAL_PR_MAX_EDGES").flatMap(_.toIntOption)
+  private def LocalPrMaxEdges: Int =
+    sys.props.get("graft.local.pr.max.edges").orElse(
+      sys.env.get("GRAFT_LOCAL_PR_MAX_EDGES")).flatMap(_.toIntOption)
       .getOrElse(1 << 20)
 
   /** Local tier: the same integral recurrence over a collected edge
@@ -101,8 +102,10 @@ object Graph {
         ranks.foreach { case (id, r) => rows.add(org.apache.spark.sql.Row(id, r)) }
         return edges.sparkSession.createDataFrame(rows, schema)
       }
-    }
-    if (bothLong && LocalPrMaxEdges > 0)
+      // Distinct diagnosis (ADVICE r17): under budget, null-id guard.
+      System.err.println("[graph] NOTE: edge list contains null ids — " +
+        "distributed PageRank loop")
+    } else if (bothLong && LocalPrMaxEdges > 0)
       System.err.println(s"[graph] NOTE: edge list ($nUnd) exceeds local " +
         "budget — distributed PageRank loop")
     pageRankDistributed(edges.sparkSession, und, iters)

@@ -140,4 +140,83 @@ class LocalTierParitySpec extends SparkSpec {
     assert(viaRegistry == dist)
     assert(viaRegistry.size >= 1000, s"learned ${viaRegistry.size} merges")
   }
+
+  // ---------------------------------------- forced-distributed dispatch
+  // Round-18 (VERDICT r17 #2): the sf0.1 bench exercises only the LOCAL
+  // tier of these operators, so a regression in the 100 TB code path
+  // would otherwise be invisible. These tests zero the budgets through
+  // the sys-prop override (the JVM-local twin of GRAFT_LOCAL_*=0) and
+  // drive the PUBLIC dispatch — proving the gauge itself routes to the
+  // distributed tier and that the distributed result still matches.
+
+  private def withProp[A](k: String, v: String)(f: => A): A = {
+    sys.props(k) = v
+    try f finally sys.props.remove(k)
+  }
+
+  test("forced-distributed (budget=0): connectedComponents dispatch matches local tier") {
+    val fx = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 4L))
+    val df = ccFixture(fx)
+    val local = sortedLabels(Dedup.connectedComponents(df))
+    val dist = withProp("graft.local.cc.max.edges", "0") {
+      sortedLabels(Dedup.connectedComponents(df))
+    }
+    assert(local == dist)
+  }
+
+  test("forced-distributed (budget=0): pageRankFixedPoint dispatch matches local tier") {
+    val fx = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val df = ccFixture(fx)
+    val local = sortedLabels(graft.sim.Graph.pageRankFixedPoint(df, "id_a", "id_b", 5))
+    val dist = withProp("graft.local.pr.max.edges", "0") {
+      sortedLabels(graft.sim.Graph.pageRankFixedPoint(df, "id_a", "id_b", 5))
+    }
+    assert(local == dist)
+  }
+
+  test("forced-distributed (budget=0): phraseBpeMerges dispatch matches local tier") {
+    val local = PipelineQueries.phraseBpeMergesLocal(phraseState)
+    val dist = withProp("graft.local.bpe.max.rows", "0") {
+      import spark.implicits._
+      PipelineQueries.phraseBpeMergesOn(spark, phraseState.toSeq.toDF("enc", "freq"))
+    }
+    assert(local == dist)
+  }
+
+  test("forced-distributed (budget=0): clf fit dispatch matches local tier on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val local = ClassifierQueries.clfFitLocal(
+      ClassifierQueries.featureTableOf(Tables.documents(spark, d))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))))
+    // budget=1: the gauge runs (persist + count), finds the table over
+    // budget, and hands the PERSISTED frame to the distributed loop —
+    // exercising the round-18 reuse path end to end.
+    val dist = withProp("graft.local.clf.max.cells", "1") {
+      ClassifierQueries.clfFitRun(spark, d)
+    }
+    assert(local._1 == dist._1)
+    assert(local._2.toSeq == dist._2.toSeq)
+  }
+
+  // Deep-diameter bound (ADVICE r17): the distributed min-label loop
+  // propagates the component minimum one hop per round, so a component
+  // with diameter > maxIter−1 cannot converge within the cap. The local
+  // union-find is exact at any diameter; the distributed tier must fail
+  // LOUDLY rather than silently return non-minimum labels — and must
+  // match the local tier exactly when maxIter covers the diameter.
+  test("connectedComponents: 30-node chain — local exact, distributed loud at maxIter=25, equal at maxIter=40") {
+    val chain = (1L until 30L).map(i => (i, i + 1))
+    val df = ccFixture(chain)
+    val local = sortedLabels(Dedup.connectedComponents(df))
+    assert(local.forall(_._2 == 1L))
+    def und = df.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(df.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsDistributed(und, maxIter = 25)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val dist = sortedLabels(Dedup.connectedComponentsDistributed(und, maxIter = 40))
+    assert(local == dist)
+  }
 }
