@@ -253,10 +253,30 @@ object PipelineQueries {
   private[graft] val BpePairOrd: Ordering[((String, String), Long)] =
     Ordering.by { case ((l, r), c) => (-c, l, r) }
 
+  /** Bounded top-`w` under [[BpePairOrd]] (round-18, §1.2 per-task work):
+    * a w-capped heap (worst-at-head) replaces sorting EVERY pair type —
+    * O(P log w) comparisons instead of O(P log P) plus a full sorted
+    * copy per round. The order is strict (each (l, r) occurs once), so
+    * the kept set and its ascending order are identical to
+    * `sorted(BpePairOrd).take(w)` — pinned by the unchanged trainer
+    * oracles and BpeLocalParitySpec.
+    */
   private def localTopW(m: scala.collection.mutable.HashMap[(String, String), Long],
       w: Int): Array[(String, String, Long)] = {
-    m.toArray.sorted(BpePairOrd).take(w)
-      .map { case ((l, r), c) => (l, r, c) }
+    val heap = new java.util.PriorityQueue[((String, String), Long)](
+      w + 1, BpePairOrd.reverse)
+    m.foreach { e =>
+      if (heap.size < w) heap.add(e)
+      else if (BpePairOrd.lt(e, heap.peek())) { heap.poll(); heap.add(e) }
+    }
+    val arr = new Array[(String, String, Long)](heap.size)
+    var j = arr.length - 1
+    while (j >= 0) {
+      val ((l, r), c) = heap.poll()
+      arr(j) = (l, r, c)
+      j -= 1
+    }
+    arr
   }
 
   /** Local tier of [[bpeMerges]] — same argmax, same literal replace
@@ -773,10 +793,15 @@ object PipelineQueries {
     var round = 0
     var tot = 0
     var exhausted = false
+    // Pre-size each round's count map from the previous round's pair-type
+    // count (round-18): vocab growth keeps P nearly monotone, so this
+    // avoids O(log P) rehash-and-copy cycles of the LongMap per round.
+    var poolSizeHint = 64
     while (round < PhraseBpeRoundCap && tot < PhraseBpeTarget && !exhausted) {
       round += 1
       val pool = timed("pool") {
-        val cnt = scala.collection.mutable.LongMap.empty[Long]
+        val cnt = new scala.collection.mutable.LongMap[Long](
+          math.max(64, poolSizeHint))
         var di = 0
         while (di < seqs.length) {
           val ss = seqs(di); val f = freqs(di)
@@ -788,11 +813,38 @@ object PipelineQueries {
           }
           di += 1
         }
-        cnt.toArray
-          .map { case (k, c) =>
-            ((symName((k >> 32).toInt), symName(k.toInt)), c) }
-          .sorted(BpePairOrd).take(PhraseBpeW)
-          .map { case ((l, r), c) => (l, r, c) }
+        poolSizeHint = cnt.size
+        // Bounded top-W (round-18, the localTopW rationale): W-capped
+        // heap under the SAME (cnt DESC, l, r) total order, resolving
+        // symbol names only inside comparisons — replaces building a
+        // (String, String) tuple for EVERY pair type and sorting them
+        // all, per round. Strict order ⇒ identical kept set and order.
+        val ord = new java.util.Comparator[(Long, Long)] {
+          def compare(a: (Long, Long), b: (Long, Long)): Int = {
+            if (a._2 != b._2) java.lang.Long.compare(b._2, a._2)
+            else {
+              val cl = symName((a._1 >> 32).toInt)
+                .compareTo(symName((b._1 >> 32).toInt))
+              if (cl != 0) cl
+              else symName(a._1.toInt).compareTo(symName(b._1.toInt))
+            }
+          }
+        }
+        val heap = new java.util.PriorityQueue[(Long, Long)](
+          PhraseBpeW + 1, ord.reversed())
+        cnt.foreach { case (k, c) =>
+          val e = (k, c)
+          if (heap.size < PhraseBpeW) heap.add(e)
+          else if (ord.compare(e, heap.peek()) < 0) { heap.poll(); heap.add(e) }
+        }
+        val arr = new Array[(String, String, Long)](heap.size)
+        var j = arr.length - 1
+        while (j >= 0) {
+          val (k, c) = heap.poll()
+          arr(j) = (symName((k >> 32).toInt), symName(k.toInt), c)
+          j -= 1
+        }
+        arr
       }
       val accepted = timed("accept") { phraseBpeAccept(pool, levels) }
       require(accepted.size <= PhraseBpeBatchCap,
@@ -1678,6 +1730,9 @@ object PipelineQueries {
   /** q125's surviving corpus (every unclustered doc plus each simhash
     * cluster's min-id keeper) — shared by q125 and the q232 token
     * accounting so the APPLY rule has exactly one definition. */
+  private[graft] def dedupSurvivorsForDev(s: SparkSession, d: String): DataFrame =
+    dedupSurvivors(s, d)
+
   private def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
     import graft.text.Dedup
     val docs = Tables.documents(s, d)
