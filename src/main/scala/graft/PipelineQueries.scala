@@ -793,27 +793,41 @@ object PipelineQueries {
     var round = 0
     var tot = 0
     var exhausted = false
-    // Pre-size each round's count map from the previous round's pair-type
-    // count (round-18): vocab growth keeps P nearly monotone, so this
-    // avoids O(log P) rehash-and-copy cycles of the LongMap per round.
-    var poolSizeHint = 64
+    val audit = sys.props.get("graft.bpe.audit").contains("1")
+    @inline def pairKey(a: Int, b: Int): Long =
+      (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    // Delta-maintained pair counts (round-18, §1.2 per-task work): `cnt`
+    // holds the freq-weighted adjacent-pair counts of the CURRENT `seqs`
+    // at all times — filled once here, then updated only at the
+    // sequences a round's batch actually rewrites (subtract the old
+    // sequence's pairs, add the new one's; exact integer adds, entries
+    // removed at zero). The per-round full recount this replaces was the
+    // pool stage's cost (2.8 s of q260's 4.1 s at sf0.1): every round
+    // re-hashed EVERY adjacent position of EVERY sequence into a
+    // hundreds-of-thousands-entry map, when late rounds rewrite only a
+    // small fraction of sequences. The recount and the delta maintain
+    // the identical (k → c>0) map by construction, so the pool — and the
+    // whole trajectory — is unchanged (pinned by LocalTierParitySpec's
+    // local ≡ distributed-RDD trajectory tests and the q260/q276
+    // oracles; the distributed tier still recounts per round, so parity
+    // against it is a real equivalence check every run).
+    val cnt = scala.collection.mutable.LongMap.empty[Long]
+    def bump(ss: Array[Int], f: Long, sign: Long): Unit = {
+      var i = 0
+      while (i < ss.length - 1) {
+        val k = pairKey(ss(i), ss(i + 1))
+        val c = cnt.getOrElse(k, 0L) + sign * f
+        if (c == 0L) cnt -= k else cnt.update(k, c)
+        i += 1
+      }
+    }
+    timed("pool") {
+      var di = 0
+      while (di < seqs.length) { bump(seqs(di), freqs(di), 1L); di += 1 }
+    }
     while (round < PhraseBpeRoundCap && tot < PhraseBpeTarget && !exhausted) {
       round += 1
       val pool = timed("pool") {
-        val cnt = new scala.collection.mutable.LongMap[Long](
-          math.max(64, poolSizeHint))
-        var di = 0
-        while (di < seqs.length) {
-          val ss = seqs(di); val f = freqs(di)
-          var i = 0
-          while (i < ss.length - 1) {
-            val k = (ss(i).toLong << 32) | (ss(i + 1).toLong & 0xffffffffL)
-            cnt.update(k, cnt.getOrElse(k, 0L) + f)
-            i += 1
-          }
-          di += 1
-        }
-        poolSizeHint = cnt.size
         // Bounded top-W (round-18, the localTopW rationale): W-capped
         // heap under the SAME (cnt DESC, l, r) total order, resolving
         // symbol names only inside comparisons — replaces building a
@@ -862,24 +876,93 @@ object PipelineQueries {
           m.update((idOf(l).toLong << 32) | (idOf(r).toLong & 0xffffffffL),
             idOf(phraseSym(l, r)))
         }
-        seqs = timed("apply") {
-          seqs.map { ss =>
-            if (ss.length < 2) ss
-            else {
-              val sb = new scala.collection.mutable.ArrayBuffer[Int](ss.length)
+        timed("apply") {
+          // One pass per sequence: scan for the first merge site with an
+          // allocation-free contains; an untouched sequence (the common
+          // case in late rounds) keeps its array and contributes no
+          // count updates. A touched one replays the greedy scan from
+          // that site (the prefix had no hits, so the rewrite is
+          // identical to scanning from 0) and applies the count delta
+          // ONLY at merge-site boundaries: pairs interior to an
+          // unchanged stretch are identical in the old and new sequence
+          // and cancel, so touching them would be 2 wasted map ops per
+          // position. The boundary algebra per step, with (po, pn, pc) =
+          // (last old symbol consumed, last new symbol appended,
+          // last step was a merge):
+          //   copy x:        if pc { sub (po, x); add (pn, x) }
+          //   merge (a,b)→M: sub (a, b);
+          //                  if a prev exists { sub (po, a); add (pn, M) }
+          //                  (when !pc, po == pn, so this is the plain
+          //                   c-a → c-M neighbor swap; when pc it is the
+          //                   back-to-back-merge M0-M adjacency)
+          // which together account exactly for every pair that differs
+          // between the old and new sequence — verified against a full
+          // recount by LocalTierParitySpec's delta-invariant test.
+          var di = 0
+          while (di < seqs.length) {
+            val ss = seqs(di)
+            if (ss.length >= 2) {
               var i = 0
-              while (i < ss.length) {
-                val merged = if (i + 1 < ss.length)
-                  m.get((ss(i).toLong << 32) | (ss(i + 1).toLong & 0xffffffffL))
-                else None
-                merged match {
-                  case Some(lr) => sb += lr; i += 2
-                  case None => sb += ss(i); i += 1
+              while (i < ss.length - 1 && !m.contains(pairKey(ss(i), ss(i + 1)))) i += 1
+              if (i < ss.length - 1) {
+                val f = freqs(di)
+                @inline def adj(a: Int, b: Int, sign: Long): Unit = {
+                  val k = pairKey(a, b)
+                  val c = cnt.getOrElse(k, 0L) + sign * f
+                  if (c == 0L) cnt -= k else cnt.update(k, c)
                 }
+                val sb = new scala.collection.mutable.ArrayBuffer[Int](ss.length)
+                var j = 0
+                while (j < i) { sb += ss(j); j += 1 }
+                var po = if (i > 0) ss(i - 1) else -1
+                var pn = po
+                var pc = false
+                var havePrev = i > 0
+                while (j < ss.length) {
+                  val merged = if (j + 1 < ss.length)
+                    m.get(pairKey(ss(j), ss(j + 1)))
+                  else None
+                  merged match {
+                    case Some(lr) =>
+                      adj(ss(j), ss(j + 1), -1L)
+                      if (havePrev) { adj(po, ss(j), -1L); adj(pn, lr, 1L) }
+                      sb += lr
+                      po = ss(j + 1); pn = lr; pc = true; havePrev = true
+                      j += 2
+                    case None =>
+                      val x = ss(j)
+                      if (pc) { adj(po, x, -1L); adj(pn, x, 1L) }
+                      sb += x
+                      po = x; pn = x; pc = false; havePrev = true
+                      j += 1
+                  }
+                }
+                seqs(di) = sb.toArray
               }
-              sb.toArray
             }
+            di += 1
           }
+        }
+        // Delta-invariant audit (spec-only, sys-prop gated): after every
+        // round the delta-maintained map must equal a from-scratch
+        // recount of the rewritten state — the exact invariant the
+        // boundary algebra above claims. Not read in production paths.
+        if (audit) {
+          val chk = scala.collection.mutable.LongMap.empty[Long]
+          var di = 0
+          while (di < seqs.length) {
+            val ss = seqs(di); val f = freqs(di); var i = 0
+            while (i < ss.length - 1) {
+              val k = pairKey(ss(i), ss(i + 1))
+              chk.update(k, chk.getOrElse(k, 0L) + f)
+              i += 1
+            }
+            di += 1
+          }
+          require(chk.size == cnt.size &&
+            chk.forall { case (k, v) => cnt.getOrElse(k, 0L) == v },
+            s"phrase-BPE delta-count drift at round $round: " +
+              s"recount ${chk.size} pair types vs delta ${cnt.size}")
         }
         tot += accepted.size
       }

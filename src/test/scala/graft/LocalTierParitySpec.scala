@@ -102,6 +102,42 @@ class LocalTierParitySpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("phrase-BPE delta-count invariant: boundary algebra ≡ full recount (audit on)") {
+    // Round-18: the local tier maintains the pair-count map by delta
+    // updates at merge-site boundaries instead of a per-round recount.
+    // graft.bpe.audit=1 makes the loop recount after EVERY round and
+    // require equality with the delta map — drift fails loudly. The
+    // fixtures are the delta's adversarial cases: overlapping-pair runs
+    // (greedy left-to-right on a^n), back-to-back merges in one batch
+    // (merged-merged adjacency), a length-2 sequence collapsing to a
+    // single symbol (no surviving pairs), and repeated merges of
+    // already-merged symbols across rounds. Each is ALSO checked
+    // against the distributed recount loop, so both the invariant and
+    // the trajectory are pinned.
+    val fixtures = Seq(
+      // greedy overlap: runs of one symbol, odd and even lengths
+      Array(phraseEnc("a", "a", "a", "a", "a") -> 5L,
+        phraseEnc("a", "a", "a", "a") -> 3L,
+        phraseEnc("a", "a") -> 2L),
+      // back-to-back distinct merges in one scan: p q r s with both
+      // (p,q) and (r,s) frequent enough to land in one batch
+      Array(phraseEnc("p", "q", "r", "s") -> 9L,
+        phraseEnc("p", "q") -> 6L, phraseEnc("r", "s") -> 6L,
+        phraseEnc("q", "r") -> 1L),
+      // length-2 collapse + merge at sequence start/end boundaries
+      Array(phraseEnc("x", "y") -> 9L,
+        phraseEnc("x", "y", "z") -> 4L,
+        phraseEnc("w", "x", "y") -> 4L),
+      // the standard fixture, audited too
+      phraseState)
+    sys.props("graft.bpe.audit") = "1"
+    try fixtures.foreach { st =>
+      val local = PipelineQueries.phraseBpeMergesLocal(st)
+      val dist = PipelineQueries.phraseBpeMergesDistributed(spark, stateDf(st))
+      assert(local == dist, s"fixture ${st.take(1).mkString}")
+    } finally sys.props.remove("graft.bpe.audit")
+  }
+
   // -------------------------------------------------- PageRank (q136)
 
   test("pageRankFixedPoint: local ≡ distributed integral power iterations") {
@@ -134,7 +170,11 @@ class LocalTierParitySpec extends SparkSpec {
 
   test("phraseBpeMerges on the sf0.001 corpus rides the local tier and matches the RDD loop") {
     val d = "/root/testdata/sf0.001"
-    val viaRegistry = PipelineQueries.phraseBpeMerges(spark, d)
+    // audit on: every one of the run's rounds cross-checks the
+    // delta-maintained pair counts against a full recount (round-18)
+    val viaRegistry =
+      try { sys.props("graft.bpe.audit") = "1"; PipelineQueries.phraseBpeMerges(spark, d) }
+      finally sys.props.remove("graft.bpe.audit")
     val seed = PipelineQueries.phraseSeqs(spark, d)
     val dist = PipelineQueries.phraseBpeMergesDistributed(spark, seed)
     assert(viaRegistry == dist)
